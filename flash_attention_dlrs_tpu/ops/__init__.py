@@ -1,0 +1,14 @@
+from .flash_attention import (
+    flash_attention,
+    flash_attention_backward,
+    flash_attention_forward,
+)
+from .reference import reference_attention, reference_attention_grads
+
+__all__ = [
+    "flash_attention",
+    "flash_attention_forward",
+    "flash_attention_backward",
+    "reference_attention",
+    "reference_attention_grads",
+]

@@ -1,0 +1,224 @@
+"""Public flash-attention API: functional wrappers + differentiable op.
+
+Plays the combined role of the reference's two API surfaces:
+
+- ``flash_attention_forward`` / ``flash_attention_backward`` — the functional
+  wrapper API (reference: src/flash_attention_wrappers.py:7-63,66-176),
+  including shape validation and pad/unpad handling
+  (src/flash_attention_wrappers.py:20-34, src/flash_attention_torch.py:38-47);
+- ``flash_attention`` — the autograd-integrated op, a ``jax.custom_vjp``
+  instead of ``torch.autograd.Function`` (src/flash_attention_torch.py:21-158),
+  saving residuals (Q, K, V, O, L) exactly as ``ctx.save_for_backward`` does
+  (src/flash_attention_torch.py:77).
+
+There is ONE backward implementation, deterministic by construction — the
+reference's deterministic/non-deterministic variant split
+(src/flash_attention_torch.py:161-294) does not exist here because TPU grids
+are sequential per core.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import geometry as geo
+from .. import tuning
+from ..utils import default_interpret, pad_axis_to
+from . import bwd_kernel as bwd
+from . import fwd_kernel as fwd
+
+
+def _validate(q, k, v):
+    if q.ndim != 4 or k.ndim != 4 or v.ndim != 4:
+        raise ValueError(
+            f"q/k/v must be rank-4 [B,H,N,d]; got {q.shape} {k.shape} {v.shape}"
+        )
+    if k.shape != v.shape:
+        raise ValueError(f"k and v shapes differ: {k.shape} vs {v.shape}")
+    if q.shape[0] != k.shape[0] or q.shape[3] != k.shape[3]:
+        raise ValueError(f"q/k batch or head_dim mismatch: {q.shape} vs {k.shape}")
+    if q.shape[1] % k.shape[1] != 0:
+        raise ValueError(
+            f"num_q_heads ({q.shape[1]}) must be a multiple of num_kv_heads ({k.shape[1]})"
+        )
+    if q.dtype != k.dtype or q.dtype != v.dtype:
+        raise ValueError(f"dtype mismatch: {q.dtype}, {k.dtype}, {v.dtype}")
+
+
+def _resolve(q, k, sm_scale, block_sizes, interpret):
+    head_dim = q.shape[-1]
+    if sm_scale is None:
+        sm_scale = float(head_dim) ** -0.5
+    if block_sizes is None:
+        block_sizes = tuning.default_block_sizes(
+            q.shape[2], k.shape[2], geo.current_geometry().round_up(head_dim), q.dtype
+        )
+    if interpret is None:
+        interpret = default_interpret()
+    return float(sm_scale), block_sizes, bool(interpret)
+
+
+def _pad_inputs(q, k, v, block_q, block_kv):
+    q, q_len = pad_axis_to(q, 2, block_q)
+    k, kv_len = pad_axis_to(k, 2, block_kv)
+    v, _ = pad_axis_to(v, 2, block_kv)
+    d = q.shape[-1]
+    d_pad = geo.current_geometry().round_up(d)
+    if d_pad != d:
+        q, _ = pad_axis_to(q, 3, d_pad)
+        k, _ = pad_axis_to(k, 3, d_pad)
+        v, _ = pad_axis_to(v, 3, d_pad)
+    return q, k, v, q_len, kv_len, d
+
+
+# ---------------------------------------------------------------------------
+# Functional API (≙ src/flash_attention_wrappers.py)
+# ---------------------------------------------------------------------------
+
+
+def flash_attention_forward(
+    q,
+    k,
+    v,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_sizes: Optional[tuning.BlockSizes] = None,
+    interpret: Optional[bool] = None,
+):
+    """Forward pass returning (O, L) like the reference functional wrapper
+    (src/flash_attention_wrappers.py:7-63).  L is the natural-base logsumexp
+    of the scaled scores, shape [B, H, Nq] fp32."""
+    _validate(q, k, v)
+    sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
+    qp, kp, vp, q_len, kv_len, d = _pad_inputs(q, k, v, bs.block_q, bs.block_kv)
+    o, lse = fwd.fwd_pallas(
+        qp, kp, vp,
+        sm_scale=sm_scale, causal=causal,
+        block_q=bs.block_q, block_kv=bs.block_kv,
+        kv_len=kv_len, save_residuals=True, interpret=interpret,
+    )
+    return o[:, :, :q_len, :d], lse[:, :, :q_len, 0]
+
+
+def flash_attention_backward(
+    q,
+    k,
+    v,
+    o,
+    do,
+    lse,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_sizes: Optional[tuning.BlockSizes] = None,
+    interpret: Optional[bool] = None,
+):
+    """Backward pass returning (dQ, dK, dV) like the reference functional
+    wrapper (src/flash_attention_wrappers.py:66-176): D-preprocess kernel,
+    then the dKV and dQ kernels.  `lse` is [B, H, Nq] from the forward."""
+    _validate(q, k, v)
+    sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
+    num_kv_heads = k.shape[1]
+    bq, bkv = bs.block_q_bwd, bs.block_kv_bwd
+    qp, kp, vp, q_len, kv_len, d = _pad_inputs(q, k, v, bq, bkv)
+    op, _ = pad_axis_to(o, 2, bq)
+    dop, _ = pad_axis_to(do, 2, bq)
+    d_pad = qp.shape[-1]
+    if d_pad != d:
+        op, _ = pad_axis_to(op, 3, d_pad)
+        dop, _ = pad_axis_to(dop, 3, d_pad)
+    # Stats arrive [B, H, Nq]; pad and lane-replicate to [B, H, Nq_pad, 128].
+    lse_p, _ = pad_axis_to(lse.astype(jnp.float32), 2, bq)
+    lse_rep = jnp.broadcast_to(lse_p[..., None], (*lse_p.shape, geo.NUM_LANES))
+
+    dpre = bwd.bwd_d_pallas(op, dop, block_q=bq, interpret=interpret)
+
+    dk, dv = bwd.bwd_dkv_pallas(
+        qp, kp, vp, dop, lse_rep, dpre,
+        sm_scale=sm_scale, causal=causal,
+        block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
+    )
+    dq = bwd.bwd_dq_pallas(
+        qp, kp, vp, dop, lse_rep, dpre,
+        sm_scale=sm_scale, causal=causal,
+        block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
+    )
+    # GQA: group-sum per-q-head dK/dV into per-kv-head grads.
+    batch, num_q_heads = q.shape[0], q.shape[1]
+    if num_q_heads != num_kv_heads:
+        grp = num_q_heads // num_kv_heads
+        dk = dk.reshape(batch, num_kv_heads, grp, *dk.shape[2:]).sum(axis=2)
+        dv = dv.reshape(batch, num_kv_heads, grp, *dv.shape[2:]).sum(axis=2)
+    dq = dq[:, :, :q_len, :d].astype(q.dtype)
+    dk = dk[:, :, :kv_len, :d].astype(k.dtype)
+    dv = dv[:, :, :kv_len, :d].astype(v.dtype)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Differentiable op (≙ torch.autograd.Function, src/flash_attention_torch.py)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention(q, k, v, causal, sm_scale, block_sizes, interpret):
+    qp, kp, vp, q_len, kv_len, d = _pad_inputs(
+        q, k, v, block_sizes.block_q, block_sizes.block_kv
+    )
+    o, _ = fwd.fwd_pallas(
+        qp, kp, vp,
+        sm_scale=sm_scale, causal=causal,
+        block_q=block_sizes.block_q, block_kv=block_sizes.block_kv,
+        kv_len=kv_len, save_residuals=False, interpret=interpret,
+    )
+    return o[:, :, :q_len, :d]
+
+
+def _flash_attention_fwd(q, k, v, causal, sm_scale, block_sizes, interpret):
+    o, lse = flash_attention_forward(
+        q, k, v,
+        causal=causal, sm_scale=sm_scale,
+        block_sizes=block_sizes, interpret=interpret,
+    )
+    # Residuals (Q, K, V, O, L) ≙ ctx.save_for_backward
+    # (src/flash_attention_torch.py:77).
+    return o, (q, k, v, o, lse)
+
+
+def _flash_attention_bwd(causal, sm_scale, block_sizes, interpret, res, do):
+    q, k, v, o, lse = res
+    dq, dk, dv = flash_attention_backward(
+        q, k, v, o, do, lse,
+        causal=causal, sm_scale=sm_scale,
+        block_sizes=block_sizes, interpret=interpret,
+    )
+    return dq, dk, dv
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def flash_attention(
+    q,
+    k,
+    v,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_sizes: Optional[tuning.BlockSizes] = None,
+    interpret: Optional[bool] = None,
+):
+    """Differentiable fused attention: O = softmax(scale·QKᵀ + mask)V.
+
+    q: [B, Hq, Nq, d]; k, v: [B, Hkv, Nkv, d] with Hq % Hkv == 0 (GQA/MQA).
+    ``sm_scale`` defaults to 1/sqrt(d); pass ``sm_scale=1.0`` to reproduce the
+    reference's unscaled convention (src/test_correctness.py:33).
+    """
+    _validate(q, k, v)
+    sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
+    return _flash_attention(q, k, v, causal, sm_scale, bs, interpret)

@@ -1,0 +1,263 @@
+"""Pallas forward flash-attention kernel (Flash Attention v2, TPU-native).
+
+Re-expresses the reference Triton forward kernel
+(reference: src/flash_attention_kernels.py:16-109) for the TPU:
+
+- grid ``(B, H_q, T_q, T_kv)`` with the KV dimension innermost and
+  "arbitrary" (the online-softmax reduction), instead of Triton's
+  ``(cdiv(N, B_r), B, H)`` persistent programs (src/flash_attention_wrappers.py:46);
+- fp32 running statistics (m, l) and output accumulator in VMEM scratch,
+  exactly the role of the Triton registers at
+  src/flash_attention_kernels.py:84-86;
+- natural-base logsumexp residual ``L = m + log(l)`` (the reference stores
+  base-2, src/flash_attention_kernels.py:106 — a kernel-internal convention);
+- division by ``l`` deferred to the epilogue, as in the reference epilogue
+  (src/flash_attention_kernels.py:105-108);
+- causal masking + partial-block length masking built in (the reference's own
+  kernel had neither — causal only existed in its vendored competitor,
+  src/flash_attention_openai_tutorial.py:49-51 — and N had to divide the
+  block size, src/autotune_configs.py:187);
+- grouped-query attention for free via the K/V BlockSpec index map
+  (``h // q_per_kv``) — no materialized head broadcast;
+- the logsumexp residual is only written when ``save_residuals`` (training);
+  inference skips that HBM traffic entirely.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import geometry as geo
+
+# Finite large-negative mask: -inf would produce NaN via exp(-inf - (-inf)).
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+# Full-precision matmuls: carries the reference's input_precision="ieee"
+# discipline (src/flash_attention_kernels.py:6) — JAX's DEFAULT precision is a
+# bf16-based fast path even for fp32 operands.  For sub-fp32 operands the MXU
+# natively accumulates in fp32 (preferred_element_type), and Mosaic rejects
+# HIGHEST there, so the IEEE request applies to fp32 inputs only.
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def mxu_dot(a, b, dims):
+    """dot_general with fp32 accumulation and ieee precision for fp32 inputs."""
+    prec = (
+        MATMUL_PRECISION
+        if a.dtype == jnp.float32 and b.dtype == jnp.float32
+        else None
+    )
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32, precision=prec
+    )
+
+
+def _fwd_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,  # None when save_residuals=False
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    sm_scale: float,
+    causal: bool,
+    kv_len: int,
+    block_q: int,
+    block_kv: int,
+    num_kv_blocks: int,
+):
+    iq = pl.program_id(2)
+    ikv = pl.program_id(3)
+
+    @pl.when(ikv == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    # Causal block-level skip: run only if some (q_pos >= kv_pos) pair exists,
+    # i.e. the block's bottom-left corner touches the lower triangle.
+    if causal:
+        should_run = (iq + 1) * block_q - 1 >= ikv * block_kv
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]  # [block_q, d]
+        k = k_ref[0, 0]  # [block_kv, d]
+
+        # S = Q K^T * scale, fp32 accumulation on the MXU
+        # (≙ src/flash_attention_kernels.py:92 with input_precision="ieee").
+        s = mxu_dot(q, k, (((1,), (1,)), ((), ())))
+        if sm_scale != 1.0:
+            s = s * sm_scale
+
+        # Masking: causal within-diagonal blocks + KV-length tail.
+        need_len_mask = kv_len % block_kv != 0
+        if causal or need_len_mask:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            mask = None
+            if causal:
+                mask = (row + iq * block_q) >= (col + ikv * block_kv)
+            if need_len_mask:
+                lm = (col + ikv * block_kv) < kv_len
+                mask = lm if mask is None else jnp.logical_and(mask, lm)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        # Online-softmax update (≙ src/flash_attention_kernels.py:93-98).
+        m_prev = m_scratch[...]  # [block_q, 128] lane-replicated
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)  # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)  # broadcast over lanes
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])  # [block_q, block_kv]
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+        m_scratch[...] = m_next
+        l_scratch[...] = l_next
+
+        # Unnormalized accumulate: acc = acc * alpha + P V
+        # (division deferred to epilogue, ≙ src/flash_attention_kernels.py:105).
+        v = v_ref[0, 0]  # [block_kv, d]
+        pv = mxu_dot(p.astype(v.dtype), v, (((1,), (0,)), ((), ())))
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+
+    @pl.when(ikv == num_kv_blocks - 1)
+    def _epilogue():
+        l = l_scratch[...][:, :1]
+        m = m_scratch[...][:, :1]
+        # Fully-masked rows (l == 0) produce O = 0, finite LSE sentinel.
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+            lse = jnp.where(l == 0.0, DEFAULT_MASK_VALUE, lse)
+            lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale",
+        "causal",
+        "block_q",
+        "block_kv",
+        "kv_len",
+        "save_residuals",
+        "interpret",
+    ),
+)
+def fwd_pallas(
+    q,
+    k,
+    v,
+    *,
+    sm_scale: float,
+    causal: bool,
+    block_q: int,
+    block_kv: int,
+    kv_len: int,
+    save_residuals: bool = False,
+    interpret: bool = False,
+):
+    """Launch the forward kernel on padded inputs.
+
+    q: [B, Hq, Nq_pad, d]; k, v: [B, Hkv, Nkv_pad, d] with Hq % Hkv == 0 and
+    Nq_pad % block_q == Nkv_pad % block_kv == 0.  ``kv_len`` is the true
+    (unpadded) KV length used for tail masking.
+
+    Returns O [B, Hq, Nq_pad, d] in q.dtype, plus — when ``save_residuals`` —
+    LSE [B, Hq, Nq_pad, 128] fp32 (lane-replicated; callers slice [..., 0]).
+    """
+    batch, num_q_heads, n_q, head_dim = q.shape
+    _, num_kv_heads, n_kv, _ = k.shape
+    assert num_q_heads % num_kv_heads == 0
+    q_per_kv = num_q_heads // num_kv_heads
+    num_q_blocks = n_q // block_q
+    num_kv_blocks = n_kv // block_kv
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        sm_scale=sm_scale,
+        causal=causal,
+        kv_len=kv_len,
+        block_q=block_q,
+        block_kv=block_kv,
+        num_kv_blocks=num_kv_blocks,
+    )
+    if not save_residuals:
+        base = kernel
+
+        def kernel(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s):  # noqa: F811
+            return base(q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s)
+
+    grid = (batch, num_q_heads, num_q_blocks, num_kv_blocks)
+
+    q_spec = pl.BlockSpec(
+        (1, 1, block_q, head_dim), lambda b, h, iq, ikv: (b, h, iq, 0)
+    )
+    kv_spec = pl.BlockSpec(
+        (1, 1, block_kv, head_dim),
+        lambda b, h, iq, ikv: (b, h // q_per_kv, ikv, 0),
+    )
+    o_spec = pl.BlockSpec(
+        (1, 1, block_q, head_dim), lambda b, h, iq, ikv: (b, h, iq, 0)
+    )
+    out_specs = [o_spec]
+    out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    if save_residuals:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q, geo.NUM_LANES),
+                lambda b, h, iq, ikv: (b, h, iq, 0),
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct(
+                (batch, num_q_heads, n_q, geo.NUM_LANES), jnp.float32
+            )
+        )
+
+    flops_matmul = 2 * batch * num_q_heads * n_q * n_kv * head_dim * 2
+    if causal:
+        flops_matmul //= 2
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, geo.NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, geo.NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, head_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_matmul,
+            bytes_accessed=(
+                q.size * q.dtype.itemsize
+                + k.size * k.dtype.itemsize
+                + v.size * v.dtype.itemsize
+                + q.size * q.dtype.itemsize
+            ),
+            transcendentals=batch * num_q_heads * n_q * n_kv,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    if save_residuals:
+        return outs[0], outs[1]
+    return outs[0], None

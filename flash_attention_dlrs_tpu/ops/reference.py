@@ -1,0 +1,73 @@
+"""Naive XLA attention oracle.
+
+Role of ``torch.nn.functional.scaled_dot_product_attention`` in the reference
+correctness harness (reference: src/test_correctness.py:33) and of the
+vendored OpenAI-tutorial competitor in its benchmark
+(src/flash_attention_openai_tutorial.py:25-520): a straightforward,
+materialize-the-scores softmax attention that XLA compiles natively, used
+both as the numerical oracle and as a benchmark provider.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .fwd_kernel import MATMUL_PRECISION
+
+
+def reference_attention(
+    q,
+    k,
+    v,
+    *,
+    causal: bool = False,
+    sm_scale: float = 1.0,
+    with_lse: bool = False,
+):
+    """O = softmax(scale * Q K^T + mask) V with fp32 softmax.
+
+    q: [B, Hq, Nq, d]; k, v: [B, Hkv, Nkv, d] (GQA: Hq % Hkv == 0).
+    """
+    b, hq, n_q, d = q.shape
+    hkv, n_kv = k.shape[1], k.shape[2]
+    if hq != hkv:
+        rep = hq // hkv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k,
+        preferred_element_type=jnp.float32,
+        precision=MATMUL_PRECISION,
+    )
+    s = s * sm_scale
+    if causal:
+        mask = jnp.tril(jnp.ones((n_q, n_kv), dtype=bool), k=n_kv - n_q)
+        s = jnp.where(mask, s, -jnp.inf)
+    # Max-subtract softmax (the same stabilization torch SDPA's math backend
+    # and this repo's kernel use); computing p via exp(s - logsumexp) instead
+    # shifts outputs by ~2e-4 at the reference's scale=1 workload.
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    lse = (m + jnp.log(l))[..., 0]
+    p = e / l
+    o = jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+        precision=MATMUL_PRECISION,
+    ).astype(q.dtype)
+    if with_lse:
+        return o, lse.astype(jnp.float32)
+    return o
+
+
+def reference_attention_grads(q, k, v, do, *, causal=False, sm_scale=1.0):
+    """Oracle gradients via jax.vjp through the naive attention
+    (role of torch.autograd.grad in src/test_correctness.py:48)."""
+
+    def f(q_, k_, v_):
+        return reference_attention(q_, k_, v_, causal=causal, sm_scale=sm_scale)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(do)

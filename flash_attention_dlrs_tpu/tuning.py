@@ -1,0 +1,175 @@
+"""Block-shape tuner: enumerate → prune by VMEM model → (optionally) time.
+
+TPU-native rebuild of the reference autotuner (src/autotune_configs.py:24-140
+enumerates ~114 Triton configs, :169-245 prunes them against a GA102 SRAM
+model, and triton.autotune times the survivors, cached per (B,H,N,d) key —
+src/flash_attention_kernels.py:11-15).  Here the candidate space is spanned by
+MXU-tile multiples, the prune model is the VMEM footprint from
+:mod:`.geometry`, and timed search is an explicit opt-in (``tune=True``)
+cached on the same shape key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from . import geometry as geo
+
+# Candidate block edges: multiples of the 128-wide MXU tile, like the
+# reference's {16..512} powers-of-two space (autotune_configs.py:24-140)
+# rescaled to TPU lane geometry.
+_CANDIDATE_EDGES = (128, 256, 512, 1024)
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSizes:
+    """Block shapes for the attention kernels (fwd + both bwd kernels)."""
+
+    block_q: int = 128
+    block_kv: int = 128
+    block_q_bwd: int = 128
+    block_kv_bwd: int = 128
+
+    def __post_init__(self):
+        for name in ("block_q", "block_kv", "block_q_bwd", "block_kv_bwd"):
+            v = getattr(self, name)
+            if v % geo.MIN_BLOCK != 0:
+                raise ValueError(f"{name}={v} must be a multiple of {geo.MIN_BLOCK}")
+
+
+def candidate_fwd_configs(n_q: int, n_kv: int, head_dim: int, dtype) -> list:
+    """Enumerate + prune forward (block_q, block_kv) candidates.
+
+    Mirrors the enumerate-then-prune structure of get_autotune_config /
+    fwd_conf_prune (autotune_configs.py:197,176-194) with the divisibility
+    rule relaxed: partial blocks are masked in-kernel, so candidates only
+    need to not exceed the (padded) sequence lengths.
+    """
+    g = geo.current_geometry()
+    out = []
+    for bq in _CANDIDATE_EDGES:
+        if bq > max(n_q, geo.MIN_BLOCK):
+            continue
+        for bkv in _CANDIDATE_EDGES:
+            if bkv > max(n_kv, geo.MIN_BLOCK):
+                continue
+            need = geo.attention_fwd_vmem_bytes(bq, bkv, head_dim, dtype)
+            if geo.fits_vmem(need, g):
+                out.append((bq, bkv))
+    return out or [(geo.MIN_BLOCK, geo.MIN_BLOCK)]
+
+
+def default_block_sizes(
+    n_q: int, n_kv: int, head_dim: int, dtype=jnp.bfloat16
+) -> BlockSizes:
+    """Heuristic pick without timing: largest VMEM-feasible blocks, biased
+    towards wide KV blocks (fewer HBM round-trips for the streamed operand)."""
+    fwd = candidate_fwd_configs(n_q, n_kv, head_dim, dtype)
+    # Prefer big block_kv first (streaming operand), then big block_q.
+    bq, bkv = max(fwd, key=lambda c: (min(c[1], 512), min(c[0], 512)))
+    # Backward keeps both score-sized temporaries live; halve if needed.
+    bqb, bkvb = bq, bkv
+    g = geo.current_geometry()
+    while not geo.fits_vmem(
+        geo.attention_bwd_vmem_bytes(bqb, bkvb, head_dim, dtype), g
+    ) and (bqb > geo.MIN_BLOCK or bkvb > geo.MIN_BLOCK):
+        if bkvb >= bqb and bkvb > geo.MIN_BLOCK:
+            bkvb //= 2
+        else:
+            bqb //= 2
+    return BlockSizes(
+        block_q=bq, block_kv=bkv, block_q_bwd=bqb, block_kv_bwd=bkvb
+    )
+
+
+# ---------------------------------------------------------------------------
+# Timed search (explicit opt-in), cached per shape key like Triton's
+# per-(B,H,N,d) autotune cache (flash_attention_kernels.py:13).
+# ---------------------------------------------------------------------------
+
+_TUNE_CACHE: dict = {}
+_CACHE_PATH = os.path.join(
+    os.path.expanduser(os.environ.get("FA_TPU_CACHE_DIR", "~/.cache/fa_tpu")),
+    "tune_cache.json",
+)
+
+
+def _load_disk_cache() -> dict:
+    try:
+        with open(_CACHE_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save_disk_cache(cache: dict) -> None:
+    try:
+        os.makedirs(os.path.dirname(_CACHE_PATH), exist_ok=True)
+        with open(_CACHE_PATH, "w") as f:
+            json.dump(cache, f)
+    except Exception:
+        pass
+
+
+def _time_call(fn, *args, warmup: int = 2, reps: int = 5) -> float:
+    """Median wall time of fn(*args) with device sync, in seconds."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def tune_fwd_blocks(
+    build_fn,
+    q,
+    k,
+    v,
+    *,
+    max_candidates: int = 8,
+) -> tuple:
+    """Time VMEM-feasible (block_q, block_kv) candidates for the forward
+    kernel and cache the winner on the (B, H, Nq, Nkv, d, dtype) key.
+
+    ``build_fn(block_q, block_kv)`` must return a jitted callable taking
+    (q, k, v).
+    """
+    key = json.dumps(
+        [
+            "fwd",
+            geo.current_geometry().device_kind,
+            list(q.shape),
+            list(k.shape),
+            str(q.dtype),
+        ]
+    )
+    if not _TUNE_CACHE:
+        _TUNE_CACHE.update(_load_disk_cache())
+    if key in _TUNE_CACHE:
+        return tuple(_TUNE_CACHE[key])
+
+    n_q, n_kv, d = q.shape[-2], k.shape[-2], q.shape[-1]
+    cands = candidate_fwd_configs(n_q, n_kv, d, q.dtype)[:max_candidates]
+    best, best_t = cands[0], float("inf")
+    for bq, bkv in cands:
+        try:
+            fn = build_fn(bq, bkv)
+            t = _time_call(fn, q, k, v)
+        except Exception:
+            continue  # config failed to compile / OOM — skip, like NaN-on-OOM
+        if t < best_t:
+            best, best_t = (bq, bkv), t
+    _TUNE_CACHE[key] = list(best)
+    _save_disk_cache(_TUNE_CACHE)
+    return best
