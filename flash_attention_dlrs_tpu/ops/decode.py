@@ -1,0 +1,350 @@
+"""Paged decode attention: single-query-step attention over a paged KV cache.
+
+North-star component with no reference counterpart (the reference is
+single-GPU training-shape attention only; SURVEY.md §0, §2.2): decode-time
+attention where the KV cache lives in non-contiguous HBM pages.
+
+Design (TPU-first):
+- grid ``(B, H_kv, seq_blocks)``; each cell computes all ``Hq/Hkv`` grouped
+  query heads against one block of KV pages (GQA head-KV co-location);
+- KV pages stay in HBM (``memory_space=ANY``); the kernel issues one async
+  DMA per page into a double-buffered VMEM scratch, prefetching block i+1
+  while computing block i;
+- page lookup indices and sequence lengths arrive via scalar prefetch
+  (``PrefetchScalarGridSpec``) so DMA source addresses are computable before
+  the body runs;
+- INT8 / FP8 payloads are dequantized *in-kernel*: the per-token scale is
+  folded into the score matrix (for K) and the probability matrix (for V)
+  after the MXU matmuls — dequantized K/V tiles are never materialized;
+- online softmax identical to the forward kernel's
+  (fwd_kernel.py, ≙ src/flash_attention_kernels.py:88-101), with the
+  sm_scale pre-folded into Q.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import geometry as geo
+from ..utils import default_interpret
+from .fwd_kernel import DEFAULT_MASK_VALUE, mxu_dot
+from .quantization import QuantizedTensor
+
+
+def _decode_kernel(
+    # scalar prefetch
+    lengths_ref,  # [B] int32 (SMEM)
+    page_idx_ref,  # [B * pages_per_seq] int32 (SMEM)
+    # inputs
+    q_ref,  # [1, 1, group_pad, d] VMEM (pre-scaled by sm_scale)
+    k_pages_ref,  # [Hkv, P, page_size, d] HBM
+    v_pages_ref,
+    k_scales_ref,  # [Hkv, P, 1, page_size] HBM fp32 (or None slot unused)
+    v_scales_ref,
+    # outputs
+    o_ref,  # [1, 1, group_pad, d]
+    # scratch
+    k_buf,  # [2, ppb, page_size, d]
+    v_buf,
+    k_sc_buf,  # [2, ppb, 1, page_size]
+    v_sc_buf,
+    sems,  # DMA sems [2, 4]
+    m_scr,  # [group_pad, 128] f32
+    l_scr,
+    acc_scr,  # [group_pad, d] f32
+    *,
+    quantized: bool,
+    pages_per_block: int,
+    page_size: int,
+    pages_per_seq: int,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    i = pl.program_id(2)
+    bk = pages_per_block * page_size
+    length = lengths_ref[b]
+    num_blocks = pl.cdiv(length, bk)
+
+    def dma_block(block, slot):
+        """One async copy per page of `block` into buffer `slot`."""
+        copies = []
+        for j in range(pages_per_block):
+            pidx = page_idx_ref[b * pages_per_seq + block * pages_per_block + j]
+            copies.append(
+                pltpu.make_async_copy(
+                    k_pages_ref.at[h, pidx], k_buf.at[slot, j], sems.at[slot, 0]
+                )
+            )
+            copies.append(
+                pltpu.make_async_copy(
+                    v_pages_ref.at[h, pidx], v_buf.at[slot, j], sems.at[slot, 1]
+                )
+            )
+            if quantized:
+                copies.append(
+                    pltpu.make_async_copy(
+                        k_scales_ref.at[h, pidx],
+                        k_sc_buf.at[slot, j],
+                        sems.at[slot, 2],
+                    )
+                )
+                copies.append(
+                    pltpu.make_async_copy(
+                        v_scales_ref.at[h, pidx],
+                        v_sc_buf.at[slot, j],
+                        sems.at[slot, 3],
+                    )
+                )
+        return copies
+
+    @pl.when(i == 0)
+    def _first():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+
+        @pl.when(length > 0)
+        def _start():
+            for c in dma_block(0, 0):
+                c.start()
+
+    @pl.when(i < num_blocks)
+    def _active():
+        slot = jax.lax.rem(i, 2)
+        next_slot = jax.lax.rem(i + 1, 2)
+
+        # Prefetch next block while this one computes.
+        @pl.when(i + 1 < num_blocks)
+        def _prefetch():
+            for c in dma_block(i + 1, next_slot):
+                c.start()
+
+        # Wait for this block's pages.
+        for c in dma_block(i, slot):
+            c.wait()
+
+        q = q_ref[0, 0]  # [g, d], already sm_scale-scaled
+        k = k_buf[slot].reshape(bk, -1)  # [bk, d]
+        s = mxu_dot(q, k.astype(q.dtype), (((1,), (1,)), ((), ())))  # [g, bk]
+        if quantized:
+            k_sc = k_sc_buf[slot].reshape(1, bk)
+            s = s * k_sc
+
+        # Length mask for the tail of the last block.
+        pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < length, s, DEFAULT_MASK_VALUE)
+
+        m_prev, l_prev = m_scr[...], l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])  # [g, bk] f32
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_next
+
+        if quantized:
+            p = p * v_sc_buf[slot].reshape(1, bk)
+        v = v_buf[slot].reshape(bk, -1)
+        pv = mxu_dot(p.astype(q.dtype), v.astype(q.dtype), (((1,), (0,)), ((), ())))
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+        # Write the running normalized output every active block — the last
+        # active block's write is the one flushed to HBM (matmul-guide
+        # pattern: unconditional store beats a dynamic "last block" branch).
+        l = l_scr[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale", "pages_per_block", "quantized", "interpret"
+    ),
+)
+def _paged_decode(
+    q_grouped,  # [B, Hkv, group_pad, d], pre-scaled
+    k_pages,
+    v_pages,
+    k_scales,  # [Hkv, P, 1, page_size] or zeros placeholder
+    v_scales,
+    lengths,
+    page_indices,  # [B, pages_per_seq]
+    *,
+    sm_scale: float,
+    pages_per_block: int,
+    quantized: bool,
+    interpret: bool,
+):
+    batch, num_kv_heads, group_pad, head_dim = q_grouped.shape
+    _, total_pages, page_size, _ = k_pages.shape
+    pages_per_seq = page_indices.shape[1]
+    num_blocks = pages_per_seq // pages_per_block
+
+    kernel = functools.partial(
+        _decode_kernel,
+        quantized=quantized,
+        pages_per_block=pages_per_block,
+        page_size=page_size,
+        pages_per_seq=pages_per_seq,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch, num_kv_heads, num_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, group_pad, head_dim), lambda b, h, i, *refs: (b, h, 0, 0)
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, group_pad, head_dim), lambda b, h, i, *refs: (b, h, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, pages_per_block, page_size, head_dim), k_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, page_size, head_dim), v_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, 1, page_size), jnp.float32),
+            pltpu.VMEM((2, pages_per_block, 1, page_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.VMEM((group_pad, geo.NUM_LANES), jnp.float32),
+            pltpu.VMEM((group_pad, geo.NUM_LANES), jnp.float32),
+            pltpu.VMEM((group_pad, head_dim), jnp.float32),
+        ],
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q_grouped.shape, q_grouped.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, page_indices.reshape(-1), q_grouped, k_pages, v_pages,
+      k_scales, v_scales)
+
+
+def paged_decode_attention(
+    q,  # [B, Hq, d]
+    k_pages,  # [Hkv, P, page_size, d] array or QuantizedTensor
+    v_pages,
+    lengths,  # [B] int32
+    page_indices,  # [B, pages_per_seq] int32
+    *,
+    sm_scale=None,
+    pages_per_block: int = 4,
+    interpret=None,
+):
+    """O = softmax(scale·q·K_pagesᵀ, masked to `lengths`) · V_pages.
+
+    GQA: q heads are grouped onto their KV head inside one grid cell.
+    Quantized KV: pass ``QuantizedTensor`` pages (int8 / fp8 payload with
+    per-token scales from :func:`quantize_kv_pages`).
+    """
+    batch, num_q_heads, head_dim = q.shape
+    quantized = isinstance(k_pages, QuantizedTensor)
+    if quantized != isinstance(v_pages, QuantizedTensor):
+        raise ValueError("k_pages and v_pages must both (not) be quantized")
+    if quantized:
+        k_vals, k_sc = k_pages.values, k_pages.scales
+        v_vals, v_sc = v_pages.values, v_pages.scales
+        # scales arrive [Hkv, P, page_size, 1] → lane-friendly [Hkv, P, 1, ps]
+        k_sc = jnp.swapaxes(k_sc, -1, -2).astype(jnp.float32)
+        v_sc = jnp.swapaxes(v_sc, -1, -2).astype(jnp.float32)
+    else:
+        k_vals, v_vals = k_pages, v_pages
+        hkv, p, ps, _ = k_vals.shape
+        k_sc = jnp.ones((hkv, p, 1, ps), jnp.float32)
+        v_sc = k_sc
+
+    num_kv_heads, _, page_size, _ = k_vals.shape
+    if num_q_heads % num_kv_heads:
+        raise ValueError(
+            f"num_q_heads ({num_q_heads}) must divide by num_kv_heads ({num_kv_heads})"
+        )
+    group = num_q_heads // num_kv_heads
+    group_pad = max(geo.NUM_SUBLANES, group)
+    if sm_scale is None:
+        sm_scale = float(head_dim) ** -0.5
+    if interpret is None:
+        interpret = default_interpret()
+
+    pages_per_seq = page_indices.shape[1]
+    if pages_per_seq % pages_per_block:
+        pad = pages_per_block - pages_per_seq % pages_per_block
+        page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
+
+    qg = q.reshape(batch, num_kv_heads, group, head_dim) * jnp.asarray(
+        sm_scale, q.dtype
+    )
+    if group_pad != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_pad - group), (0, 0)))
+
+    o = _paged_decode(
+        qg, k_vals, v_vals, k_sc, v_sc,
+        lengths.astype(jnp.int32), page_indices.astype(jnp.int32),
+        sm_scale=float(sm_scale), pages_per_block=pages_per_block,
+        quantized=quantized, interpret=bool(interpret),
+    )
+    return o[:, :, :group, :].reshape(batch, num_q_heads, head_dim)
+
+
+# ---------------------------------------------------------------------------
+# Page-cache helpers
+# ---------------------------------------------------------------------------
+
+
+def quantize_kv_pages(pages: jax.Array, dtype=jnp.int8) -> QuantizedTensor:
+    """Per-token symmetric quantization of [Hkv, P, page_size, d] KV pages."""
+    from .quantization import quantize
+
+    return quantize(pages, dtype=dtype, axis=-1)
+
+
+def paged_reference_attention(
+    q, k_pages, v_pages, lengths, page_indices, *, sm_scale=None
+):
+    """jnp oracle: gather pages into dense K/V, masked softmax attention."""
+    if isinstance(k_pages, QuantizedTensor):
+        k_pages = k_pages.dequantize()
+        v_pages = v_pages.dequantize()
+    batch, num_q_heads, head_dim = q.shape
+    num_kv_heads, _, page_size, _ = k_pages.shape
+    if sm_scale is None:
+        sm_scale = float(head_dim) ** -0.5
+    max_len = page_indices.shape[1] * page_size
+    k_dense = jnp.moveaxis(k_pages[:, page_indices], 1, 0).reshape(
+        batch, num_kv_heads, max_len, head_dim
+    )
+    v_dense = jnp.moveaxis(v_pages[:, page_indices], 1, 0).reshape(
+        batch, num_kv_heads, max_len, head_dim
+    )
+    if num_q_heads != num_kv_heads:
+        rep = num_q_heads // num_kv_heads
+        k_dense = jnp.repeat(k_dense, rep, axis=1)
+        v_dense = jnp.repeat(v_dense, rep, axis=1)
+    s = jnp.einsum(
+        "bhd,bhld->bhl", q.astype(jnp.float32), k_dense.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    ) * sm_scale
+    mask = jnp.arange(max_len)[None, None, :] < lengths[:, None, None]
+    s = jnp.where(mask, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - jnp.where(jnp.isfinite(m), m, 0.0))
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    p = jnp.where(l == 0.0, 0.0, e / jnp.where(l == 0.0, 1.0, l))
+    o = jnp.einsum(
+        "bhl,bhld->bhd", p, v_dense.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return o.astype(q.dtype)

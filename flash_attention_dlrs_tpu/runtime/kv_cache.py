@@ -1,0 +1,233 @@
+"""Paged KV-cache manager: virtual-memory-style page tables for KV state.
+
+North-star component (no reference counterpart — the reference has no
+serving/KV state at all, SURVEY.md §0).  Host-side page accounting (free
+list, per-sequence page tables) with device-side page pools, designed so the
+decode step is a single jitted update + one paged-attention kernel call:
+
+- the page pool lives on device as [Hkv, num_pages, page_size, d] (the layout
+  :mod:`..ops.decode` consumes directly);
+- appending a token touches exactly one (page, slot) per sequence via a
+  scatter (`.at[].set`), batched across sequences and layers under jit;
+- page allocation/free is plain Python on the host — it happens at request
+  admission/retirement (continuous-batching control plane), never inside the
+  per-token hot loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.quantization import QuantizedTensor, qmax_for
+
+
+@dataclasses.dataclass
+class PagedKVCache:
+    """Device page pools + host page accounting for one attention layer."""
+
+    k_pages: jax.Array  # [Hkv, num_pages, page_size, d] (payload dtype)
+    v_pages: jax.Array
+    k_scales: Optional[jax.Array]  # [Hkv, num_pages, page_size, 1] fp32
+    v_scales: Optional[jax.Array]
+    page_size: int
+    # host-side accounting
+    free_pages: list
+    page_tables: dict  # seq_id -> list[int]
+    seq_lengths: dict  # seq_id -> int
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        *,
+        num_kv_heads: int,
+        head_dim: int,
+        num_pages: int,
+        page_size: int = 128,
+        dtype=jnp.bfloat16,
+        quantized: bool = False,
+    ) -> "PagedKVCache":
+        shape = (num_kv_heads, num_pages, page_size, head_dim)
+        k = jnp.zeros(shape, dtype)
+        v = jnp.zeros(shape, dtype)
+        sc = (
+            jnp.ones((num_kv_heads, num_pages, page_size, 1), jnp.float32)
+            if quantized
+            else None
+        )
+        return cls(
+            k_pages=k,
+            v_pages=v,
+            k_scales=sc,
+            v_scales=None if sc is None else sc,
+            page_size=page_size,
+            free_pages=list(range(num_pages - 1, -1, -1)),
+            page_tables={},
+            seq_lengths={},
+        )
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scales is not None
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_pages.shape[1]
+
+    def kv_for_attention(self):
+        """Views consumable by ops.decode.paged_decode_attention."""
+        if self.quantized:
+            return (
+                QuantizedTensor(self.k_pages, self.k_scales),
+                QuantizedTensor(self.v_pages, self.v_scales),
+            )
+        return self.k_pages, self.v_pages
+
+    # -- host-side control plane --------------------------------------------
+
+    def allocate(self, seq_id, num_tokens: int) -> None:
+        """Reserve pages for a sequence of `num_tokens` (prefill admission)."""
+        if seq_id in self.page_tables:
+            raise ValueError(f"sequence {seq_id!r} already allocated")
+        need = -(-max(num_tokens, 1) // self.page_size)
+        if need > len(self.free_pages):
+            raise MemoryError(
+                f"KV cache out of pages: need {need}, free {len(self.free_pages)}"
+            )
+        self.page_tables[seq_id] = [self.free_pages.pop() for _ in range(need)]
+        self.seq_lengths[seq_id] = 0
+
+    def ensure_capacity(self, seq_id, new_len: int) -> None:
+        """Grow a sequence's page table to hold `new_len` tokens."""
+        table = self.page_tables[seq_id]
+        need = -(-new_len // self.page_size)
+        while len(table) < need:
+            if not self.free_pages:
+                raise MemoryError("KV cache out of pages")
+            table.append(self.free_pages.pop())
+
+    def free(self, seq_id) -> None:
+        """Return a retired sequence's pages to the pool."""
+        pages = self.page_tables.pop(seq_id)
+        self.seq_lengths.pop(seq_id)
+        self.free_pages.extend(reversed(pages))
+
+    def page_indices_for(self, seq_ids, pages_per_seq: int) -> np.ndarray:
+        """Dense [len(seq_ids), pages_per_seq] page-lookup table (0-padded)."""
+        out = np.zeros((len(seq_ids), pages_per_seq), np.int32)
+        for row, sid in enumerate(seq_ids):
+            table = self.page_tables[sid]
+            out[row, : len(table)] = table
+        return out
+
+    def lengths_for(self, seq_ids) -> np.ndarray:
+        return np.array([self.seq_lengths[s] for s in seq_ids], np.int32)
+
+    # -- device-side data plane ---------------------------------------------
+
+    def write_prompt(self, seq_id, k: jax.Array, v: jax.Array) -> None:
+        """Write a full prompt's K/V ([Hkv, T, d]) into the sequence's pages."""
+        t = k.shape[1]
+        self.ensure_capacity(seq_id, t)
+        table = self.page_tables[seq_id]
+        ps = self.page_size
+        for pg in range(-(-t // ps)):
+            lo, hi = pg * ps, min((pg + 1) * ps, t)
+            kc, vc = k[:, lo:hi], v[:, lo:hi]
+            if hi - lo < ps:
+                pad = ps - (hi - lo)
+                kc = jnp.pad(kc, ((0, 0), (0, pad), (0, 0)))
+                vc = jnp.pad(vc, ((0, 0), (0, pad), (0, 0)))
+            self._write_page(table[pg], kc, vc)
+        self.seq_lengths[seq_id] = t
+
+    def append_tokens(self, seq_ids, k_new: jax.Array, v_new: jax.Array) -> None:
+        """Append one token per sequence: k_new/v_new [B, Hkv, d]."""
+        rows, slots = [], []
+        for sid in seq_ids:
+            pos = self.seq_lengths[sid]
+            self.ensure_capacity(sid, pos + 1)
+            rows.append(self.page_tables[sid][pos // self.page_size])
+            slots.append(pos % self.page_size)
+            self.seq_lengths[sid] = pos + 1
+        pages = jnp.asarray(np.array(rows, np.int32))
+        offs = jnp.asarray(np.array(slots, np.int32))
+        if self.quantized:
+            (
+                self.k_pages, self.k_scales, self.v_pages, self.v_scales,
+            ) = _append_quantized(
+                self.k_pages, self.k_scales, self.v_pages, self.v_scales,
+                k_new, v_new, pages, offs,
+            )
+        else:
+            self.k_pages, self.v_pages = _append_tokens(
+                self.k_pages, self.v_pages, k_new, v_new, pages, offs
+            )
+
+    def _write_page(self, page: int, kc: jax.Array, vc: jax.Array) -> None:
+        if self.quantized:
+            qmax = qmax_for(self.k_pages.dtype)
+            for arr_name, sc_name, chunk in (
+                ("k_pages", "k_scales", kc),
+                ("v_pages", "v_scales", vc),
+            ):
+                x = chunk.astype(jnp.float32)
+                amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+                scale = jnp.where(amax == 0.0, 1.0, amax / qmax)
+                payload = x / scale
+                if self.k_pages.dtype == jnp.int8:
+                    payload = jnp.round(payload)
+                setattr(
+                    self, arr_name,
+                    getattr(self, arr_name).at[:, page].set(
+                        payload.astype(self.k_pages.dtype)
+                    ),
+                )
+                setattr(
+                    self, sc_name,
+                    getattr(self, sc_name).at[:, page].set(scale),
+                )
+        else:
+            self.k_pages = self.k_pages.at[:, page].set(kc.astype(self.k_pages.dtype))
+            self.v_pages = self.v_pages.at[:, page].set(vc.astype(self.v_pages.dtype))
+
+
+@jax.jit
+def _append_tokens(k_pages, v_pages, k_new, v_new, pages, offs):
+    """Scatter one token per sequence into (page, slot)."""
+    # k_new: [B, Hkv, d] → per-sequence updates on axis (pages, offs).
+    k_pages = k_pages.at[:, pages, offs].set(
+        jnp.swapaxes(k_new, 0, 1).astype(k_pages.dtype)
+    )
+    v_pages = v_pages.at[:, pages, offs].set(
+        jnp.swapaxes(v_new, 0, 1).astype(v_pages.dtype)
+    )
+    return k_pages, v_pages
+
+
+@jax.jit
+def _append_quantized(k_pages, k_scales, v_pages, v_scales, k_new, v_new, pages, offs):
+    qmax = qmax_for(k_pages.dtype)
+
+    def quant(x):  # [B, Hkv, d] → payload/scale per token row
+        x = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        scale = jnp.where(amax == 0.0, 1.0, amax / qmax)
+        payload = x / scale
+        if k_pages.dtype == jnp.int8:
+            payload = jnp.round(payload)
+        return payload.astype(k_pages.dtype), scale
+
+    kq, ks = quant(k_new)
+    vq, vs = quant(v_new)
+    k_pages = k_pages.at[:, pages, offs].set(jnp.swapaxes(kq, 0, 1))
+    v_pages = v_pages.at[:, pages, offs].set(jnp.swapaxes(vq, 0, 1))
+    k_scales = k_scales.at[:, pages, offs].set(jnp.swapaxes(ks, 0, 1))
+    v_scales = v_scales.at[:, pages, offs].set(jnp.swapaxes(vs, 0, 1))
+    return k_pages, k_scales, v_pages, v_scales
