@@ -1,0 +1,142 @@
+"""Ring attention: context-parallel attention with KV blocks rotating over
+the ICI ring, communication overlapped with per-block compute.
+
+North-star component (no reference counterpart; the reference's longest
+sequence is whatever one GPU can loop over in a single kernel,
+reference: src/flash_attention_kernels.py:88, src/bench.py:12).
+
+Design: runs *inside* shard_map over a context axis.  Each device holds a KV
+shard; at every step it computes flash attention of its local Q against the
+KV block currently resident, then `ppermute`s the block to its ring
+neighbor.  XLA overlaps the ppermute DMA with the next step's kernel.  The
+partial (O, LSE) pairs are merged with the same online-softmax rescale the
+kernel uses internally (src/flash_attention_kernels.py:95-98) — the
+logsumexp merge IS the ring-combine operator.
+
+Causal handling: with equal Q/KV shard sizes, a KV block from source chip s
+relative to this chip's q offset is either entirely in the past (full
+attention), the diagonal block (causal mask), or entirely in the future
+(skipped) — selected per step with `lax.switch` on the rotating source
+index, so the skip costs one branch, not one kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.flash_attention import flash_attention_forward
+from ..ops.fwd_kernel import DEFAULT_MASK_VALUE
+
+
+def merge_partials(o1, lse1, o2, lse2):
+    """Merge two normalized partial attentions via their logsumexps.
+
+    o_i: [..., N, d]; lse_i: [..., N].  Returns (o, lse) of the union —
+    numerically the cross-chip form of the in-kernel rescale.
+    """
+    lse_c = jnp.logaddexp(lse1, lse2)
+    w1 = jnp.exp(lse1 - lse_c)[..., None]
+    w2 = jnp.exp(lse2 - lse_c)[..., None]
+    return (
+        (o1.astype(jnp.float32) * w1 + o2.astype(jnp.float32) * w2).astype(o1.dtype),
+        lse_c,
+    )
+
+
+def ring_attention(
+    q,
+    k,
+    v,
+    *,
+    axis_name: str,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+):
+    """Context-parallel attention over `axis_name` (call inside shard_map).
+
+    q: [B, H, Nq_shard, d], k/v: [B, Hkv, Nkv_shard, d] — the *local* shards;
+    the global sequence is the concatenation over the axis.  For causal,
+    Nq_shard must equal Nkv_shard (token-aligned context sharding).
+    Returns the local O shard [B, H, Nq_shard, d].
+    """
+    n = lax.psum(1, axis_name)  # static axis size
+    idx = lax.axis_index(axis_name)
+    if sm_scale is None:
+        sm_scale = float(q.shape[-1]) ** -0.5
+
+    def attend(q_, k_, v_, causal_):
+        return flash_attention_forward(
+            q_, k_, v_, causal=causal_, sm_scale=sm_scale, interpret=interpret
+        )
+
+    def full_block(q_, k_, v_):
+        return attend(q_, k_, v_, False)
+
+    def diag_block(q_, k_, v_):
+        return attend(q_, k_, v_, True)
+
+    def skip_block(q_, k_, v_):
+        o = jnp.zeros(q_.shape, q_.dtype)
+        lse = jnp.full(q_.shape[:-1], DEFAULT_MASK_VALUE, jnp.float32)
+        return o, lse
+
+    o = jnp.zeros(q.shape, q.dtype)
+    lse = jnp.full(q.shape[:-1], DEFAULT_MASK_VALUE, jnp.float32)
+    k_blk, v_blk = k, v
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    for step in range(n):
+        src = lax.rem(idx - step + n, n)  # which chip this KV block came from
+        if causal:
+            case = jnp.where(src < idx, 0, jnp.where(src == idx, 1, 2))
+            o_b, lse_b = lax.switch(
+                case, [full_block, diag_block, skip_block], q, k_blk, v_blk
+            )
+        else:
+            o_b, lse_b = full_block(q, k_blk, v_blk)
+        o, lse = merge_partials(o, lse, o_b, lse_b)
+        if step != n - 1:
+            # Rotate the KV block to the next chip; XLA schedules this
+            # point-to-point transfer concurrently with the next step's
+            # attention kernel (it has no data dependence on it).
+            k_blk = lax.ppermute(k_blk, axis_name, perm)
+            v_blk = lax.ppermute(v_blk, axis_name, perm)
+    return o
+
+
+def context_parallel_attention(
+    q,
+    k,
+    v,
+    *,
+    axis_name: str,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+):
+    """All-gather-free context parallelism WITHOUT the ring: each chip
+    attends its local KV shard, partials are combined with one logaddexp
+    all-reduce (boom-guide "reduce-scatter the output" shape).  Cheaper than
+    ring for short per-chip shards where N-1 small kernels would be
+    launch-bound; communication is O(d) per query instead of O(Nkv·d).
+
+    Requires Q replicated over the context axis (decode / short-q case);
+    the causal variant needs global positions, so only causal=False here.
+    """
+    if causal:
+        raise NotImplementedError(
+            "combine-based CP is non-causal (use ring_attention for causal)"
+        )
+    o_l, lse_l = flash_attention_forward(
+        q, k, v, causal=False, sm_scale=sm_scale, interpret=interpret
+    )
+    lse_max = lax.pmax(lse_l, axis_name)
+    w = jnp.exp(lse_l - lse_max)
+    num = lax.psum(o_l.astype(jnp.float32) * w[..., None], axis_name)
+    den = lax.psum(w, axis_name)
+    return (num / den[..., None]).astype(q.dtype)
