@@ -53,7 +53,7 @@ def head_parallel_attention(
             mesh=mesh,
             in_specs=(in_spec, in_spec, in_spec),
             out_specs=in_spec,
-            check_rep=False,
+            check_vma=False,
         )
     )
 
@@ -86,7 +86,7 @@ def ring_context_attention(
             mesh=mesh,
             in_specs=(q_spec, kv_spec, kv_spec),
             out_specs=q_spec,
-            check_rep=False,
+            check_vma=False,
         )
     )
 
@@ -115,7 +115,7 @@ def combine_context_attention(
             mesh=mesh,
             in_specs=(q_spec, kv_spec, kv_spec),
             out_specs=q_spec,
-            check_rep=False,
+            check_vma=False,
         )
     )
 
