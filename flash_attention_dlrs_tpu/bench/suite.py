@@ -1,0 +1,208 @@
+"""Benchmark suite: provider sweep over sequence lengths, CSV output.
+
+TPU rebuild of the reference benchmark harness (reference: src/bench.py):
+same workload family (B=8, H=16, d=128, N = 2^7..2^15, fwd/bwd,
+src/bench.py:8-20,36), same OOM→NaN policy (src/bench.py:100-109), same
+CSV-per-config output layout (src/bench.py:14,29,113).  Providers follow the
+reference's competitor pattern (author kernel vs vendored tutorial vs torch
+SDPA backends, src/bench.py:38-42,67-89), translated to TPU:
+
+- ``ours``        — this repo's Pallas flash attention
+- ``xla``         — naive XLA softmax(QKᵀ)V (materializes scores)
+- ``jax-flash``   — jax.experimental.pallas.ops.tpu flash attention, when
+                    importable (the "vendored competitor" analogue)
+
+Timing amortizes dispatch overhead by chaining R dependent iterations inside
+one jit (the axon tunnel's per-dispatch cost would otherwise dominate) —
+the role of triton.testing.do_bench's warmup/rep protocol
+(src/bench.py:61-62,99).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class BenchResult:
+    provider: str
+    mode: str
+    n: int
+    ms: float
+    tflops: float
+
+
+def attention_flops(b, h, n_q, n_kv, d, *, causal: bool, mode: str) -> float:
+    """Analytic FLOPs model: 2 matmuls × 2·B·H·Nq·Nkv·d, halved for causal,
+    ×2.5 for bwd (reference model: src/flash_attention_openai_tutorial.py:630-636)."""
+    fl = 2 * 2.0 * b * h * n_q * n_kv * d
+    if causal:
+        fl *= 0.5
+    if mode == "bwd":
+        fl *= 2.5
+    return fl
+
+
+def _chained(fn: Callable, iters: int):
+    """One jit executing `iters` data-dependent calls of fn, returning a
+    scalar anchor — a single dispatch + single tiny fetch regardless of
+    iters."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def chained(*a):
+        def body(i, c):
+            first = a[0] + c.astype(a[0].dtype)
+            o = fn(first, *a[1:])
+            return jnp.real(jnp.ravel(o)[0]).astype(jnp.float32) * 1e-30
+
+        return jax.lax.fori_loop(
+            0, iters, body, jnp.float32(0.0)
+        )
+
+    return chained
+
+
+def time_fn(fn: Callable, *args, iters: int = 16, reps: int = 3) -> float:
+    """Median seconds per call of fn(*args).
+
+    The execution environment dispatches asynchronously through a tunnel
+    where block_until_ready is unreliable and every dispatch/fetch costs
+    milliseconds, so: run the op chained N1 and N2 times inside single jits
+    (data-dependent, can't be CSE'd), force completion by fetching the
+    scalar result, and take the slope (t2−t1)/(N2−N1) — constant dispatch
+    and fetch overheads cancel exactly.
+    """
+    n1 = max(2, iters // 4)
+    n2 = iters
+    c1, c2 = _chained(fn, n1), _chained(fn, n2)
+    jax.device_get(c1(*args))  # compile + warm
+    jax.device_get(c2(*args))
+
+    def run(c):
+        t0 = time.perf_counter()
+        jax.device_get(c(*args))
+        return time.perf_counter() - t0
+
+    slopes = []
+    for _ in range(reps):
+        t1, t2 = run(c1), run(c2)
+        slopes.append((t2 - t1) / (n2 - n1))
+    slopes.sort()
+    return max(slopes[len(slopes) // 2], 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Providers
+# ---------------------------------------------------------------------------
+
+
+def _provider_ours(causal):
+    from ..ops.flash_attention import flash_attention
+
+    def fwd(q, k, v):
+        return flash_attention(q, k, v, causal=causal)
+
+    return fwd
+
+
+def _provider_xla(causal):
+    from ..ops.reference import reference_attention
+
+    def fwd(q, k, v):
+        return reference_attention(q, k, v, causal=causal, sm_scale=q.shape[-1] ** -0.5)
+
+    return fwd
+
+
+def _provider_jax_flash(causal):
+    try:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as jax_flash,
+        )
+    except ImportError:
+        return None
+
+    def fwd(q, k, v):
+        return jax_flash(q, k, v, causal=causal, sm_scale=q.shape[-1] ** -0.5)
+
+    return fwd
+
+
+PROVIDERS = {
+    "ours": _provider_ours,
+    "xla": _provider_xla,
+    "jax-flash": _provider_jax_flash,
+}
+
+
+def run_bench(
+    *,
+    batch: int = 8,
+    heads: int = 16,
+    head_dim: int = 128,
+    seq_lens=tuple(2**i for i in range(7, 16)),
+    providers=("ours", "xla", "jax-flash"),
+    modes=("fwd", "bwd"),
+    causal: bool = True,
+    dtype=jnp.bfloat16,
+    out_dir: str = "bench_out",
+    iters: int = 10,
+) -> list:
+    """Sweep and write one CSV per (mode) to out_dir; failures → NaN rows
+    (reference policy src/bench.py:100-109)."""
+    os.makedirs(out_dir, exist_ok=True)
+    results = []
+    for mode in modes:
+        rows = []
+        for n in seq_lens:
+            keys = jax.random.split(jax.random.PRNGKey(0), 3)
+            try:
+                q = jax.random.normal(keys[0], (batch, heads, n, head_dim), dtype)
+                k = jax.random.normal(keys[1], (batch, heads, n, head_dim), dtype)
+                v = jax.random.normal(keys[2], (batch, heads, n, head_dim), dtype)
+            except Exception:
+                q = k = v = None
+            for name in providers:
+                builder = PROVIDERS[name]
+                fwd = builder(causal)
+                ms = float("nan")
+                if fwd is not None and q is not None:
+                    if mode == "fwd":
+                        fn = fwd
+                    else:
+                        def fn(q_, k_, v_, _fwd=fwd):
+                            def scalar(qq, kk, vv):
+                                return jnp.sum(
+                                    _fwd(qq, kk, vv).astype(jnp.float32)
+                                )
+                            g = jax.grad(scalar, argnums=(0, 1, 2))(q_, k_, v_)
+                            return g[0]
+                    try:
+                        sec = time_fn(fn, q, k, v, iters=iters)
+                        ms = sec * 1e3
+                    except Exception as e:  # OOM / compile failure → NaN
+                        print(f"[bench] {name} {mode} N={n}: {type(e).__name__}")
+                fl = attention_flops(
+                    batch, heads, n, n, head_dim, causal=causal, mode=mode
+                )
+                tflops = fl / (ms * 1e-3) / 1e12 if ms == ms and ms > 0 else float("nan")
+                rows.append((name, mode, n, ms, tflops))
+                results.append(BenchResult(name, mode, n, ms, tflops))
+                print(f"[bench] {name:10s} {mode} N={n:6d}: {ms:9.3f} ms  {tflops:7.1f} TF/s")
+        path = os.path.join(
+            out_dir, f"attn_B{batch}_H{heads}_d{head_dim}_{mode}"
+            f"{'_causal' if causal else ''}.csv"
+        )
+        with open(path, "w") as f:
+            f.write("provider,mode,N,ms,tflops\n")
+            for r in rows:
+                f.write(",".join(str(x) for x in r) + "\n")
+    return results

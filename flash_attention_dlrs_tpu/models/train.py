@@ -1,0 +1,90 @@
+"""Training step: optax optimizer + mesh sharding rules (dp × tp).
+
+Sharding convention (scaling-book recipe: name a mesh, annotate, let GSPMD
+insert the collectives):
+- `data` axis: batch dimension of activations.
+- `model` axis: attention heads / MLP hidden — projection weights are
+  sharded on their head/ff dimension, so attention runs head-parallel and
+  the MLP contracts locally with one all-reduce on the down projection.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .transformer import ModelConfig, init_params, loss_fn
+
+
+def param_shardings(params: Dict, mesh: Mesh, model_axis: str = "model") -> Dict:
+    """PartitionSpecs per parameter: head/ff dims on the model axis."""
+    def spec_for_layer(layer):
+        m = model_axis
+        return {
+            "attn_norm": P(None),
+            "wq": P(None, m),
+            "wk": P(None, m),
+            "wv": P(None, m),
+            "wo": P(m, None),
+            "mlp_norm": P(None),
+            "w_gate": P(None, m),
+            "w_up": P(None, m),
+            "w_down": P(m, None),
+        }
+
+    specs = {
+        "embed": P(None, None),
+        "layers": [spec_for_layer(l) for l in params["layers"]],
+        "final_norm": P(None),
+    }
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def make_train_state(
+    key: jax.Array,
+    cfg: ModelConfig,
+    mesh: Optional[Mesh] = None,
+    *,
+    learning_rate: float = 3e-4,
+) -> Tuple[Dict, Any, optax.GradientTransformation]:
+    """(params, opt_state, optimizer) — params placed per the sharding rules."""
+    optimizer = optax.adamw(learning_rate, weight_decay=0.01)
+    params = init_params(key, cfg)
+    if mesh is not None:
+        shardings = param_shardings(params, mesh)
+        params = jax.tree.map(jax.device_put, params, shardings)
+    opt_state = optimizer.init(params)
+    return params, opt_state, optimizer
+
+
+def make_train_step(
+    cfg: ModelConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    *,
+    data_axis: str = "data",
+    interpret: Optional[bool] = None,
+):
+    """Jitted (params, opt_state, tokens) -> (params, opt_state, loss)."""
+
+    def step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(
+            functools.partial(loss_fn, cfg=cfg, interpret=interpret)
+        )(params, tokens)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(step)
+    token_sharding = NamedSharding(mesh, P(data_axis, None))
+    return jax.jit(step, in_shardings=(None, None, token_sharding))

@@ -1,0 +1,200 @@
+"""Flagship model: decoder-only GQA transformer on the Pallas attention path.
+
+The reference ships kernels without a model (SURVEY.md §0); the north star
+needs one — a 7B-class head configuration exercising the full stack: causal
+flash attention (training), paged quantized-KV decode (inference), and mesh
+sharding (scale-out).  Pure functional JAX: params are a pytree, the forward
+is a jittable function, sharding comes from pjit constraints — no framework
+dependency.
+
+Architecture: RMSNorm → (RoPE, GQA flash attention) → RMSNorm → SwiGLU,
+residual around both; weights optionally quantized per-channel INT8 with the
+scale folded into the matmul epilogue (ops/quantization.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.flash_attention import flash_attention
+from ..ops.quantization import QuantizedTensor, int8_matmul, quantize_weight
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    vocab_size: int = 32000
+    d_model: int = 512
+    n_layers: int = 4
+    n_q_heads: int = 8
+    n_kv_heads: int = 2
+    head_dim: int = 64
+    d_ff: int = 1408
+    rope_theta: float = 10000.0
+    dtype: Any = jnp.bfloat16
+    remat: bool = True  # jax.checkpoint each block (HBM ⇄ FLOPs trade)
+
+    @classmethod
+    def tiny(cls, **kw):
+        return cls(
+            vocab_size=256, d_model=128, n_layers=2, n_q_heads=4,
+            n_kv_heads=2, head_dim=32, d_ff=256, **kw,
+        )
+
+    @classmethod
+    def b7(cls, **kw):
+        """7B-class head config (north-star eval shape)."""
+        return cls(
+            vocab_size=32000, d_model=4096, n_layers=32, n_q_heads=32,
+            n_kv_heads=8, head_dim=128, d_ff=11008, **kw,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+
+def init_params(key: jax.Array, cfg: ModelConfig) -> Dict:
+    """He-ish init; weights stored [in, out] so matmuls are x @ W."""
+    dm, dh = cfg.d_model, cfg.head_dim
+    nq, nkv, dff = cfg.n_q_heads, cfg.n_kv_heads, cfg.d_ff
+    keys = jax.random.split(key, 2 + cfg.n_layers)
+
+    def dense(k, din, dout):
+        return (jax.random.normal(k, (din, dout), jnp.float32) * din**-0.5).astype(
+            cfg.dtype
+        )
+
+    def layer(k):
+        ks = jax.random.split(k, 7)
+        return {
+            "attn_norm": jnp.ones((dm,), jnp.float32),
+            "wq": dense(ks[0], dm, nq * dh),
+            "wk": dense(ks[1], dm, nkv * dh),
+            "wv": dense(ks[2], dm, nkv * dh),
+            "wo": dense(ks[3], nq * dh, dm),
+            "mlp_norm": jnp.ones((dm,), jnp.float32),
+            "w_gate": dense(ks[4], dm, dff),
+            "w_up": dense(ks[5], dm, dff),
+            "w_down": dense(ks[6], dff, dm),
+        }
+
+    return {
+        "embed": (
+            jax.random.normal(keys[0], (cfg.vocab_size, dm), jnp.float32) * 0.02
+        ).astype(cfg.dtype),
+        "layers": [layer(keys[2 + i]) for i in range(cfg.n_layers)],
+        "final_norm": jnp.ones((dm,), jnp.float32),
+    }
+
+
+def quantize_params(params: Dict) -> Dict:
+    """Weight-only INT8: every projection matrix → QuantizedTensor."""
+    def q(layer):
+        out = dict(layer)
+        for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+            out[name] = quantize_weight(layer[name].astype(jnp.float32))
+        return out
+
+    return {**params, "layers": [q(l) for l in params["layers"]]}
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x, weight, eps=1e-6):
+    x32 = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    return (x32 * inv * weight).astype(x.dtype)
+
+
+def _proj(x, w):
+    if isinstance(w, QuantizedTensor):
+        return int8_matmul(x, w)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def rope(x, positions, theta: float):
+    """Rotary embedding on [..., N, H, d]; positions [..., N]."""
+    d = x.shape[-1]
+    freqs = theta ** (-jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    angles = positions[..., :, None].astype(jnp.float32) * freqs  # [..., N, d/2]
+    cos = jnp.cos(angles)[..., None, :]  # broadcast over heads
+    sin = jnp.sin(angles)[..., None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def attention_block(layer, x, positions, cfg: ModelConfig, *, interpret=None):
+    b, n, dm = x.shape
+    h = rms_norm(x, layer["attn_norm"])
+    q = _proj(h, layer["wq"]).reshape(b, n, cfg.n_q_heads, cfg.head_dim)
+    k = _proj(h, layer["wk"]).reshape(b, n, cfg.n_kv_heads, cfg.head_dim)
+    v = _proj(h, layer["wv"]).reshape(b, n, cfg.n_kv_heads, cfg.head_dim)
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+    # [B, H, N, d] for the kernel
+    o = flash_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        causal=True,
+        interpret=interpret,
+    )
+    o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.n_q_heads * cfg.head_dim)
+    return x + _proj(o, layer["wo"])
+
+
+def mlp_block(layer, x):
+    h = rms_norm(x, layer["mlp_norm"])
+    gated = jax.nn.silu(_proj(h, layer["w_gate"]).astype(jnp.float32)).astype(
+        x.dtype
+    ) * _proj(h, layer["w_up"])
+    return x + _proj(gated, layer["w_down"])
+
+
+def forward(
+    params: Dict,
+    tokens: jax.Array,  # [B, N] int32
+    cfg: ModelConfig,
+    *,
+    positions: Optional[jax.Array] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Token ids → logits [B, N, vocab]."""
+    b, n = tokens.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(n), (b, n))
+    x = params["embed"][tokens]
+
+    def block(x, layer):
+        x = attention_block(layer, x, positions, cfg, interpret=interpret)
+        return mlp_block(layer, x)
+
+    if cfg.remat:
+        block = jax.checkpoint(block, static_argnums=())
+    for layer in params["layers"]:
+        x = block(x, layer)
+    x = rms_norm(x, params["final_norm"])
+    # tied unembedding
+    return jnp.dot(
+        x, params["embed"].T, preferred_element_type=jnp.float32
+    )
+
+
+def loss_fn(params, tokens, cfg: ModelConfig, *, interpret=None):
+    """Next-token cross entropy over tokens[:, :-1] → tokens[:, 1:]."""
+    logits = forward(params, tokens[:, :-1], cfg, interpret=interpret)
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)

@@ -1,0 +1,86 @@
+"""Flagship transformer: forward shape/grad sanity, int8 weights, sharded train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_dlrs_tpu.models import (
+    ModelConfig,
+    forward,
+    init_params,
+    loss_fn,
+    make_train_state,
+    make_train_step,
+    quantize_params,
+)
+from flash_attention_dlrs_tpu.parallel import make_mesh
+
+CFG = ModelConfig.tiny(dtype=jnp.float32, remat=False)
+
+
+def _tokens(seed, b=2, n=129):
+    return jax.random.randint(jax.random.PRNGKey(seed), (b, n), 0, CFG.vocab_size)
+
+
+def test_forward_shapes_and_finite():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    toks = _tokens(1)
+    logits = forward(params, toks, CFG)
+    assert logits.shape == (2, 129, CFG.vocab_size)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_causality_of_model():
+    # Changing a future token must not change past logits.
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    toks = _tokens(2, b=1, n=64)
+    logits_a = forward(params, toks, CFG)
+    toks_b = toks.at[0, 50].set((toks[0, 50] + 1) % CFG.vocab_size)
+    logits_b = forward(params, toks_b, CFG)
+    np.testing.assert_allclose(
+        logits_a[0, :50], logits_b[0, :50], atol=1e-5, rtol=1e-5
+    )
+    assert not np.allclose(logits_a[0, 50:], logits_b[0, 50:], atol=1e-5)
+
+
+def test_int8_weight_only_close_to_fp():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_params(params)
+    toks = _tokens(3, b=1, n=32)
+    lp = jax.nn.log_softmax(forward(params, toks, CFG))
+    lq = jax.nn.log_softmax(forward(qparams, toks, CFG))
+    # weight-only int8 should perturb logprobs mildly
+    assert float(jnp.mean(jnp.abs(lp - lq))) < 0.05
+
+
+def test_train_step_single_device_loss_decreases():
+    params, opt_state, optimizer = make_train_state(
+        jax.random.PRNGKey(0), CFG, learning_rate=1e-2
+    )
+    step = make_train_step(CFG, optimizer)
+    toks = _tokens(4, b=4, n=65)
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, toks)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_train_step_sharded_matches_single_device():
+    mesh = make_mesh([2, 4], ("data", "model"))
+    params, opt_state, optimizer = make_train_state(
+        jax.random.PRNGKey(0), CFG, mesh
+    )
+    step = make_train_step(CFG, optimizer, mesh)
+    toks = _tokens(5, b=4, n=65)
+    params2, opt2, loss_sharded = step(params, opt_state, toks)
+
+    params_s, opt_s, optimizer_s = make_train_state(jax.random.PRNGKey(0), CFG)
+    step_s = make_train_step(CFG, optimizer_s)
+    _, _, loss_single = step_s(params_s, opt_s, toks)
+    np.testing.assert_allclose(
+        float(loss_sharded), float(loss_single), rtol=1e-4
+    )
