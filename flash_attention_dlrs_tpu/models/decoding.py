@@ -1,0 +1,227 @@
+"""Prefill + decode-step programs for the flagship model.
+
+Inference data path (north star): prefill runs the causal flash kernel over
+the prompt and emits per-layer K/V for the paged cache; the decode step is
+ONE jitted dispatch per token — embeds the batch's current tokens, and per
+layer (unrolled Python loop, static): projects QKV, applies RoPE at the
+absolute position, scatters the new K/V into the donated page pools
+(quantizing on write for INT8/FP8 caches), and attends over the pages with
+:func:`..ops.decode.paged_decode_attention`.  Static shapes everywhere
+(slots × max pages), so XLA compiles exactly one decode program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.decode import paged_decode_attention
+from ..ops.quantization import QuantizedTensor, qmax_for
+from .transformer import ModelConfig, _proj, mlp_block, rms_norm, rope
+
+
+class KVPools(NamedTuple):
+    """Per-layer page pools (tuples of [Hkv, P, page_size, d] arrays)."""
+
+    k: Tuple[jax.Array, ...]
+    v: Tuple[jax.Array, ...]
+    k_scales: Optional[Tuple[jax.Array, ...]]  # [Hkv, P, page_size, 1]
+    v_scales: Optional[Tuple[jax.Array, ...]]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scales is not None
+
+
+def init_kv_pools(
+    cfg: ModelConfig,
+    *,
+    num_pages: int,
+    page_size: int = 128,
+    dtype=jnp.bfloat16,
+    quantized: bool = False,
+) -> KVPools:
+    shape = (cfg.n_kv_heads, num_pages, page_size, cfg.head_dim)
+    k = tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layers))
+    v = tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layers))
+    if quantized:
+        sshape = (cfg.n_kv_heads, num_pages, page_size, 1)
+        ks = tuple(jnp.ones(sshape, jnp.float32) for _ in range(cfg.n_layers))
+        vs = tuple(jnp.ones(sshape, jnp.float32) for _ in range(cfg.n_layers))
+        return KVPools(k, v, ks, vs)
+    return KVPools(k, v, None, None)
+
+
+def _quantize_rows(x: jax.Array, dtype) -> Tuple[jax.Array, jax.Array]:
+    """Per-row symmetric quantization along the last axis."""
+    x = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.where(amax == 0.0, 1.0, amax / qmax_for(dtype))
+    payload = x / scale
+    if jnp.dtype(dtype) == jnp.dtype(jnp.int8):
+        payload = jnp.round(payload)
+    return payload.astype(dtype), scale
+
+
+# ---------------------------------------------------------------------------
+# Prefill
+# ---------------------------------------------------------------------------
+
+
+def make_prefill(cfg: ModelConfig, *, interpret: Optional[bool] = None):
+    """jitted (params, tokens [B,T], lengths [B]) -> (last-token logits [B,V],
+    per-layer K/V [L][B, Hkv, T, d]).  T is padded; `lengths` masks RoPE-side
+    nothing (positions are absolute), attention is causal so padding rows
+    only attend backwards and are discarded."""
+
+    @jax.jit
+    def prefill(params, tokens, lengths):
+        from ..ops.flash_attention import flash_attention
+
+        b, t = tokens.shape
+        positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+        x = params["embed"][tokens]
+        kvs = []
+        for layer in params["layers"]:
+            h = rms_norm(x, layer["attn_norm"])
+            q = _proj(h, layer["wq"]).reshape(b, t, cfg.n_q_heads, cfg.head_dim)
+            k = _proj(h, layer["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+            v = _proj(h, layer["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+            q = rope(q, positions, cfg.rope_theta)
+            k = rope(k, positions, cfg.rope_theta)
+            kvs.append((k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)))
+            o = flash_attention(
+                q.transpose(0, 2, 1, 3),
+                kvs[-1][0],
+                kvs[-1][1],
+                causal=True,
+                interpret=interpret,
+            )
+            o = o.transpose(0, 2, 1, 3).reshape(b, t, -1)
+            x = x + _proj(o, layer["wo"])
+            x = mlp_block(layer, x)
+        x = rms_norm(x, params["final_norm"])
+        last = jnp.take_along_axis(
+            x, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        logits = jnp.dot(
+            last, params["embed"].T, preferred_element_type=jnp.float32
+        )
+        return logits, kvs
+
+    return prefill
+
+
+# ---------------------------------------------------------------------------
+# Decode step
+# ---------------------------------------------------------------------------
+
+
+def make_decode_step(
+    cfg: ModelConfig,
+    *,
+    pages_per_block: int = 4,
+    interpret: Optional[bool] = None,
+):
+    """jitted decode step, KV pools donated (in-place page scatter).
+
+    (params, pools, tokens [B], positions [B], page_rows [B], page_offs [B],
+     page_tbl [B, pages_per_seq], lengths [B]) -> (logits [B, V], pools)
+
+    `positions` is the absolute index of the incoming token; `lengths` must
+    already count it (attention covers the token itself).
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def decode_step(params, pools: KVPools, tokens, positions, page_rows,
+                    page_offs, page_tbl, lengths):
+        b = tokens.shape[0]
+        x = params["embed"][tokens]  # [B, dm]
+        new_k, new_v = list(pools.k), list(pools.v)
+        new_ks = list(pools.k_scales) if pools.quantized else None
+        new_vs = list(pools.v_scales) if pools.quantized else None
+
+        for li, layer in enumerate(params["layers"]):
+            h = rms_norm(x, layer["attn_norm"])
+            q = _proj(h, layer["wq"]).reshape(b, cfg.n_q_heads, cfg.head_dim)
+            k = _proj(h, layer["wk"]).reshape(b, cfg.n_kv_heads, cfg.head_dim)
+            v = _proj(h, layer["wv"]).reshape(b, cfg.n_kv_heads, cfg.head_dim)
+            # RoPE at absolute positions ([B,1] sequence of length 1).
+            q = rope(q[:, None], positions[:, None], cfg.rope_theta)[:, 0]
+            k = rope(k[:, None], positions[:, None], cfg.rope_theta)[:, 0]
+
+            # Scatter this token's K/V into the pools: [Hkv, B] rows.
+            kT = jnp.swapaxes(k, 0, 1)  # [Hkv, B, d]
+            vT = jnp.swapaxes(v, 0, 1)
+            if pools.quantized:
+                kq, ks = _quantize_rows(kT, pools.k[li].dtype)
+                vq, vs = _quantize_rows(vT, pools.v[li].dtype)
+                new_k[li] = new_k[li].at[:, page_rows, page_offs].set(kq)
+                new_v[li] = new_v[li].at[:, page_rows, page_offs].set(vq)
+                new_ks[li] = new_ks[li].at[:, page_rows, page_offs].set(ks)
+                new_vs[li] = new_vs[li].at[:, page_rows, page_offs].set(vs)
+                k_att = QuantizedTensor(new_k[li], new_ks[li])
+                v_att = QuantizedTensor(new_v[li], new_vs[li])
+            else:
+                new_k[li] = new_k[li].at[:, page_rows, page_offs].set(
+                    kT.astype(new_k[li].dtype)
+                )
+                new_v[li] = new_v[li].at[:, page_rows, page_offs].set(
+                    vT.astype(new_v[li].dtype)
+                )
+                k_att, v_att = new_k[li], new_v[li]
+
+            o = paged_decode_attention(
+                q, k_att, v_att, lengths, page_tbl,
+                pages_per_block=pages_per_block, interpret=interpret,
+            )  # [B, Hq, d]
+            x = x + _proj(o.reshape(b, -1), layer["wo"])
+            x = mlp_block(layer, x[:, None, :])[:, 0]
+
+        x = rms_norm(x, params["final_norm"])
+        logits = jnp.dot(
+            x, params["embed"].T, preferred_element_type=jnp.float32
+        )
+        pools_out = KVPools(
+            tuple(new_k), tuple(new_v),
+            tuple(new_ks) if new_ks is not None else None,
+            tuple(new_vs) if new_vs is not None else None,
+        )
+        return logits, pools_out
+
+    return decode_step
+
+
+def write_prompt_kv(
+    pools: KVPools,
+    layer: int,
+    kv: Tuple[jax.Array, jax.Array],  # [Hkv, T, d] each
+    pages: jax.Array,  # [n_pages] int32
+    page_size: int,
+) -> KVPools:
+    """Write one sequence's prompt K/V into its pages (admission path)."""
+    k, v = kv
+    hkv, t, d = k.shape
+    n_pages = pages.shape[0]
+    pad = n_pages * page_size - t
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    k = k.reshape(hkv, n_pages, page_size, d)
+    v = v.reshape(hkv, n_pages, page_size, d)
+    new_k, new_v = list(pools.k), list(pools.v)
+    if pools.quantized:
+        new_ks, new_vs = list(pools.k_scales), list(pools.v_scales)
+        kq, ks = _quantize_rows(k, pools.k[layer].dtype)
+        vq, vs = _quantize_rows(v, pools.v[layer].dtype)
+        new_k[layer] = new_k[layer].at[:, pages].set(kq)
+        new_v[layer] = new_v[layer].at[:, pages].set(vq)
+        new_ks[layer] = new_ks[layer].at[:, pages].set(ks)
+        new_vs[layer] = new_vs[layer].at[:, pages].set(vs)
+        return KVPools(tuple(new_k), tuple(new_v), tuple(new_ks), tuple(new_vs))
+    new_k[layer] = new_k[layer].at[:, pages].set(k.astype(new_k[layer].dtype))
+    new_v[layer] = new_v[layer].at[:, pages].set(v.astype(new_v[layer].dtype))
+    return KVPools(tuple(new_k), tuple(new_v), None, None)

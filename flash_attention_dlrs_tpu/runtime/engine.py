@@ -1,0 +1,212 @@
+"""DecodeEngine: continuous-batching generation over the paged KV cache.
+
+Ties the stack together (north-star serving loop, no reference counterpart):
+ContinuousBatchingScheduler (admission control) + PageAllocator (page
+accounting, shared across layers) + models.decoding (prefill and the
+one-dispatch-per-token decode step) — greedy sampling, EOS/budget
+termination, slot backfill at step boundaries.
+
+Static compile surface: ONE prefill program per prompt-length bucket and ONE
+decode program total (slots × pages_per_seq fixed).  Inactive slots decode
+against a reserved null page with length 0 (output ignored), so the decode
+batch never changes shape.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.decoding import (
+    init_kv_pools,
+    make_decode_step,
+    make_prefill,
+    write_prompt_kv,
+)
+from ..models.transformer import ModelConfig
+from .kv_cache import PageAllocator
+from .scheduler import ContinuousBatchingScheduler, Request
+
+_NULL_SEQ = "__null__"
+
+
+def _next_pow2(n: int, floor: int = 128) -> int:
+    p = floor
+    while p < n:
+        p *= 2
+    return p
+
+
+class DecodeEngine:
+    def __init__(
+        self,
+        params: Dict,
+        cfg: ModelConfig,
+        *,
+        num_pages: int = 128,
+        page_size: int = 128,
+        num_slots: int = 4,
+        pages_per_seq: int = 8,
+        kv_dtype=jnp.bfloat16,
+        quantized_kv: bool = False,
+        eos_token: Optional[int] = None,
+        pages_per_block: int = 4,
+        interpret: Optional[bool] = None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.page_size = page_size
+        self.pages_per_seq = pages_per_seq
+        self.num_slots = num_slots
+        self.eos_token = eos_token
+        self.interpret = interpret
+
+        self.pools = init_kv_pools(
+            cfg, num_pages=num_pages, page_size=page_size,
+            dtype=kv_dtype, quantized=quantized_kv,
+        )
+        self.allocator = PageAllocator(num_pages, page_size)
+        self.allocator.allocate(_NULL_SEQ, 1)  # scratch page for idle slots
+        self._null_page = self.allocator.page_tables[_NULL_SEQ][0]
+
+        self.scheduler = ContinuousBatchingScheduler(
+            num_slots=num_slots,
+            can_allocate=self.allocator.can_allocate,
+            on_admit=self._admit,
+            on_retire=self._retire,
+        )
+        self.slot_request: List[Optional[Request]] = [None] * num_slots
+        self._slot_next_token = np.zeros(num_slots, np.int64)
+        self._prefill = make_prefill(cfg, interpret=interpret)
+        self._decode_step = make_decode_step(
+            cfg, pages_per_block=pages_per_block, interpret=interpret
+        )
+
+    # -- admission / retirement ------------------------------------------------
+
+    def _admit(self, req: Request, slot: int) -> None:
+        prompt = np.asarray(req.prompt_tokens, np.int32)
+        t = len(prompt)
+        self.allocator.allocate(req.request_id, t + req.max_new_tokens)
+        pages = np.asarray(
+            self.allocator.page_tables[req.request_id], np.int32
+        )
+
+        t_pad = _next_pow2(t)
+        toks = np.zeros((1, t_pad), np.int32)
+        toks[0, :t] = prompt
+        logits, kvs = self._prefill(
+            self.params, jnp.asarray(toks), jnp.asarray([t], jnp.int32)
+        )
+        n_pages_prompt = -(-t // self.page_size)
+        for li, (k, v) in enumerate(kvs):
+            self.pools = write_prompt_kv(
+                self.pools, li,
+                (k[0, :, :n_pages_prompt * self.page_size],
+                 v[0, :, :n_pages_prompt * self.page_size]),
+                jnp.asarray(pages[:n_pages_prompt]),
+                self.page_size,
+            )
+        self.allocator.seq_lengths[req.request_id] = t
+        first_token = int(jnp.argmax(logits[0]))
+        req.output_tokens.append(first_token)
+        self.slot_request[slot] = req
+        self._slot_next_token[slot] = first_token
+
+    def _retire(self, req: Request, slot: int) -> None:
+        self.allocator.free(req.request_id)
+        self.slot_request[slot] = None
+
+    # -- decode ----------------------------------------------------------------
+
+    def step(self) -> int:
+        """One batched decode step across all active slots; returns the number
+        of tokens generated."""
+        active = [
+            (i, r) for i, r in enumerate(self.slot_request)
+            if r is not None and not r.finished
+        ]
+        if not active:
+            return 0
+        b = self.num_slots
+        tokens = np.zeros(b, np.int32)
+        positions = np.zeros(b, np.int32)
+        rows = np.full(b, self._null_page, np.int32)
+        offs = np.zeros(b, np.int32)
+        tbl = np.full((b, self.pages_per_seq), self._null_page, np.int32)
+        lens = np.zeros(b, np.int32)
+
+        for slot, req in active:
+            sid = req.request_id
+            pos = self.allocator.seq_lengths[sid]
+            self.allocator.ensure_capacity(sid, pos + 1)
+            table = self.allocator.page_tables[sid]
+            tokens[slot] = self._slot_next_token[slot]
+            positions[slot] = pos
+            rows[slot] = table[pos // self.page_size]
+            offs[slot] = pos % self.page_size
+            tbl[slot, : len(table)] = table
+            lens[slot] = pos + 1
+            self.allocator.seq_lengths[sid] = pos + 1
+
+        logits, self.pools = self._decode_step(
+            self.params, self.pools,
+            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(rows),
+            jnp.asarray(offs), jnp.asarray(tbl), jnp.asarray(lens),
+        )
+        next_tokens = np.asarray(jnp.argmax(logits, axis=-1))
+        for slot, req in active:
+            tok = int(next_tokens[slot])
+            req.output_tokens.append(tok)
+            self._slot_next_token[slot] = tok
+        self.scheduler.record_step(len(active))
+        return len(active)
+
+    # -- public API --------------------------------------------------------------
+
+    def generate(
+        self,
+        prompts: Sequence[Sequence[int]],
+        *,
+        max_new_tokens: int = 16,
+        max_steps: int = 10_000,
+    ) -> List[List[int]]:
+        """Generate greedily for every prompt (continuous batching)."""
+        reqs = [
+            Request(
+                request_id=f"req{i}",
+                prompt_tokens=list(p),
+                max_new_tokens=max_new_tokens,
+                eos_token=self.eos_token,
+            )
+            for i, p in enumerate(prompts)
+        ]
+        total_pages = self.pools.k[0].shape[1] - 1  # minus the null page
+        for r in reqs:
+            need = -(-(len(r.prompt_tokens) + r.max_new_tokens) // self.page_size)
+            if need > total_pages:
+                raise MemoryError(
+                    f"request {r.request_id!r} needs {need} pages but the pool "
+                    f"only has {total_pages} — raise num_pages or shrink the request"
+                )
+            self.scheduler.submit(r)
+        steps = 0
+        while self.scheduler.has_work and steps < max_steps:
+            self.scheduler.schedule()
+            if not self.scheduler.active_slots:
+                if self.scheduler.queue:
+                    # Nothing running and the head still can't be admitted:
+                    # no future retirement can free pages → deadlock.
+                    raise RuntimeError(
+                        "scheduler deadlock: queued work but no active slots "
+                        "and insufficient free pages"
+                    )
+                steps += 1
+                continue
+            self.step()
+            steps += 1
+        self.scheduler.schedule()  # final retirement
+        return [r.output_tokens for r in reqs]

@@ -26,6 +26,59 @@ import numpy as np
 from ..ops.quantization import QuantizedTensor, qmax_for
 
 
+class PageAllocator:
+    """Host-side page accounting: free list + per-sequence page tables.
+
+    Shared by the single-layer :class:`PagedKVCache` and the multi-layer
+    decode engine (which reuses ONE allocation across all layers — every
+    layer's pool is indexed with the same page ids)."""
+
+    def __init__(self, num_pages: int, page_size: int):
+        self.page_size = page_size
+        self.free_pages = list(range(num_pages - 1, -1, -1))
+        self.page_tables: dict = {}
+        self.seq_lengths: dict = {}
+
+    def can_allocate(self, num_tokens: int) -> bool:
+        return -(-max(num_tokens, 1) // self.page_size) <= len(self.free_pages)
+
+    def allocate(self, seq_id, num_tokens: int) -> None:
+        if seq_id in self.page_tables:
+            raise ValueError(f"sequence {seq_id!r} already allocated")
+        need = -(-max(num_tokens, 1) // self.page_size)
+        if need > len(self.free_pages):
+            raise MemoryError(
+                f"KV cache out of pages: need {need}, free {len(self.free_pages)}"
+            )
+        self.page_tables[seq_id] = [self.free_pages.pop() for _ in range(need)]
+        self.seq_lengths[seq_id] = 0
+
+    def ensure_capacity(self, seq_id, new_len: int) -> None:
+        table = self.page_tables[seq_id]
+        need = -(-new_len // self.page_size)
+        while len(table) < need:
+            if not self.free_pages:
+                raise MemoryError("KV cache out of pages")
+            table.append(self.free_pages.pop())
+
+    def free(self, seq_id) -> None:
+        pages = self.page_tables.pop(seq_id)
+        self.seq_lengths.pop(seq_id)
+        self.free_pages.extend(reversed(pages))
+
+    def page_indices_for(self, seq_ids, pages_per_seq: int) -> np.ndarray:
+        out = np.zeros((len(seq_ids), pages_per_seq), np.int32)
+        for row, sid in enumerate(seq_ids):
+            table = self.page_tables[sid]
+            out[row, : len(table)] = table
+        return out
+
+    def lengths_for(self, seq_ids) -> np.ndarray:
+        return np.array(
+            [self.seq_lengths.get(s, 0) for s in seq_ids], np.int32
+        )
+
+
 @dataclasses.dataclass
 class PagedKVCache:
     """Device page pools + host page accounting for one attention layer."""
@@ -35,10 +88,7 @@ class PagedKVCache:
     k_scales: Optional[jax.Array]  # [Hkv, num_pages, page_size, 1] fp32
     v_scales: Optional[jax.Array]
     page_size: int
-    # host-side accounting
-    free_pages: list
-    page_tables: dict  # seq_id -> list[int]
-    seq_lengths: dict  # seq_id -> int
+    allocator: PageAllocator
 
     # -- construction -------------------------------------------------------
 
@@ -67,9 +117,7 @@ class PagedKVCache:
             k_scales=sc,
             v_scales=None if sc is None else sc,
             page_size=page_size,
-            free_pages=list(range(num_pages - 1, -1, -1)),
-            page_tables={},
-            seq_lengths={},
+            allocator=PageAllocator(num_pages, page_size),
         )
 
     @property
@@ -89,45 +137,34 @@ class PagedKVCache:
             )
         return self.k_pages, self.v_pages
 
-    # -- host-side control plane --------------------------------------------
+    # -- host-side control plane (delegated to the allocator) ----------------
+
+    @property
+    def free_pages(self):
+        return self.allocator.free_pages
+
+    @property
+    def page_tables(self):
+        return self.allocator.page_tables
+
+    @property
+    def seq_lengths(self):
+        return self.allocator.seq_lengths
 
     def allocate(self, seq_id, num_tokens: int) -> None:
-        """Reserve pages for a sequence of `num_tokens` (prefill admission)."""
-        if seq_id in self.page_tables:
-            raise ValueError(f"sequence {seq_id!r} already allocated")
-        need = -(-max(num_tokens, 1) // self.page_size)
-        if need > len(self.free_pages):
-            raise MemoryError(
-                f"KV cache out of pages: need {need}, free {len(self.free_pages)}"
-            )
-        self.page_tables[seq_id] = [self.free_pages.pop() for _ in range(need)]
-        self.seq_lengths[seq_id] = 0
+        self.allocator.allocate(seq_id, num_tokens)
 
     def ensure_capacity(self, seq_id, new_len: int) -> None:
-        """Grow a sequence's page table to hold `new_len` tokens."""
-        table = self.page_tables[seq_id]
-        need = -(-new_len // self.page_size)
-        while len(table) < need:
-            if not self.free_pages:
-                raise MemoryError("KV cache out of pages")
-            table.append(self.free_pages.pop())
+        self.allocator.ensure_capacity(seq_id, new_len)
 
     def free(self, seq_id) -> None:
-        """Return a retired sequence's pages to the pool."""
-        pages = self.page_tables.pop(seq_id)
-        self.seq_lengths.pop(seq_id)
-        self.free_pages.extend(reversed(pages))
+        self.allocator.free(seq_id)
 
     def page_indices_for(self, seq_ids, pages_per_seq: int) -> np.ndarray:
-        """Dense [len(seq_ids), pages_per_seq] page-lookup table (0-padded)."""
-        out = np.zeros((len(seq_ids), pages_per_seq), np.int32)
-        for row, sid in enumerate(seq_ids):
-            table = self.page_tables[sid]
-            out[row, : len(table)] = table
-        return out
+        return self.allocator.page_indices_for(seq_ids, pages_per_seq)
 
     def lengths_for(self, seq_ids) -> np.ndarray:
-        return np.array([self.seq_lengths[s] for s in seq_ids], np.int32)
+        return self.allocator.lengths_for(seq_ids)
 
     # -- device-side data plane ---------------------------------------------
 

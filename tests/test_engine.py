@@ -1,0 +1,88 @@
+"""End-to-end generation: DecodeEngine (paged cache + continuous batching)
+vs dense re-forward oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_dlrs_tpu.models import ModelConfig, forward, init_params
+from flash_attention_dlrs_tpu.runtime.engine import DecodeEngine
+
+CFG = ModelConfig.tiny(dtype=jnp.float32, remat=False)
+
+
+def _dense_greedy(params, prompt, steps):
+    """Oracle: recompute the full causal forward per generated token."""
+    toks = list(prompt)
+    out = []
+    for _ in range(steps):
+        logits = forward(params, jnp.asarray([toks], jnp.int32), CFG)
+        nxt = int(jnp.argmax(logits[0, len(toks) - 1]))
+        out.append(nxt)
+        toks.append(nxt)
+    return out
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), CFG)
+
+
+def test_engine_matches_dense_greedy(params):
+    prompts = [[5, 7, 11, 13, 17], [3, 1, 4, 1, 5, 9, 2, 6]]
+    steps = 6
+    eng = DecodeEngine(
+        params, CFG, num_pages=16, page_size=128, num_slots=2,
+        pages_per_seq=4, kv_dtype=jnp.float32,
+    )
+    got = eng.generate(prompts, max_new_tokens=steps)
+    for prompt, toks in zip(prompts, got):
+        assert toks == _dense_greedy(params, prompt, steps), (prompt, toks)
+
+
+def test_engine_continuous_batching_more_requests_than_slots(params):
+    prompts = [[i + 1, i + 2, i + 3] for i in range(5)]
+    eng = DecodeEngine(
+        params, CFG, num_pages=32, page_size=128, num_slots=2,
+        pages_per_seq=4, kv_dtype=jnp.float32,
+    )
+    got = eng.generate(prompts, max_new_tokens=3)
+    assert all(len(t) == 3 for t in got)
+    assert eng.scheduler.stats.admitted == 5
+    assert eng.scheduler.stats.retired == 5
+    # pages fully reclaimed (only the reserved null page remains)
+    assert len(eng.allocator.free_pages) == eng.pools.k[0].shape[1] - 1
+
+
+def test_engine_int8_kv_close_to_fp(params):
+    prompts = [[5, 7, 11, 13, 17]]
+    eng_fp = DecodeEngine(
+        params, CFG, num_pages=16, num_slots=1, pages_per_seq=4,
+        kv_dtype=jnp.float32,
+    )
+    eng_q = DecodeEngine(
+        params, CFG, num_pages=16, num_slots=1, pages_per_seq=4,
+        kv_dtype=jnp.int8, quantized_kv=True,
+    )
+    t_fp = eng_fp.generate(prompts, max_new_tokens=4)[0]
+    t_q = eng_q.generate(prompts, max_new_tokens=4)[0]
+    # int8 KV should track the fp path closely on a tiny model; allow the
+    # tail to diverge once any single argmax flips.
+    assert t_fp[0] == t_q[0]
+
+
+def test_engine_eos_stops_early(params):
+    # Use the fp engine's own first token as the EOS to guarantee a hit.
+    prompts = [[5, 7, 11]]
+    probe = DecodeEngine(
+        params, CFG, num_pages=16, num_slots=1, pages_per_seq=4,
+        kv_dtype=jnp.float32,
+    )
+    first = probe.generate(prompts, max_new_tokens=1)[0][0]
+    eng = DecodeEngine(
+        params, CFG, num_pages=16, num_slots=1, pages_per_seq=4,
+        kv_dtype=jnp.float32, eos_token=first,
+    )
+    toks = eng.generate(prompts, max_new_tokens=10)[0]
+    assert toks[0] == first and len(toks) == 1
