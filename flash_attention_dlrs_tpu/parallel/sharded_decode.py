@@ -1,0 +1,81 @@
+"""Mesh-sharded paged decode: KV-head-parallel serving over ICI.
+
+North-star scale-out for the decode path: KV pages tensor-sharded over the
+model axis (each chip owns Hkv/tp heads' pages — GQA co-locates the matching
+Q-head groups), batch optionally sharded over data.  Zero collectives inside
+the attention itself; the output is already correctly placed for the
+(model-sharded) output projection's psum.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.decode import paged_decode_attention
+from ..ops.quantization import QuantizedTensor
+
+
+def head_sharded_paged_decode(
+    mesh: Mesh,
+    *,
+    sm_scale: Optional[float] = None,
+    pages_per_block: int = 4,
+    data_axis: Optional[str] = "data",
+    model_axis: str = "model",
+    quantized: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Returns jitted (q, k_pages, v_pages, lengths, page_indices) -> o with
+    q heads and KV-head page pools sharded over `model_axis`.
+
+    q: [B, Hq, d] — heads sharded; pages: [Hkv, P, page_size, d] — heads
+    sharded (every chip holds the full page pool for ITS heads, so page
+    indices are chip-local-identical and need no translation).
+    """
+
+    def local(q, k_pages, v_pages, k_scales, v_scales, lengths, page_indices):
+        if quantized:
+            kp = QuantizedTensor(k_pages, k_scales)
+            vp = QuantizedTensor(v_pages, v_scales)
+        else:
+            kp, vp = k_pages, v_pages
+        return paged_decode_attention(
+            q, kp, vp, lengths, page_indices,
+            sm_scale=sm_scale, pages_per_block=pages_per_block,
+            interpret=interpret,
+        )
+
+    q_spec = P(data_axis, model_axis, None)
+    pages_spec = P(model_axis, None, None, None)
+    scalar_spec = P(data_axis)
+    tbl_spec = P(data_axis, None)
+
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            q_spec, pages_spec, pages_spec, pages_spec, pages_spec,
+            scalar_spec, tbl_spec,
+        ),
+        out_specs=q_spec,
+        check_vma=False,
+    )
+
+    def call(q, k_pages, v_pages, lengths, page_indices):
+        if isinstance(k_pages, QuantizedTensor):
+            return jax.jit(mapped)(
+                q, k_pages.values, v_pages.values,
+                k_pages.scales, v_pages.scales, lengths, page_indices,
+            )
+        import jax.numpy as jnp
+
+        dummy_k = jnp.ones((*k_pages.shape[:3], 1), jnp.float32)
+        return jax.jit(mapped)(
+            q, k_pages, v_pages, dummy_k, dummy_k, lengths, page_indices
+        )
+
+    return call

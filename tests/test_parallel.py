@@ -91,3 +91,34 @@ def test_data_parallel():
     o = fn(q, k, v)
     o_ref = reference_attention(q, k, v, causal=True, sm_scale=1.0)
     np.testing.assert_allclose(o, o_ref, atol=1e-4, rtol=1e-5)
+
+
+def test_head_sharded_paged_decode():
+    from flash_attention_dlrs_tpu.ops.decode import (
+        paged_reference_attention,
+        quantize_kv_pages,
+    )
+    from flash_attention_dlrs_tpu.parallel.sharded_decode import (
+        head_sharded_paged_decode,
+    )
+
+    mesh = make_mesh([2, 4], ("data", "model"))
+    B, Hq, Hkv, P_, ps, d, pps = 4, 8, 4, 32, 128, 64, 4
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(keys[0], (B, Hq, d), jnp.float32)
+    kp = jax.random.normal(keys[1], (Hkv, P_, ps, d), jnp.float32)
+    vp = jax.random.normal(keys[2], (Hkv, P_, ps, d), jnp.float32)
+    pidx = jax.random.permutation(keys[3], P_)[: B * pps].reshape(B, pps)
+    lengths = jnp.array([512, 300, 129, 1], jnp.int32)
+
+    fn = head_sharded_paged_decode(mesh)
+    o = fn(q, kp, vp, lengths, pidx)
+    o_ref = paged_reference_attention(q, kp, vp, lengths, pidx)
+    np.testing.assert_allclose(o, o_ref, atol=2e-4, rtol=1e-4)
+
+    # quantized pages, same sharding
+    kq, vq = quantize_kv_pages(kp), quantize_kv_pages(vp)
+    fnq = head_sharded_paged_decode(mesh, quantized=True)
+    oq = fnq(q, kq, vq, lengths, pidx)
+    oq_ref = paged_reference_attention(q, kq, vq, lengths, pidx)
+    np.testing.assert_allclose(oq, oq_ref, atol=2e-3, rtol=1e-3)
