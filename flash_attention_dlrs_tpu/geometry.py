@@ -44,7 +44,7 @@ _VMEM_BYTES = {
 
 # Like the reference's SAFETY_MARGIN_MEM_FACTOR (autotune_configs.py:18)
 # but applied to a VMEM budget instead of GA102 SRAM.
-SAFETY_MARGIN = 0.5
+SAFETY_MARGIN = 0.25
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,7 +98,8 @@ def attention_fwd_vmem_bytes(
     isz = jnp.dtype(dtype).itemsize
     q = block_q * head_dim * isz
     kv = 2 * (2 * block_kv * head_dim * isz)  # K and V, double-buffered
-    scores = block_q * block_kv * 4
+    # scores ×3: S, P, and the iota/mask temporaries the compiler keeps live
+    scores = 3 * block_q * block_kv * 4
     scratch = block_q * NUM_LANES * 4 * 2 + block_q * head_dim * 4  # m, l, acc
     out = block_q * head_dim * isz
     return q + kv + scores + scratch + out

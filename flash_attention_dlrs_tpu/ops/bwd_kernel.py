@@ -190,15 +190,26 @@ def bwd_dkv_pallas(
         block_q=block_q, block_kv=block_kv,
         num_q_blocks=n_q // block_q,
     )
+    if causal:
+        # Early (above-diagonal) Q blocks are skipped; clamp their index so
+        # the pipeline doesn't fetch them (see fwd_kernel.py kv_index).
+        def iq_c(jkv, iq):
+            return jnp.maximum(iq, (jkv * block_kv) // block_q)
+    else:
+        def iq_c(jkv, iq):
+            return iq
+
     q_spec = pl.BlockSpec(
-        (1, 1, block_q, head_dim), lambda b, h, jkv, iq: (b, h, iq, 0)
+        (1, 1, block_q, head_dim),
+        lambda b, h, jkv, iq: (b, h, iq_c(jkv, iq), 0),
     )
     kv_spec = pl.BlockSpec(
         (1, 1, block_kv, head_dim),
         lambda b, h, jkv, iq: (b, h // q_per_kv, jkv, 0),
     )
     stat_spec = pl.BlockSpec(
-        (1, 1, block_q, geo.NUM_LANES), lambda b, h, jkv, iq: (b, h, iq, 0)
+        (1, 1, block_q, geo.NUM_LANES),
+        lambda b, h, jkv, iq: (b, h, iq_c(jkv, iq), 0),
     )
     dkv_spec = pl.BlockSpec(
         (1, 1, block_kv, head_dim), lambda b, h, jkv, iq: (b, h, jkv, 0)
@@ -308,12 +319,19 @@ def bwd_dq_pallas(
         block_q=block_q, block_kv=block_kv,
         num_kv_blocks=n_kv // block_kv,
     )
+    if causal:
+        def jkv_c(iq, jkv):
+            return jnp.minimum(jkv, ((iq + 1) * block_q - 1) // block_kv)
+    else:
+        def jkv_c(iq, jkv):
+            return jkv
+
     q_spec = pl.BlockSpec(
         (1, 1, block_q, head_dim), lambda b, h, iq, jkv: (b, h, iq, 0)
     )
     kv_spec = pl.BlockSpec(
         (1, 1, block_kv, head_dim),
-        lambda b, h, iq, jkv: (b, h // q_per_kv, jkv, 0),
+        lambda b, h, iq, jkv: (b, h // q_per_kv, jkv_c(iq, jkv), 0),
     )
     stat_spec = pl.BlockSpec(
         (1, 1, block_q, geo.NUM_LANES), lambda b, h, iq, jkv: (b, h, iq, 0)

@@ -206,10 +206,19 @@ def fwd_pallas(
     q_spec = pl.BlockSpec(
         (1, 1, block_q, head_dim), lambda b, h, iq, ikv: (b, h, iq, 0)
     )
-    kv_spec = pl.BlockSpec(
-        (1, 1, block_kv, head_dim),
-        lambda b, h, iq, ikv: (b, h // q_per_kv, ikv, 0),
-    )
+    if causal:
+        # Above-diagonal KV blocks are never computed (pl.when skip), but
+        # Pallas would still DMA them.  Clamping the index map to the last
+        # in-diagonal block makes the skipped iterations request the SAME
+        # block as the previous step — the pipeline elides the refetch, so
+        # causal saves ~half the K/V HBM traffic, not just the FLOPs.
+        def kv_index(b, h, iq, ikv):
+            ikv_c = jnp.minimum(ikv, ((iq + 1) * block_q - 1) // block_kv)
+            return (b, h // q_per_kv, ikv_c, 0)
+    else:
+        def kv_index(b, h, iq, ikv):
+            return (b, h // q_per_kv, ikv, 0)
+    kv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), kv_index)
     o_spec = pl.BlockSpec(
         (1, 1, block_q, head_dim), lambda b, h, iq, ikv: (b, h, iq, 0)
     )

@@ -25,7 +25,7 @@ from . import geometry as geo
 # Candidate block edges: multiples of the 128-wide MXU tile, like the
 # reference's {16..512} powers-of-two space (autotune_configs.py:24-140)
 # rescaled to TPU lane geometry.
-_CANDIDATE_EDGES = (128, 256, 512, 1024)
+_CANDIDATE_EDGES = (128, 256, 512, 1024, 2048)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,8 +72,13 @@ def default_block_sizes(
     """Heuristic pick without timing: largest VMEM-feasible blocks, biased
     towards wide KV blocks (fewer HBM round-trips for the streamed operand)."""
     fwd = candidate_fwd_configs(n_q, n_kv, head_dim, dtype)
-    # Prefer big block_kv first (streaming operand), then big block_q.
-    bq, bkv = max(fwd, key=lambda c: (min(c[1], 512), min(c[0], 512)))
+    # Measured on v5e (N=4096, d=128): (1024,1024) is the sweet spot — big
+    # blocks amortize grid/bookkeeping overhead, beyond 1024 VMEM pressure
+    # kills compilation.  Prefer the largest product with edges capped at
+    # 1024, tie-breaking toward a wide KV block (the streamed operand).
+    bq, bkv = max(
+        fwd, key=lambda c: (min(c[0], 1024) * min(c[1], 1024), min(c[1], 1024))
+    )
     # Backward keeps both score-sized temporaries live; halve if needed.
     bqb, bkvb = bq, bkv
     g = geo.current_geometry()
