@@ -71,7 +71,8 @@ def bwd_d_pallas(o, do, *, block_q: int, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _recompute_p(q, k, lse, iq, jkv, *, sm_scale, causal, kv_len, block_q, block_kv):
+def _recompute_p(q, k, lse, iq, jkv, *, sm_scale, causal, kv_len, block_q,
+                 block_kv, apply_mask):
     """P = exp(scale·QKᵀ − L) with causal/length masking.
 
     ≙ src/flash_attention_kernels.py:283-285 (base-e instead of base-2).
@@ -80,18 +81,35 @@ def _recompute_p(q, k, lse, iq, jkv, *, sm_scale, causal, kv_len, block_q, block
     s = mxu_dot(q, k, (((1,), (1,)), ((), ())))
     if sm_scale != 1.0:
         s = s * sm_scale
-    need_len_mask = kv_len % block_kv != 0
-    if causal or need_len_mask:
+    if apply_mask:
         row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
         mask = None
         if causal:
             mask = (row + iq * block_q) >= (col + jkv * block_kv)
-        if need_len_mask:
+        if kv_len % block_kv != 0:
             lm = (col + jkv * block_kv) < kv_len
             mask = lm if mask is None else jnp.logical_and(mask, lm)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
     return jnp.exp(s - lse)
+
+
+def _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run, body):
+    """Run `body(apply_mask)` under pl.when, masking only diagonal-crossing
+    and KV-tail blocks (interior blocks skip the iota/select work)."""
+    needs = None
+    if causal:
+        needs = (jkv + 1) * block_kv - 1 > iq * block_q
+    if kv_len % block_kv != 0:
+        tail = (jkv + 1) * block_kv > kv_len
+        needs = tail if needs is None else jnp.logical_or(needs, tail)
+    if needs is None:
+        pl.when(should_run)(lambda: body(False))
+    else:
+        pl.when(jnp.logical_and(should_run, needs))(lambda: body(True))
+        pl.when(jnp.logical_and(should_run, jnp.logical_not(needs)))(
+            lambda: body(False)
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -131,8 +149,7 @@ def _bwd_dkv_kernel(
     else:
         should_run = True
 
-    @pl.when(should_run)
-    def _compute():
+    def _compute(apply_mask):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
@@ -143,7 +160,7 @@ def _bwd_dkv_kernel(
         p = _recompute_p(
             q, k, lse, iq, jkv,
             sm_scale=sm_scale, causal=causal, kv_len=kv_len,
-            block_q=block_q, block_kv=block_kv,
+            block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
         )
         # dV += Pᵀ dO  (≙ src/flash_attention_kernels.py:287)
         dv_acc[...] += mxu_dot(p.astype(do.dtype), do, (((0,), (0,)), ((), ())))
@@ -156,6 +173,8 @@ def _bwd_dkv_kernel(
             ds = ds * sm_scale
         # dK += dSᵀ Q  (≙ :293)
         dk_acc[...] += mxu_dot(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())))
+
+    _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run, _compute)
 
     @pl.when(iq == num_q_blocks - 1)
     def _store():
@@ -269,8 +288,7 @@ def _bwd_dq_kernel(
     else:
         should_run = True
 
-    @pl.when(should_run)
-    def _compute():
+    def _compute(apply_mask):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
@@ -281,7 +299,7 @@ def _bwd_dq_kernel(
         p = _recompute_p(
             q, k, lse, iq, jkv,
             sm_scale=sm_scale, causal=causal, kv_len=kv_len,
-            block_q=block_q, block_kv=block_kv,
+            block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
         )
         dp = mxu_dot(do, v, (((1,), (1,)), ((), ())))
         ds = p * (dp - dpre)
@@ -291,6 +309,8 @@ def _bwd_dq_kernel(
         # the reduction the reference serialized with a spinlock
         # (src/flash_attention_kernels.py:305-320).  No lock needed here.
         dq_acc[...] += mxu_dot(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())))
+
+    _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run, _compute)
 
     @pl.when(jkv == num_kv_blocks - 1)
     def _store():

@@ -90,8 +90,7 @@ def _fwd_kernel(
     else:
         should_run = True
 
-    @pl.when(should_run)
-    def _compute():
+    def _compute(apply_mask):
         q = q_ref[0, 0]  # [block_q, d]
         k = k_ref[0, 0]  # [block_kv, d]
 
@@ -101,15 +100,14 @@ def _fwd_kernel(
         if sm_scale != 1.0:
             s = s * sm_scale
 
-        # Masking: causal within-diagonal blocks + KV-length tail.
-        need_len_mask = kv_len % block_kv != 0
-        if causal or need_len_mask:
+        # Masking: causal within diagonal-crossing blocks + KV-length tail.
+        if apply_mask:
             row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
             mask = None
             if causal:
                 mask = (row + iq * block_q) >= (col + ikv * block_kv)
-            if need_len_mask:
+            if kv_len % block_kv != 0:
                 lm = (col + ikv * block_kv) < kv_len
                 mask = lm if mask is None else jnp.logical_and(mask, lm)
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
@@ -131,6 +129,24 @@ def _fwd_kernel(
         v = v_ref[0, 0]  # [block_kv, d]
         pv = mxu_dot(p.astype(v.dtype), v, (((1,), (0,)), ((), ())))
         acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+
+    # Interior blocks (fully below the causal diagonal, fully inside the KV
+    # length) skip the iota/compare/select entirely — the element mask only
+    # runs on diagonal-crossing and tail blocks.
+    needs_mask = None
+    if causal:
+        needs_mask = (ikv + 1) * block_kv - 1 > iq * block_q
+    if kv_len % block_kv != 0:
+        tail = (ikv + 1) * block_kv > kv_len
+        needs_mask = tail if needs_mask is None else jnp.logical_or(needs_mask, tail)
+
+    if needs_mask is None:
+        pl.when(should_run)(lambda: _compute(False))
+    else:
+        pl.when(jnp.logical_and(should_run, needs_mask))(lambda: _compute(True))
+        pl.when(jnp.logical_and(should_run, jnp.logical_not(needs_mask)))(
+            lambda: _compute(False)
+        )
 
     @pl.when(ikv == num_kv_blocks - 1)
     def _epilogue():
