@@ -138,3 +138,44 @@ def test_scheduler_fifo_blocks_on_capacity():
     sched.submit(Request(1, [1] * 10, max_new_tokens=1))  # would fit
     assert sched.schedule() == []  # head-of-line blocks (no starvation)
     assert sched.slots == [None, None]
+
+
+def test_data_loader_sharding_and_resume():
+    from flash_attention_dlrs_tpu.runtime.data import (
+        LoaderState,
+        TokenDataset,
+        batches,
+    )
+
+    ds = TokenDataset(np.arange(10_001, dtype=np.int32), seq_len=100)
+    assert ds.num_windows == 100
+
+    # two hosts see disjoint windows
+    it0 = batches(ds, batch_size=4, seed=1, process_index=0, process_count=2)
+    it1 = batches(ds, batch_size=4, seed=1, process_index=1, process_count=2)
+    b0, _ = next(it0)
+    b1, _ = next(it1)
+    assert b0.shape == (4, 101)
+    assert set(b0[:, 0]).isdisjoint(set(b1[:, 0]))
+
+    # deterministic resume: restart from a saved state reproduces the stream
+    it = batches(ds, batch_size=4, seed=7, process_index=0, process_count=1)
+    _, s1 = next(it)
+    b2a, _ = next(it)
+    it_resumed = batches(
+        ds, batch_size=4, seed=7, state=s1, process_index=0, process_count=1
+    )
+    b2b, _ = next(it_resumed)
+    np.testing.assert_array_equal(b2a, b2b)
+
+    # epochs roll over without repeating within an epoch
+    seen = set()
+    it = batches(ds, batch_size=10, seed=3, process_index=0, process_count=1)
+    for _ in range(10):  # one full epoch of 100 windows
+        b, st = next(it)
+        starts = tuple(b[:, 0].tolist())
+        assert not (set(starts) & seen)
+        seen.update(starts)
+    assert st.epoch == 0
+    _, st = next(it)
+    assert st.epoch == 1
