@@ -211,6 +211,7 @@ def flash_attention(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     block_sizes: Optional[tuning.BlockSizes] = None,
+    tune: bool = False,
     interpret: Optional[bool] = None,
 ):
     """Differentiable fused attention: O = softmax(scale·QKᵀ + mask)V.
@@ -218,7 +219,43 @@ def flash_attention(
     q: [B, Hq, Nq, d]; k, v: [B, Hkv, Nkv, d] with Hq % Hkv == 0 (GQA/MQA).
     ``sm_scale`` defaults to 1/sqrt(d); pass ``sm_scale=1.0`` to reproduce the
     reference's unscaled convention (src/test_correctness.py:33).
+    ``tune=True`` times the VMEM-feasible block candidates on the live device
+    the first time each shape key is seen (cached on disk thereafter) — the
+    role of triton.autotune in the reference (src/flash_attention_kernels.py:11-15).
     """
     _validate(q, k, v)
+    if tune and block_sizes is None:
+        if isinstance(q, jax.core.Tracer):
+            raise ValueError(
+                "tune=True requires concrete arrays (call outside jit, or "
+                "pass the tuned block_sizes in explicitly)"
+            )
+        block_sizes = tuned_block_sizes(q, k, v, causal=causal, sm_scale=sm_scale)
     sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
     return _flash_attention(q, k, v, causal, sm_scale, bs, interpret)
+
+
+def tuned_block_sizes(
+    q, k, v, *, causal: bool = False, sm_scale: Optional[float] = None
+) -> tuning.BlockSizes:
+    """Timed block-shape search for this workload (concrete arrays only)."""
+    sm_scale_r, bs0, interpret = _resolve(q, k, sm_scale, None, None)
+
+    def build(bq, bkv):
+        bs = tuning.BlockSizes(
+            block_q=bq, block_kv=bkv,
+            block_q_bwd=bs0.block_q_bwd, block_kv_bwd=bs0.block_kv_bwd,
+        )
+
+        def fn(q_, k_, v_):
+            return _flash_attention(
+                q_, k_, v_, causal, sm_scale_r, bs, interpret
+            )
+
+        return fn
+
+    bq, bkv = tuning.tune_fwd_blocks(build, q, k, v)
+    return tuning.BlockSizes(
+        block_q=bq, block_kv=bkv,
+        block_q_bwd=bs0.block_q_bwd, block_kv_bwd=bs0.block_kv_bwd,
+    )

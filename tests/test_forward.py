@@ -131,3 +131,24 @@ def test_validation_errors():
         flash_attention(q[0], q[0], q[0])
     with pytest.raises(ValueError):
         flash_attention(q, q.astype(jnp.bfloat16), q)
+
+
+def test_tune_picks_and_caches(tmp_path, monkeypatch):
+    # timed autotune path (≙ triton.autotune): runs candidates, caches winner
+    import flash_attention_dlrs_tpu.tuning as tuning
+
+    monkeypatch.setattr(tuning, "_CACHE_PATH", str(tmp_path / "cache.json"))
+    tuning._TUNE_CACHE.clear()
+    b, h, n, d = 1, 1, 256, 64
+    q, k, v = _make_qkv(jax.random.PRNGKey(9), (b, h, n, d), (b, h, n, d))
+    o = flash_attention(q, k, v, sm_scale=1.0, tune=True)
+    o_ref = reference_attention(q, k, v, sm_scale=1.0)
+    np.testing.assert_allclose(o, o_ref, atol=FWD_ATOL, rtol=FWD_RTOL)
+    assert len(tuning._TUNE_CACHE) == 1
+    # second call hits the cache (no new keys)
+    flash_attention(q, k, v, sm_scale=1.0, tune=True)
+    assert len(tuning._TUNE_CACHE) == 1
+    # tracers are rejected with a clear error
+    with pytest.raises(ValueError, match="concrete"):
+        jax.jit(lambda a, b_, c: flash_attention(a, b_, c, tune=True))(q, k, v)
+    tuning._TUNE_CACHE.clear()
