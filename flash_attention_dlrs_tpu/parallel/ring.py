@@ -22,6 +22,7 @@ index, so the skip costs one branch, not one kernel.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -47,38 +48,19 @@ def merge_partials(o1, lse1, o2, lse2):
     )
 
 
-def ring_attention(
-    q,
-    k,
-    v,
-    *,
-    axis_name: str,
-    causal: bool = False,
-    sm_scale: Optional[float] = None,
-    interpret: Optional[bool] = None,
-):
-    """Context-parallel attention over `axis_name` (call inside shard_map).
-
-    q: [B, H, Nq_shard, d], k/v: [B, Hkv, Nkv_shard, d] — the *local* shards;
-    the global sequence is the concatenation over the axis.  For causal,
-    Nq_shard must equal Nkv_shard (token-aligned context sharding).
-    Returns the local O shard [B, H, Nq_shard, d].
-    """
+def _ring_forward(q, k, v, *, axis_name, causal, sm_scale, interpret):
     n = lax.psum(1, axis_name)  # static axis size
     idx = lax.axis_index(axis_name)
-    if sm_scale is None:
-        sm_scale = float(q.shape[-1]) ** -0.5
-
-    def attend(q_, k_, v_, causal_):
-        return flash_attention_forward(
-            q_, k_, v_, causal=causal_, sm_scale=sm_scale, interpret=interpret
-        )
 
     def full_block(q_, k_, v_):
-        return attend(q_, k_, v_, False)
+        return flash_attention_forward(
+            q_, k_, v_, causal=False, sm_scale=sm_scale, interpret=interpret
+        )
 
     def diag_block(q_, k_, v_):
-        return attend(q_, k_, v_, True)
+        return flash_attention_forward(
+            q_, k_, v_, causal=True, sm_scale=sm_scale, interpret=interpret
+        )
 
     def skip_block(q_, k_, v_):
         o = jnp.zeros(q_.shape, q_.dtype)
@@ -106,7 +88,113 @@ def ring_attention(
             # attention kernel (it has no data dependence on it).
             k_blk = lax.ppermute(k_blk, axis_name, perm)
             v_blk = lax.ppermute(v_blk, axis_name, perm)
+    return o, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _ring_attention(q, k, v, axis_name, causal, sm_scale, interpret):
+    o, _ = _ring_forward(
+        q, k, v, axis_name=axis_name, causal=causal, sm_scale=sm_scale,
+        interpret=interpret,
+    )
     return o
+
+
+def _ring_attention_fwd(q, k, v, axis_name, causal, sm_scale, interpret):
+    o, lse = _ring_forward(
+        q, k, v, axis_name=axis_name, causal=causal, sm_scale=sm_scale,
+        interpret=interpret,
+    )
+    return o, (q, k, v, o, lse)
+
+
+def _ring_attention_bwd(axis_name, causal, sm_scale, interpret, res, do):
+    """Ring backward: K/V blocks rotate a second lap; each device's partial
+    (dK, dV) for the resident block travels WITH the block, so after n
+    rotations every gradient accumulator is back on its owner — the ring
+    replaces the psum a naive context-parallel backward would need.
+
+    Per-block gradients use the single-device kernels with the GLOBAL
+    logsumexp residual: p = exp(s − LSE_global) is the true softmax
+    probability, so per-block dQ/dK/dV contributions are exact and simply
+    sum (same recomputation identity as src/flash_attention_kernels.py:283-293).
+    """
+    from ..ops.flash_attention import flash_attention_backward
+
+    q, k, v, o, lse = res
+    n = lax.psum(1, axis_name)
+    idx = lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def grads(q_, k_, v_, do_, causal_):
+        return flash_attention_backward(
+            q_, k_, v_, o, do_, lse,
+            causal=causal_, sm_scale=sm_scale, interpret=interpret,
+        )
+
+    def full_block(q_, k_, v_, do_):
+        return grads(q_, k_, v_, do_, False)
+
+    def diag_block(q_, k_, v_, do_):
+        return grads(q_, k_, v_, do_, True)
+
+    def skip_block(q_, k_, v_, do_):
+        return (
+            jnp.zeros(q_.shape, q_.dtype),
+            jnp.zeros(k.shape, k.dtype),
+            jnp.zeros(v.shape, v.dtype),
+        )
+
+    dq = jnp.zeros(q.shape, jnp.float32)
+    dk_blk = jnp.zeros(k.shape, jnp.float32)
+    dv_blk = jnp.zeros(v.shape, jnp.float32)
+    k_blk, v_blk = k, v
+
+    for step in range(n):
+        src = lax.rem(idx - step + n, n)
+        if causal:
+            case = jnp.where(src < idx, 0, jnp.where(src == idx, 1, 2))
+            dq_p, dk_p, dv_p = lax.switch(
+                case, [full_block, diag_block, skip_block], q, k_blk, v_blk, do
+            )
+        else:
+            dq_p, dk_p, dv_p = full_block(q, k_blk, v_blk, do)
+        dq = dq + dq_p.astype(jnp.float32)
+        dk_blk = dk_blk + dk_p.astype(jnp.float32)
+        dv_blk = dv_blk + dv_p.astype(jnp.float32)
+        # Rotate EVERY step (n total): the kv block and its gradient
+        # accumulator complete a full lap back to the owning device.
+        k_blk = lax.ppermute(k_blk, axis_name, perm)
+        v_blk = lax.ppermute(v_blk, axis_name, perm)
+        dk_blk = lax.ppermute(dk_blk, axis_name, perm)
+        dv_blk = lax.ppermute(dv_blk, axis_name, perm)
+    return dq.astype(q.dtype), dk_blk.astype(k.dtype), dv_blk.astype(v.dtype)
+
+
+_ring_attention.defvjp(_ring_attention_fwd, _ring_attention_bwd)
+
+
+def ring_attention(
+    q,
+    k,
+    v,
+    *,
+    axis_name: str,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+):
+    """Differentiable context-parallel attention over `axis_name` (call
+    inside shard_map).
+
+    q: [B, H, Nq_shard, d], k/v: [B, Hkv, Nkv_shard, d] — the *local* shards;
+    the global sequence is the concatenation over the axis.  For causal,
+    Nq_shard must equal Nkv_shard (token-aligned context sharding).
+    Returns the local O shard [B, H, Nq_shard, d].
+    """
+    if sm_scale is None:
+        sm_scale = float(q.shape[-1]) ** -0.5
+    return _ring_attention(q, k, v, axis_name, causal, float(sm_scale), interpret)
 
 
 def context_parallel_attention(
