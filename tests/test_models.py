@@ -84,3 +84,25 @@ def test_train_step_sharded_matches_single_device():
     np.testing.assert_allclose(
         float(loss_sharded), float(loss_single), rtol=1e-4
     )
+
+
+def test_encoder_bidirectional():
+    from flash_attention_dlrs_tpu.models.encoder import encode, mlm_loss
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    toks = _tokens(6, b=1, n=64)
+    emb = encode(params, toks, CFG)
+    assert emb.shape == (1, 64, CFG.d_model)
+    # bidirectional: changing a LATE token changes EARLY embeddings
+    toks_b = toks.at[0, 60].set((toks[0, 60] + 1) % CFG.vocab_size)
+    emb_b = encode(params, toks_b, CFG)
+    assert not np.allclose(emb[0, :10], emb_b[0, :10], atol=1e-6)
+
+    # MLM loss is finite and differentiable
+    mask = jnp.zeros_like(toks, bool).at[0, 5].set(True).at[0, 30].set(True)
+    masked = jnp.where(mask, 3, toks)
+    loss, grads = jax.value_and_grad(
+        lambda p: mlm_loss(p, toks, masked, mask, CFG)
+    )(params)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(jnp.sum(grads["embed"])))
