@@ -43,11 +43,15 @@ class BenchResult:
 def attention_flops(b, h, n_q, n_kv, d, *, causal: bool, mode: str) -> float:
     """Analytic FLOPs model: 2 matmuls × 2·B·H·Nq·Nkv·d, halved for causal,
     ×2.5 for bwd (reference model: src/flash_attention_openai_tutorial.py:630-636)."""
+    if mode not in ("fwd", "bwd", "fwd+bwd"):
+        raise ValueError(f"unknown mode {mode!r}")
     fl = 2 * 2.0 * b * h * n_q * n_kv * d
     if causal:
         fl *= 0.5
     if mode == "bwd":
         fl *= 2.5
+    elif mode == "fwd+bwd":
+        fl *= 3.5
     return fl
 
 

@@ -28,7 +28,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import geometry as geo
-from .fwd_kernel import DEFAULT_MASK_VALUE, mxu_dot
+from .fwd_kernel import DEFAULT_MASK_VALUE, LN2, LOG2E, _tri_decode, mxu_dot
+
+
+def _tri_decode_upper(p_id, num_q_blocks: int):
+    """Map a linear index over the upper-triangular (jkv, iq) block space
+    (iq ≥ jkv) to coordinates: row jkv owns T − jkv steps, iq = jkv, …, T−1.
+
+    The dK/dV mirror of :func:`fwd_kernel._tri_decode` — same compacted-grid
+    trick, transposed to the KV-parallel/Q-sequential loop structure.
+    """
+    T = num_q_blocks
+    jkv = jnp.int32(0)
+    for t in range(1, T):
+        jkv = jnp.where(p_id >= t * T - t * (t - 1) // 2, jnp.int32(t), jkv)
+    iq = jkv + (p_id - (jkv * T - jkv * (jkv - 1) // 2))
+    return jkv, iq
 
 
 # ---------------------------------------------------------------------------
@@ -71,16 +86,17 @@ def bwd_d_pallas(o, do, *, block_q: int, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _recompute_p(q, k, lse, iq, jkv, *, sm_scale, causal, kv_len, block_q,
+def _recompute_p(q, k, lse, iq, jkv, *, causal, kv_len, block_q,
                  block_kv, apply_mask):
-    """P = exp(scale·QKᵀ − L) with causal/length masking.
+    """P = exp2((c·Q)Kᵀ − log2e·L) with causal/length masking, where
+    c = sm_scale·log2e was folded into Q by the caller.
 
-    ≙ src/flash_attention_kernels.py:283-285 (base-e instead of base-2).
-    Returns (s-free) probabilities p [block_q, block_kv] fp32.
+    ≙ src/flash_attention_kernels.py:283-285 (same base-2 convention, but the
+    scale lives in the Q tensor, not a per-block multiply).
+    Returns probabilities p [block_q, block_kv] fp32.
     """
     s = mxu_dot(q, k, (((1,), (1,)), ((), ())))
-    if sm_scale != 1.0:
-        s = s * sm_scale
+    lse = lse * LOG2E  # [block_q, 1] — O(block_q), off the hot path
     if apply_mask:
         row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
@@ -91,7 +107,7 @@ def _recompute_p(q, k, lse, iq, jkv, *, sm_scale, causal, kv_len, block_q,
             lm = (col + jkv * block_kv) < kv_len
             mask = lm if mask is None else jnp.logical_and(mask, lm)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-    return jnp.exp(s - lse)
+    return jnp.exp2(s - lse)
 
 
 def _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run, body):
@@ -129,25 +145,30 @@ def _bwd_dkv_kernel(
     dk_acc,
     dv_acc,
     *,
-    sm_scale,
     causal,
     kv_len,
     block_q,
     block_kv,
     num_q_blocks,
+    tri=False,
 ):
-    jkv = pl.program_id(2)
-    iq = pl.program_id(3)
+    if tri:
+        jkv, iq = _tri_decode_upper(pl.program_id(2), num_q_blocks)
+        is_first = iq == jkv
+        should_run = True
+    else:
+        jkv = pl.program_id(2)
+        iq = pl.program_id(3)
+        is_first = iq == 0
+        if causal:
+            should_run = (iq + 1) * block_q - 1 >= jkv * block_kv
+        else:
+            should_run = True
 
-    @pl.when(iq == 0)
+    @pl.when(is_first)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
-
-    if causal:
-        should_run = (iq + 1) * block_q - 1 >= jkv * block_kv
-    else:
-        should_run = True
 
     def _compute(apply_mask):
         q = q_ref[0, 0]
@@ -159,26 +180,25 @@ def _bwd_dkv_kernel(
 
         p = _recompute_p(
             q, k, lse, iq, jkv,
-            sm_scale=sm_scale, causal=causal, kv_len=kv_len,
+            causal=causal, kv_len=kv_len,
             block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
         )
         # dV += Pᵀ dO  (≙ src/flash_attention_kernels.py:287)
         dv_acc[...] += mxu_dot(p.astype(do.dtype), do, (((0,), (0,)), ((), ())))
         # dP = dO Vᵀ   (≙ :289)
         dp = mxu_dot(do, v, (((1,), (1,)), ((), ())))
-        # dS = P ∘ (dP − D) · scale  (≙ :291; scale folded here because S
-        # already carries sm_scale in this design)
+        # dS = P ∘ (dP − D)  (≙ :291).  No per-element scale here: the q ref
+        # holds c·Q with c = sm_scale·log2e, so dK = sm_scale·dSᵀQ
+        # = ln2·dSᵀ(c·Q) — the ln2 lives in the store epilogue, O(B_c·d).
         ds = p * (dp - dpre)
-        if sm_scale != 1.0:
-            ds = ds * sm_scale
-        # dK += dSᵀ Q  (≙ :293)
+        # dK += dSᵀ (c·Q)  (≙ :293)
         dk_acc[...] += mxu_dot(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())))
 
     _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run, _compute)
 
     @pl.when(iq == num_q_blocks - 1)
     def _store():
-        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dk_ref[0, 0] = (dk_acc[...] * LN2).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
@@ -203,36 +223,57 @@ def bwd_dkv_pallas(
     q_per_kv = num_q_heads // num_kv_heads
     grid = (batch, num_q_heads, n_kv // block_kv, n_q // block_q)
 
+    # Base-2 convention (see fwd_kernel): fold sm_scale·log2e into Q once.
+    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
+
+    num_q_blocks = n_q // block_q
+    tri = causal and n_q == n_kv and block_q == block_kv
     kernel = functools.partial(
         _bwd_dkv_kernel,
-        sm_scale=sm_scale, causal=causal, kv_len=kv_len,
+        causal=causal, kv_len=kv_len,
         block_q=block_q, block_kv=block_kv,
-        num_q_blocks=n_q // block_q,
+        num_q_blocks=num_q_blocks, tri=tri,
     )
-    if causal:
-        # Early (above-diagonal) Q blocks are skipped; clamp their index so
-        # the pipeline doesn't fetch them (see fwd_kernel.py kv_index).
-        def iq_c(jkv, iq):
-            return jnp.maximum(iq, (jkv * block_kv) // block_q)
-    else:
-        def iq_c(jkv, iq):
-            return iq
+    if tri:
+        # Compacted upper-triangular grid (see fwd_kernel): only the
+        # iq ≥ jkv steps exist; no skipped grid steps, no index clamping.
+        grid = (batch, num_q_heads, num_q_blocks * (num_q_blocks + 1) // 2)
 
-    q_spec = pl.BlockSpec(
-        (1, 1, block_q, head_dim),
-        lambda b, h, jkv, iq: (b, h, iq_c(jkv, iq), 0),
-    )
-    kv_spec = pl.BlockSpec(
-        (1, 1, block_kv, head_dim),
-        lambda b, h, jkv, iq: (b, h // q_per_kv, jkv, 0),
-    )
-    stat_spec = pl.BlockSpec(
-        (1, 1, block_q, geo.NUM_LANES),
-        lambda b, h, jkv, iq: (b, h, iq_c(jkv, iq), 0),
-    )
-    dkv_spec = pl.BlockSpec(
-        (1, 1, block_kv, head_dim), lambda b, h, jkv, iq: (b, h, jkv, 0)
-    )
+        def q_index(b, h, p):
+            return (b, h, _tri_decode_upper(p, num_q_blocks)[1], 0)
+
+        def kv_index(b, h, p):
+            return (b, h // q_per_kv, _tri_decode_upper(p, num_q_blocks)[0], 0)
+
+        def dkv_index(b, h, p):
+            return (b, h, _tri_decode_upper(p, num_q_blocks)[0], 0)
+
+        dimension_semantics = ("parallel", "parallel", "arbitrary")
+    else:
+        if causal:
+            # Early (above-diagonal) Q blocks are skipped; clamp their index
+            # so the pipeline doesn't fetch them (see fwd_kernel.py kv_index).
+            def iq_c(jkv, iq):
+                return jnp.maximum(iq, (jkv * block_kv) // block_q)
+        else:
+            def iq_c(jkv, iq):
+                return iq
+
+        def q_index(b, h, jkv, iq):
+            return (b, h, iq_c(jkv, iq), 0)
+
+        def kv_index(b, h, jkv, iq):
+            return (b, h // q_per_kv, jkv, 0)
+
+        def dkv_index(b, h, jkv, iq):
+            return (b, h, jkv, 0)
+
+        dimension_semantics = ("parallel", "parallel", "parallel", "arbitrary")
+
+    q_spec = pl.BlockSpec((1, 1, block_q, head_dim), q_index)
+    kv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), kv_index)
+    stat_spec = pl.BlockSpec((1, 1, block_q, geo.NUM_LANES), q_index)
+    dkv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), dkv_index)
     dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
@@ -247,7 +288,7 @@ def bwd_dkv_pallas(
             pltpu.VMEM((block_kv, head_dim), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=dimension_semantics,
         ),
         interpret=interpret,
     )(q, k, v, do, lse, dpre)
@@ -275,18 +316,24 @@ def _bwd_dq_kernel(
     block_q,
     block_kv,
     num_kv_blocks,
+    tri=False,
 ):
-    iq = pl.program_id(2)
-    jkv = pl.program_id(3)
+    if tri:
+        iq, jkv = _tri_decode(pl.program_id(2), num_kv_blocks)
+        is_last = jkv == iq
+        should_run = True
+    else:
+        iq = pl.program_id(2)
+        jkv = pl.program_id(3)
+        is_last = jkv == num_kv_blocks - 1
+        if causal:
+            should_run = (iq + 1) * block_q - 1 >= jkv * block_kv
+        else:
+            should_run = True
 
     @pl.when(jkv == 0)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
-
-    if causal:
-        should_run = (iq + 1) * block_q - 1 >= jkv * block_kv
-    else:
-        should_run = True
 
     def _compute(apply_mask):
         q = q_ref[0, 0]
@@ -298,13 +345,13 @@ def _bwd_dq_kernel(
 
         p = _recompute_p(
             q, k, lse, iq, jkv,
-            sm_scale=sm_scale, causal=causal, kv_len=kv_len,
+            causal=causal, kv_len=kv_len,
             block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
         )
         dp = mxu_dot(do, v, (((1,), (1,)), ((), ())))
+        # No per-element sm_scale multiply: k is unscaled here, so the true
+        # scale is applied once to dQ in the store epilogue (O(B_r·d)).
         ds = p * (dp - dpre)
-        if sm_scale != 1.0:
-            ds = ds * sm_scale
         # dQ += dS K — accumulated over the sequential KV grid axis; this is
         # the reduction the reference serialized with a spinlock
         # (src/flash_attention_kernels.py:305-320).  No lock needed here.
@@ -312,9 +359,9 @@ def _bwd_dq_kernel(
 
     _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run, _compute)
 
-    @pl.when(jkv == num_kv_blocks - 1)
+    @pl.when(is_last)
     def _store():
-        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+        dq_ref[0, 0] = (dq_acc[...] * sm_scale).astype(dq_ref.dtype)
 
 
 @functools.partial(
@@ -333,42 +380,59 @@ def bwd_dq_pallas(
     q_per_kv = num_q_heads // num_kv_heads
     grid = (batch, num_q_heads, n_q // block_q, n_kv // block_kv)
 
+    # Base-2 convention (see fwd_kernel): fold sm_scale·log2e into Q once.
+    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
+
+    num_kv_blocks = n_kv // block_kv
+    tri = causal and n_q == n_kv and block_q == block_kv
     kernel = functools.partial(
         _bwd_dq_kernel,
         sm_scale=sm_scale, causal=causal, kv_len=kv_len,
         block_q=block_q, block_kv=block_kv,
-        num_kv_blocks=n_kv // block_kv,
+        num_kv_blocks=num_kv_blocks, tri=tri,
     )
-    if causal:
-        def jkv_c(iq, jkv):
-            return jnp.minimum(jkv, ((iq + 1) * block_q - 1) // block_kv)
-    else:
-        def jkv_c(iq, jkv):
-            return jkv
+    if tri:
+        # Compacted lower-triangular grid (see fwd_kernel._tri_decode).
+        num_q_blocks = n_q // block_q
+        grid = (batch, num_q_heads, num_q_blocks * (num_q_blocks + 1) // 2)
 
-    q_spec = pl.BlockSpec(
-        (1, 1, block_q, head_dim), lambda b, h, iq, jkv: (b, h, iq, 0)
-    )
-    kv_spec = pl.BlockSpec(
-        (1, 1, block_kv, head_dim),
-        lambda b, h, iq, jkv: (b, h // q_per_kv, jkv_c(iq, jkv), 0),
-    )
-    stat_spec = pl.BlockSpec(
-        (1, 1, block_q, geo.NUM_LANES), lambda b, h, iq, jkv: (b, h, iq, 0)
-    )
+        def q_index(b, h, p):
+            return (b, h, _tri_decode(p, num_q_blocks)[0], 0)
+
+        def kv_index(b, h, p):
+            return (b, h // q_per_kv, _tri_decode(p, num_q_blocks)[1], 0)
+
+        dimension_semantics = ("parallel", "parallel", "arbitrary")
+    else:
+        if causal:
+            def jkv_c(iq, jkv):
+                return jnp.minimum(jkv, ((iq + 1) * block_q - 1) // block_kv)
+        else:
+            def jkv_c(iq, jkv):
+                return jkv
+
+        def q_index(b, h, iq, jkv):
+            return (b, h, iq, 0)
+
+        def kv_index(b, h, iq, jkv):
+            return (b, h // q_per_kv, jkv_c(iq, jkv), 0)
+
+        dimension_semantics = ("parallel", "parallel", "parallel", "arbitrary")
+
+    q_spec = pl.BlockSpec((1, 1, block_q, head_dim), q_index)
+    kv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), kv_index)
+    stat_spec = pl.BlockSpec((1, 1, block_q, geo.NUM_LANES), q_index)
     dq = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, head_dim), lambda b, h, iq, jkv: (b, h, iq, 0)
-        ),
+        out_specs=pl.BlockSpec((1, 1, block_q, head_dim), q_index),
         out_shape=jax.ShapeDtypeStruct(
             (batch, num_q_heads, n_q, head_dim), jnp.float32
         ),
         scratch_shapes=[pltpu.VMEM((block_q, head_dim), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=dimension_semantics,
         ),
         interpret=interpret,
     )(q, k, v, do, lse, dpre)

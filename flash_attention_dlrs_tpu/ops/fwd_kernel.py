@@ -37,6 +37,16 @@ from .. import geometry as geo
 # Finite large-negative mask: -inf would produce NaN via exp(-inf - (-inf)).
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# Base-2 softmax: the kernels fold sm_scale*log2(e) into Q *before* the
+# matmul and exponentiate with exp2 (the VPU's native transcendental).  This
+# removes two O(N^2) VPU multiplies from the hot loop — the per-element
+# `s * sm_scale` and the x*log2e hidden inside every exp — at O(N·d) cost
+# outside the kernel.  Same trick as the reference's base-2 convention
+# (src/flash_attention_kernels.py:9,92-94), but applied at the Q tensor
+# rather than per score block.
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
+
 # Full-precision matmuls: carries the reference's input_precision="ieee"
 # discipline (src/flash_attention_kernels.py:6) — JAX's DEFAULT precision is a
 # bf16-based fast path even for fp32 operands.  For sub-fp32 operands the MXU
@@ -57,6 +67,21 @@ def mxu_dot(a, b, dims):
     )
 
 
+def _tri_decode(p_id, num_q_blocks: int):
+    """Map a linear index over the lower-triangular (iq, ikv) block space
+    (ikv ≤ iq) back to coordinates: row iq owns steps [tri(iq), tri(iq+1)).
+
+    Evaluated on the scalar core per grid step — a chain of T−1 compares, far
+    cheaper than the 1−2/(T+1) grid steps the rectangular causal grid wastes
+    on skipped above-diagonal blocks.
+    """
+    iq = jnp.int32(0)
+    for t in range(1, num_q_blocks):
+        iq = jnp.where(p_id >= t * (t + 1) // 2, jnp.int32(t), iq)
+    ikv = p_id - iq * (iq + 1) // 2
+    return iq, ikv
+
+
 def _fwd_kernel(
     q_ref,
     k_ref,
@@ -67,15 +92,22 @@ def _fwd_kernel(
     l_scratch,
     acc_scratch,
     *,
-    sm_scale: float,
     causal: bool,
     kv_len: int,
     block_q: int,
     block_kv: int,
     num_kv_blocks: int,
+    tri: bool = False,
 ):
-    iq = pl.program_id(2)
-    ikv = pl.program_id(3)
+    if tri:
+        # Compacted triangular causal grid: every step is real work, the
+        # online-softmax row finishes at its diagonal block (ikv == iq).
+        iq, ikv = _tri_decode(pl.program_id(2), num_kv_blocks)
+        is_last = ikv == iq
+    else:
+        iq = pl.program_id(2)
+        ikv = pl.program_id(3)
+        is_last = ikv == num_kv_blocks - 1
 
     @pl.when(ikv == 0)
     def _init():
@@ -84,21 +116,21 @@ def _fwd_kernel(
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
     # Causal block-level skip: run only if some (q_pos >= kv_pos) pair exists,
-    # i.e. the block's bottom-left corner touches the lower triangle.
-    if causal:
+    # i.e. the block's bottom-left corner touches the lower triangle.  The
+    # triangular grid never emits above-diagonal steps, so it always runs.
+    if causal and not tri:
         should_run = (iq + 1) * block_q - 1 >= ikv * block_kv
     else:
         should_run = True
 
     def _compute(apply_mask):
-        q = q_ref[0, 0]  # [block_q, d]
+        q = q_ref[0, 0]  # [block_q, d] — pre-scaled by sm_scale*log2(e)
         k = k_ref[0, 0]  # [block_kv, d]
 
-        # S = Q K^T * scale, fp32 accumulation on the MXU
+        # S₂ = (c·Q) K^T with c = sm_scale·log2e already folded into Q by
+        # fwd_pallas; fp32 accumulation on the MXU
         # (≙ src/flash_attention_kernels.py:92 with input_precision="ieee").
         s = mxu_dot(q, k, (((1,), (1,)), ((), ())))
-        if sm_scale != 1.0:
-            s = s * sm_scale
 
         # Masking: causal within diagonal-crossing blocks + KV-length tail.
         if apply_mask:
@@ -117,8 +149,8 @@ def _fwd_kernel(
         l_prev = l_scratch[...]
         m_curr = jnp.max(s, axis=-1, keepdims=True)  # [block_q, 1]
         m_next = jnp.maximum(m_prev, m_curr)  # broadcast over lanes
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])  # [block_q, block_kv]
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, :1])  # [block_q, block_kv]
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
         m_scratch[...] = m_next
@@ -148,7 +180,7 @@ def _fwd_kernel(
             lambda: _compute(False)
         )
 
-    @pl.when(ikv == num_kv_blocks - 1)
+    @pl.when(is_last)
     def _epilogue():
         l = l_scratch[...][:, :1]
         m = m_scratch[...][:, :1]
@@ -156,7 +188,9 @@ def _fwd_kernel(
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
         if lse_ref is not None:
-            lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+            # m is in base-2 units (scores were pre-scaled by log2e); the
+            # residual stays natural-base: L = ln2·m₂ + ln(l₂).
+            lse = LN2 * m + jnp.log(jnp.where(l == 0.0, 1.0, l))
             lse = jnp.where(l == 0.0, DEFAULT_MASK_VALUE, lse)
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
@@ -202,14 +236,24 @@ def fwd_pallas(
     num_q_blocks = n_q // block_q
     num_kv_blocks = n_kv // block_kv
 
+    # Fold sm_scale·log2e into Q once (O(N·d), fused by XLA) so the kernel's
+    # O(N²) hot loop runs scale-free in base 2.
+    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
+
+    # Compacted triangular grid for the self-attention causal case: instead
+    # of a rectangular (T_q, T_kv) grid where ~half the steps are skipped by
+    # pl.when (each still paying grid/bookkeeping cost), enumerate only the
+    # T(T+1)/2 lower-triangular blocks.  Measured on v5e (N=4096, d=128,
+    # 1024² blocks): 103 vs 90 TF/s.
+    tri = causal and n_q == n_kv and block_q == block_kv
     kernel = functools.partial(
         _fwd_kernel,
-        sm_scale=sm_scale,
         causal=causal,
         kv_len=kv_len,
         block_q=block_q,
         block_kv=block_kv,
         num_kv_blocks=num_kv_blocks,
+        tri=tri,
     )
     if not save_residuals:
         base = kernel
@@ -217,34 +261,47 @@ def fwd_pallas(
         def kernel(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s):  # noqa: F811
             return base(q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s)
 
-    grid = (batch, num_q_heads, num_q_blocks, num_kv_blocks)
+    if tri:
+        grid = (batch, num_q_heads, num_q_blocks * (num_q_blocks + 1) // 2)
 
-    q_spec = pl.BlockSpec(
-        (1, 1, block_q, head_dim), lambda b, h, iq, ikv: (b, h, iq, 0)
-    )
-    if causal:
-        # Above-diagonal KV blocks are never computed (pl.when skip), but
-        # Pallas would still DMA them.  Clamping the index map to the last
-        # in-diagonal block makes the skipped iterations request the SAME
-        # block as the previous step — the pipeline elides the refetch, so
-        # causal saves ~half the K/V HBM traffic, not just the FLOPs.
-        def kv_index(b, h, iq, ikv):
-            ikv_c = jnp.minimum(ikv, ((iq + 1) * block_q - 1) // block_kv)
-            return (b, h // q_per_kv, ikv_c, 0)
+        def q_index(b, h, p):
+            return (b, h, _tri_decode(p, num_q_blocks)[0], 0)
+
+        def kv_index(b, h, p):
+            return (b, h // q_per_kv, _tri_decode(p, num_q_blocks)[1], 0)
+
+        dimension_semantics = ("parallel", "parallel", "arbitrary")
     else:
-        def kv_index(b, h, iq, ikv):
-            return (b, h // q_per_kv, ikv, 0)
+        grid = (batch, num_q_heads, num_q_blocks, num_kv_blocks)
+
+        def q_index(b, h, iq, ikv):
+            return (b, h, iq, 0)
+
+        if causal:
+            # Above-diagonal KV blocks are never computed (pl.when skip), but
+            # Pallas would still DMA them.  Clamping the index map to the last
+            # in-diagonal block makes the skipped iterations request the SAME
+            # block as the previous step — the pipeline elides the refetch, so
+            # causal saves ~half the K/V HBM traffic, not just the FLOPs.
+            def kv_index(b, h, iq, ikv):
+                ikv_c = jnp.minimum(ikv, ((iq + 1) * block_q - 1) // block_kv)
+                return (b, h // q_per_kv, ikv_c, 0)
+        else:
+            def kv_index(b, h, iq, ikv):
+                return (b, h // q_per_kv, ikv, 0)
+
+        dimension_semantics = ("parallel", "parallel", "parallel", "arbitrary")
+
+    q_spec = pl.BlockSpec((1, 1, block_q, head_dim), q_index)
     kv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), kv_index)
-    o_spec = pl.BlockSpec(
-        (1, 1, block_q, head_dim), lambda b, h, iq, ikv: (b, h, iq, 0)
-    )
+    o_spec = pl.BlockSpec((1, 1, block_q, head_dim), q_index)
     out_specs = [o_spec]
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
     if save_residuals:
         out_specs.append(
             pl.BlockSpec(
                 (1, 1, block_q, geo.NUM_LANES),
-                lambda b, h, iq, ikv: (b, h, iq, 0),
+                lambda *idx: q_index(*idx),
             )
         )
         out_shape.append(
@@ -269,7 +326,7 @@ def fwd_pallas(
             pltpu.VMEM((block_q, head_dim), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=dimension_semantics,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops_matmul,
