@@ -123,7 +123,7 @@ def make_prefill(cfg: ModelConfig, *, interpret: Optional[bool] = None):
 def make_decode_step(
     cfg: ModelConfig,
     *,
-    pages_per_block: int = 4,
+    pages_per_block: int | None = None,
     interpret: Optional[bool] = None,
 ):
     """jitted decode step, KV pools donated (in-place page scatter).

@@ -242,7 +242,7 @@ def paged_decode_attention(
     page_indices,  # [B, pages_per_seq] int32
     *,
     sm_scale=None,
-    pages_per_block: int = 4,
+    pages_per_block: int | None = None,
     interpret=None,
 ):
     """O = softmax(scale·q·K_pagesᵀ, masked to `lengths`) · V_pages.
@@ -250,6 +250,11 @@ def paged_decode_attention(
     GQA: q heads are grouped onto their KV head inside one grid cell.
     Quantized KV: pass ``QuantizedTensor`` pages (int8 / fp8 payload with
     per-token scales from :func:`quantize_kv_pages`).
+
+    ``pages_per_block`` defaults to ~2048 tokens of KV per double-buffered
+    DMA block: measured on v5e @8K ctx, small per-page DMAs are issue-bound
+    (~250 GB/s with 128-token blocks) while 2-4K-token blocks reach
+    600-700 GB/s of the ~819 GB/s HBM peak.
     """
     batch, num_q_heads, head_dim = q.shape
     quantized = isinstance(k_pages, QuantizedTensor)
@@ -280,6 +285,8 @@ def paged_decode_attention(
         interpret = default_interpret()
 
     pages_per_seq = page_indices.shape[1]
+    if pages_per_block is None:
+        pages_per_block = max(1, min(2048 // page_size, pages_per_seq))
     if pages_per_seq % pages_per_block:
         pad = pages_per_block - pages_per_seq % pages_per_block
         page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))

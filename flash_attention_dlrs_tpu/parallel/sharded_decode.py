@@ -23,7 +23,7 @@ def head_sharded_paged_decode(
     mesh: Mesh,
     *,
     sm_scale: Optional[float] = None,
-    pages_per_block: int = 4,
+    pages_per_block: int | None = None,
     data_axis: Optional[str] = "data",
     model_axis: str = "model",
     quantized: bool = False,

@@ -47,13 +47,13 @@ class DecodeEngine:
         cfg: ModelConfig,
         *,
         num_pages: int = 128,
-        page_size: int = 128,
+        page_size: int = 256,
         num_slots: int = 4,
         pages_per_seq: int = 8,
         kv_dtype=jnp.bfloat16,
         quantized_kv: bool = False,
         eos_token: Optional[int] = None,
-        pages_per_block: int = 4,
+        pages_per_block: int | None = None,
         interpret: Optional[bool] = None,
     ):
         self.params = params

@@ -99,7 +99,7 @@ class PagedKVCache:
         num_kv_heads: int,
         head_dim: int,
         num_pages: int,
-        page_size: int = 128,
+        page_size: int = 256,
         dtype=jnp.bfloat16,
         quantized: bool = False,
     ) -> "PagedKVCache":

@@ -23,7 +23,7 @@ def main():
     ap.add_argument("--ctx", type=int, default=8192)
     ap.add_argument("--batches", type=int, nargs="+", default=[8, 32])
     ap.add_argument("--page-size", type=int, default=128)
-    ap.add_argument("--pages-per-block", type=int, default=8)
+    ap.add_argument("--pages-per-block", type=int, default=None)
     args = ap.parse_args()
 
     from flash_attention_dlrs_tpu.bench.suite import time_fn
@@ -52,13 +52,29 @@ def main():
             quantize_kv_pages(vp, jnp.float8_e4m3fn),
         )
         for name, (kq, vq) in variants.items():
-            def step(q_, k_=kq, v_=vq):
-                return paged_decode_attention(
-                    q_, k_, v_, lengths, pidx,
-                    pages_per_block=args.pages_per_block,
-                )
+            # KV pages must flow in as ARGUMENTS, not closure captures: a
+            # captured array is baked into the jaxpr as a constant and
+            # shipped with every compile request (hundreds of MB at 8K ctx).
+            quantized = name != "bf16"
+            if quantized:
+                def step(q_, kv_, vv_, ks_, vs_):
+                    from flash_attention_dlrs_tpu.ops.quantization import (
+                        QuantizedTensor,
+                    )
+                    return paged_decode_attention(
+                        q_, QuantizedTensor(kv_, ks_), QuantizedTensor(vv_, vs_),
+                        lengths, pidx, pages_per_block=args.pages_per_block,
+                    )
+                step_args = (q, kq.values, vq.values, kq.scales, vq.scales)
+            else:
+                def step(q_, kv_, vv_):
+                    return paged_decode_attention(
+                        q_, kv_, vv_, lengths, pidx,
+                        pages_per_block=args.pages_per_block,
+                    )
+                step_args = (q, kq, vq)
             try:
-                sec = time_fn(step, q, iters=12)
+                sec = time_fn(step, *step_args, iters=12)
             except Exception as e:
                 print(f"[decode] B={b} {name}: FAIL {type(e).__name__}")
                 continue
