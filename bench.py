@@ -37,7 +37,7 @@ def main() -> None:
 
     sec_ours = time_fn(
         lambda q_, k_, v_: flash_attention(q_, k_, v_, causal=causal),
-        q, k, v, iters=10,
+        q, k, v,
     )
     fl = attention_flops(b, h, n, n, d, causal=causal, mode="fwd")
     tflops_ours = fl / sec_ours / 1e12
@@ -47,7 +47,7 @@ def main() -> None:
             lambda q_, k_, v_: reference_attention(
                 q_, k_, v_, causal=causal, sm_scale=d**-0.5
             ),
-            q, k, v, iters=10,
+            q, k, v,
         )
         vs_baseline = sec_xla / sec_ours
     except Exception:

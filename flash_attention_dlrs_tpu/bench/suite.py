@@ -74,7 +74,13 @@ def _chained(fn: Callable, iters: int):
     return chained
 
 
-def time_fn(fn: Callable, *args, iters: int = 16, reps: int = 3) -> float:
+def time_fn(
+    fn: Callable,
+    *args,
+    iters: int | None = None,
+    reps: int = 5,
+    min_window: float = 0.08,
+) -> float:
     """Median seconds per call of fn(*args).
 
     The execution environment dispatches asynchronously through a tunnel
@@ -83,17 +89,36 @@ def time_fn(fn: Callable, *args, iters: int = 16, reps: int = 3) -> float:
     (data-dependent, can't be CSE'd), force completion by fetching the
     scalar result, and take the slope (t2−t1)/(N2−N1) — constant dispatch
     and fetch overheads cancel exactly.
-    """
-    n1 = max(2, iters // 4)
-    n2 = iters
-    c1, c2 = _chained(fn, n1), _chained(fn, n2)
-    jax.device_get(c1(*args))  # compile + warm
-    jax.device_get(c2(*args))
 
+    With ``iters=None`` the chain length auto-calibrates so the measured
+    window (N2−N1 calls) is at least ``min_window`` seconds — sub-ms ops
+    through the tunnel are otherwise dominated by jitter.  N2 is rounded to
+    a power of two to reuse compiled chains across providers.
+    """
     def run(c):
         t0 = time.perf_counter()
         jax.device_get(c(*args))
         return time.perf_counter() - t0
+
+    if iters is None:
+        # Per-call estimate from the DIFFERENCE of two probe lengths — a
+        # single probe would fold the ~ms tunnel dispatch overhead into the
+        # estimate and keep the chain far too short for sub-ms ops.
+        p1, p2 = _chained(fn, 4), _chained(fn, 36)
+        jax.device_get(p1(*args))  # compile + warm
+        jax.device_get(p2(*args))
+        d1 = min(run(p1), run(p1))
+        d2 = min(run(p2), run(p2))
+        est = max((d2 - d1) / 32, 1e-7)
+        n2 = 8
+        while (n2 - n2 // 4) * est < min_window and n2 < 8192:
+            n2 *= 2
+    else:
+        n2 = iters
+    n1 = max(2, n2 // 4)
+    c1, c2 = _chained(fn, n1), _chained(fn, n2)
+    jax.device_get(c1(*args))  # compile + warm
+    jax.device_get(c2(*args))
 
     slopes = []
     for _ in range(reps):
@@ -129,13 +154,27 @@ def _provider_xla(causal):
 def _provider_jax_flash(causal):
     try:
         from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes as JaxBlockSizes,
             flash_attention as jax_flash,
         )
     except ImportError:
         return None
 
     def fwd(q, k, v):
-        return jax_flash(q, k, v, causal=causal, sm_scale=q.shape[-1] ** -0.5)
+        # Give the competitor its best measured config (1024 blocks, same as
+        # ours) rather than its conservative defaults — we compare against
+        # the strongest version of it.
+        n = q.shape[2]
+        blk = max(128, min(1024, n))
+        bs = JaxBlockSizes(
+            block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+            block_q_major_dkv=blk, block_k_major_dkv=blk,
+            block_k_dkv=blk, block_q_dkv=blk,
+            block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+        )
+        return jax_flash(
+            q, k, v, causal=causal, sm_scale=q.shape[-1] ** -0.5, block_sizes=bs
+        )
 
     return fwd
 
@@ -158,7 +197,7 @@ def run_bench(
     causal: bool = True,
     dtype=jnp.bfloat16,
     out_dir: str = "bench_out",
-    iters: int = 10,
+    iters: int | None = None,
 ) -> list:
     """Sweep and write one CSV per (mode) to out_dir; failures → NaN rows
     (reference policy src/bench.py:100-109)."""
@@ -188,7 +227,9 @@ def run_bench(
                                     _fwd(qq, kk, vv).astype(jnp.float32)
                                 )
                             g = jax.grad(scalar, argnums=(0, 1, 2))(q_, k_, v_)
-                            return g[0]
+                            # consume ALL grads: returning only dq lets XLA
+                            # dead-code-eliminate the dK/dV kernel entirely
+                            return g[0] + g[1] + g[2]
                     try:
                         sec = time_fn(fn, q, k, v, iters=iters)
                         ms = sec * 1e3

@@ -74,7 +74,7 @@ def main():
                     )
                 step_args = (q, kq, vq)
             try:
-                sec = time_fn(step, *step_args, iters=12)
+                sec = time_fn(step, *step_args)
             except Exception as e:
                 print(f"[decode] B={b} {name}: FAIL {type(e).__name__}")
                 continue
