@@ -10,6 +10,7 @@ package covers.
 
 from .geometry import TpuGeometry, current_geometry
 from .ops import (
+    SegmentIds,
     flash_attention,
     flash_attention_backward,
     flash_attention_forward,
@@ -20,6 +21,7 @@ from .tuning import BlockSizes, default_block_sizes
 __version__ = "0.1.0"
 
 __all__ = [
+    "SegmentIds",
     "flash_attention",
     "flash_attention_forward",
     "flash_attention_backward",

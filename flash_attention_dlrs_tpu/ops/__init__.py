@@ -1,4 +1,5 @@
 from .flash_attention import (
+    SegmentIds,
     flash_attention,
     flash_attention_backward,
     flash_attention_forward,
@@ -6,6 +7,7 @@ from .flash_attention import (
 from .reference import reference_attention, reference_attention_grads
 
 __all__ = [
+    "SegmentIds",
     "flash_attention",
     "flash_attention_forward",
     "flash_attention_backward",

@@ -87,7 +87,7 @@ def bwd_d_pallas(o, do, *, block_q: int, interpret: bool = False):
 
 
 def _recompute_p(q, k, lse, iq, jkv, *, causal, kv_len, block_q,
-                 block_kv, apply_mask):
+                 block_kv, apply_mask, qseg=None, kvseg=None):
     """P = exp2((c·Q)Kᵀ − log2e·L) with causal/length masking, where
     c = sm_scale·log2e was folded into Q by the caller.
 
@@ -98,21 +98,33 @@ def _recompute_p(q, k, lse, iq, jkv, *, causal, kv_len, block_q,
     s = mxu_dot(q, k, (((1,), (1,)), ((), ())))
     lse = lse * LOG2E  # [block_q, 1] — O(block_q), off the hot path
     if apply_mask:
-        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
         mask = None
         if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
             mask = (row + iq * block_q) >= (col + jkv * block_kv)
         if kv_len % block_kv != 0:
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
             lm = (col + jkv * block_kv) < kv_len
             mask = lm if mask is None else jnp.logical_and(mask, lm)
+        if qseg is not None:
+            seg = qseg[:, :1] == kvseg[:1, :]  # [block_q, block_kv]
+            mask = seg if mask is None else jnp.logical_and(mask, seg)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
     return jnp.exp2(s - lse)
 
 
-def _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run, body):
+def _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run, body,
+                segmented=False):
     """Run `body(apply_mask)` under pl.when, masking only diagonal-crossing
-    and KV-tail blocks (interior blocks skip the iota/select work)."""
+    and KV-tail blocks (interior blocks skip the iota/select work).  Packed
+    segments have data-dependent boundaries, so every block masks."""
+    if segmented:
+        if should_run is True:
+            body(True)
+        else:
+            pl.when(should_run)(lambda: body(True))
+        return
     needs = None
     if causal:
         needs = (jkv + 1) * block_kv - 1 > iq * block_q
@@ -140,6 +152,8 @@ def _bwd_dkv_kernel(
     do_ref,
     lse_ref,
     dpre_ref,
+    qseg_ref,  # [1, block_q, LANES] int32 or None
+    kvseg_ref,  # [1, SUBLANES, block_kv] int32 or None
     dk_ref,
     dv_ref,
     dk_acc,
@@ -182,6 +196,8 @@ def _bwd_dkv_kernel(
             q, k, lse, iq, jkv,
             causal=causal, kv_len=kv_len,
             block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
+            qseg=None if qseg_ref is None else qseg_ref[0],
+            kvseg=None if kvseg_ref is None else kvseg_ref[0],
         )
         # dV += Pᵀ dO  (≙ src/flash_attention_kernels.py:287)
         dv_acc[...] += mxu_dot(p.astype(do.dtype), do, (((0,), (0,)), ((), ())))
@@ -194,7 +210,8 @@ def _bwd_dkv_kernel(
         # dK += dSᵀ (c·Q)  (≙ :293)
         dk_acc[...] += mxu_dot(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())))
 
-    _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run, _compute)
+    _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run,
+                _compute, segmented=qseg_ref is not None)
 
     @pl.when(iq == num_q_blocks - 1)
     def _store():
@@ -209,7 +226,7 @@ def _bwd_dkv_kernel(
     ),
 )
 def bwd_dkv_pallas(
-    q, k, v, do, lse, dpre, *,
+    q, k, v, do, lse, dpre, q_seg=None, kv_seg=None, *,
     sm_scale, causal, block_q, block_kv, kv_len, interpret=False,
 ):
     """dK, dV per *query* head: [B, Hq, Nkv_pad, d] fp32.
@@ -274,10 +291,35 @@ def bwd_dkv_pallas(
     kv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), kv_index)
     stat_spec = pl.BlockSpec((1, 1, block_q, geo.NUM_LANES), q_index)
     dkv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), dkv_index)
+    in_specs = [q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec]
+    inputs = [q, k, v, do, lse, dpre]
+    if q_seg is not None:
+        qseg_rep = jnp.broadcast_to(
+            q_seg.astype(jnp.int32)[:, :, None], (batch, n_q, geo.NUM_LANES)
+        )
+        kvseg_rep = jnp.broadcast_to(
+            kv_seg.astype(jnp.int32)[:, None, :],
+            (batch, geo.NUM_SUBLANES, n_kv),
+        )
+        in_specs.append(pl.BlockSpec(
+            (1, block_q, geo.NUM_LANES),
+            lambda *idx: (idx[0], q_index(*idx)[2], 0),
+        ))
+        in_specs.append(pl.BlockSpec(
+            (1, geo.NUM_SUBLANES, block_kv),
+            lambda *idx: (idx[0], 0, kv_index(*idx)[2]),
+        ))
+        inputs += [qseg_rep, kvseg_rep]
+    else:
+        seg_kernel = kernel
+
+        def kernel(q_r, k_r, v_r, do_r, l_r, d_r, dk_r, dv_r, a1, a2):  # noqa: F811
+            return seg_kernel(q_r, k_r, v_r, do_r, l_r, d_r, None, None,
+                              dk_r, dv_r, a1, a2)
     dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec],
+        in_specs=in_specs,
         out_specs=[dkv_spec, dkv_spec],
         out_shape=[
             jax.ShapeDtypeStruct((batch, num_q_heads, n_kv, head_dim), jnp.float32),
@@ -291,7 +333,7 @@ def bwd_dkv_pallas(
             dimension_semantics=dimension_semantics,
         ),
         interpret=interpret,
-    )(q, k, v, do, lse, dpre)
+    )(*inputs)
     return dk, dv
 
 
@@ -307,6 +349,8 @@ def _bwd_dq_kernel(
     do_ref,
     lse_ref,
     dpre_ref,
+    qseg_ref,  # [1, block_q, LANES] int32 or None
+    kvseg_ref,  # [1, SUBLANES, block_kv] int32 or None
     dq_ref,
     dq_acc,
     *,
@@ -347,6 +391,8 @@ def _bwd_dq_kernel(
             q, k, lse, iq, jkv,
             causal=causal, kv_len=kv_len,
             block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
+            qseg=None if qseg_ref is None else qseg_ref[0],
+            kvseg=None if kvseg_ref is None else kvseg_ref[0],
         )
         dp = mxu_dot(do, v, (((1,), (1,)), ((), ())))
         # No per-element sm_scale multiply: k is unscaled here, so the true
@@ -357,7 +403,8 @@ def _bwd_dq_kernel(
         # (src/flash_attention_kernels.py:305-320).  No lock needed here.
         dq_acc[...] += mxu_dot(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())))
 
-    _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run, _compute)
+    _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run,
+                _compute, segmented=qseg_ref is not None)
 
     @pl.when(is_last)
     def _store():
@@ -371,7 +418,7 @@ def _bwd_dq_kernel(
     ),
 )
 def bwd_dq_pallas(
-    q, k, v, do, lse, dpre, *,
+    q, k, v, do, lse, dpre, q_seg=None, kv_seg=None, *,
     sm_scale, causal, block_q, block_kv, kv_len, interpret=False,
 ):
     """dQ: [B, Hq, Nq_pad, d] fp32."""
@@ -422,10 +469,35 @@ def bwd_dq_pallas(
     q_spec = pl.BlockSpec((1, 1, block_q, head_dim), q_index)
     kv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), kv_index)
     stat_spec = pl.BlockSpec((1, 1, block_q, geo.NUM_LANES), q_index)
+    in_specs = [q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec]
+    inputs = [q, k, v, do, lse, dpre]
+    if q_seg is not None:
+        qseg_rep = jnp.broadcast_to(
+            q_seg.astype(jnp.int32)[:, :, None], (batch, n_q, geo.NUM_LANES)
+        )
+        kvseg_rep = jnp.broadcast_to(
+            kv_seg.astype(jnp.int32)[:, None, :],
+            (batch, geo.NUM_SUBLANES, n_kv),
+        )
+        in_specs.append(pl.BlockSpec(
+            (1, block_q, geo.NUM_LANES),
+            lambda *idx: (idx[0], q_index(*idx)[2], 0),
+        ))
+        in_specs.append(pl.BlockSpec(
+            (1, geo.NUM_SUBLANES, block_kv),
+            lambda *idx: (idx[0], 0, kv_index(*idx)[2]),
+        ))
+        inputs += [qseg_rep, kvseg_rep]
+    else:
+        seg_kernel = kernel
+
+        def kernel(q_r, k_r, v_r, do_r, l_r, d_r, dq_r, acc):  # noqa: F811
+            return seg_kernel(q_r, k_r, v_r, do_r, l_r, d_r, None, None,
+                              dq_r, acc)
     dq = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, block_q, head_dim), q_index),
         out_shape=jax.ShapeDtypeStruct(
             (batch, num_q_heads, n_q, head_dim), jnp.float32
@@ -435,5 +507,5 @@ def bwd_dq_pallas(
             dimension_semantics=dimension_semantics,
         ),
         interpret=interpret,
-    )(q, k, v, do, lse, dpre)
+    )(*inputs)
     return dq

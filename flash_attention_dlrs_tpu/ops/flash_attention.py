@@ -20,16 +20,57 @@ are sequential per core.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import geometry as geo
 from .. import tuning
 from ..utils import default_interpret, pad_axis_to
 from . import bwd_kernel as bwd
 from . import fwd_kernel as fwd
+
+
+class SegmentIds(NamedTuple):
+    """Packed-sequence segment ids: positions attend only within equal ids.
+
+    q: [B, Nq] integer; kv: [B, Nkv] integer.  A new component with no
+    reference counterpart (the reference masks nothing beyond causal in its
+    vendored competitor) — required for packed-batch training pipelines.
+    """
+
+    q: jax.Array
+    kv: jax.Array
+
+
+# Sentinels used to pad segment arrays to block multiples: padded q rows and
+# padded kv columns never match anything (including each other).
+_Q_SEG_PAD = -1
+_KV_SEG_PAD = -2
+
+
+def _normalize_segments(segment_ids, q, k):
+    if segment_ids is None:
+        return None
+    if not isinstance(segment_ids, SegmentIds):
+        segment_ids = SegmentIds(q=segment_ids, kv=segment_ids)
+    qs, ks = segment_ids.q, segment_ids.kv
+    if qs.shape != (q.shape[0], q.shape[2]) or ks.shape != (k.shape[0], k.shape[2]):
+        raise ValueError(
+            f"segment_ids shapes {qs.shape}/{ks.shape} must be "
+            f"[B, Nq]={q.shape[0], q.shape[2]} / [B, Nkv]={k.shape[0], k.shape[2]}"
+        )
+    return SegmentIds(q=qs.astype(jnp.int32), kv=ks.astype(jnp.int32))
+
+
+def _pad_segments(seg: Optional[SegmentIds], block_q: int, block_kv: int):
+    if seg is None:
+        return None, None
+    qs, _ = pad_axis_to(seg.q, 1, block_q, value=_Q_SEG_PAD)
+    ks, _ = pad_axis_to(seg.kv, 1, block_kv, value=_KV_SEG_PAD)
+    return qs, ks
 
 
 def _validate(q, k, v):
@@ -87,6 +128,7 @@ def flash_attention_forward(
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
+    segment_ids: Optional[Union[SegmentIds, jax.Array]] = None,
     block_sizes: Optional[tuning.BlockSizes] = None,
     interpret: Optional[bool] = None,
 ):
@@ -94,10 +136,12 @@ def flash_attention_forward(
     (src/flash_attention_wrappers.py:7-63).  L is the natural-base logsumexp
     of the scaled scores, shape [B, H, Nq] fp32."""
     _validate(q, k, v)
+    seg = _normalize_segments(segment_ids, q, k)
     sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
     qp, kp, vp, q_len, kv_len, d = _pad_inputs(q, k, v, bs.block_q, bs.block_kv)
+    qseg_p, kvseg_p = _pad_segments(seg, bs.block_q, bs.block_kv)
     o, lse = fwd.fwd_pallas(
-        qp, kp, vp,
+        qp, kp, vp, qseg_p, kvseg_p,
         sm_scale=sm_scale, causal=causal,
         block_q=bs.block_q, block_kv=bs.block_kv,
         kv_len=kv_len, save_residuals=True, interpret=interpret,
@@ -115,6 +159,7 @@ def flash_attention_backward(
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
+    segment_ids: Optional[Union[SegmentIds, jax.Array]] = None,
     block_sizes: Optional[tuning.BlockSizes] = None,
     interpret: Optional[bool] = None,
 ):
@@ -122,10 +167,12 @@ def flash_attention_backward(
     wrapper (src/flash_attention_wrappers.py:66-176): D-preprocess kernel,
     then the dKV and dQ kernels.  `lse` is [B, H, Nq] from the forward."""
     _validate(q, k, v)
+    seg = _normalize_segments(segment_ids, q, k)
     sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
     num_kv_heads = k.shape[1]
     bq, bkv = bs.block_q_bwd, bs.block_kv_bwd
     qp, kp, vp, q_len, kv_len, d = _pad_inputs(q, k, v, bq, bkv)
+    qseg_p, kvseg_p = _pad_segments(seg, bq, bkv)
     op, _ = pad_axis_to(o, 2, bq)
     dop, _ = pad_axis_to(do, 2, bq)
     d_pad = qp.shape[-1]
@@ -139,12 +186,12 @@ def flash_attention_backward(
     dpre = bwd.bwd_d_pallas(op, dop, block_q=bq, interpret=interpret)
 
     dk, dv = bwd.bwd_dkv_pallas(
-        qp, kp, vp, dop, lse_rep, dpre,
+        qp, kp, vp, dop, lse_rep, dpre, qseg_p, kvseg_p,
         sm_scale=sm_scale, causal=causal,
         block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
     )
     dq = bwd.bwd_dq_pallas(
-        qp, kp, vp, dop, lse_rep, dpre,
+        qp, kp, vp, dop, lse_rep, dpre, qseg_p, kvseg_p,
         sm_scale=sm_scale, causal=causal,
         block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
     )
@@ -165,13 +212,24 @@ def flash_attention_backward(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_attention(q, k, v, causal, sm_scale, block_sizes, interpret):
+def _seg_cotangent(seg):
+    """float0 cotangents for the (integer) segment-id primals."""
+    if seg is None:
+        return None
+    return SegmentIds(
+        q=np.zeros(seg.q.shape, jax.dtypes.float0),
+        kv=np.zeros(seg.kv.shape, jax.dtypes.float0),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention(q, k, v, seg, causal, sm_scale, block_sizes, interpret):
     qp, kp, vp, q_len, kv_len, d = _pad_inputs(
         q, k, v, block_sizes.block_q, block_sizes.block_kv
     )
+    qseg_p, kvseg_p = _pad_segments(seg, block_sizes.block_q, block_sizes.block_kv)
     o, _ = fwd.fwd_pallas(
-        qp, kp, vp,
+        qp, kp, vp, qseg_p, kvseg_p,
         sm_scale=sm_scale, causal=causal,
         block_q=block_sizes.block_q, block_kv=block_sizes.block_kv,
         kv_len=kv_len, save_residuals=False, interpret=interpret,
@@ -179,25 +237,25 @@ def _flash_attention(q, k, v, causal, sm_scale, block_sizes, interpret):
     return o[:, :, :q_len, :d]
 
 
-def _flash_attention_fwd(q, k, v, causal, sm_scale, block_sizes, interpret):
+def _flash_attention_fwd(q, k, v, seg, causal, sm_scale, block_sizes, interpret):
     o, lse = flash_attention_forward(
         q, k, v,
-        causal=causal, sm_scale=sm_scale,
+        causal=causal, sm_scale=sm_scale, segment_ids=seg,
         block_sizes=block_sizes, interpret=interpret,
     )
     # Residuals (Q, K, V, O, L) ≙ ctx.save_for_backward
     # (src/flash_attention_torch.py:77).
-    return o, (q, k, v, o, lse)
+    return o, (q, k, v, o, lse, seg)
 
 
 def _flash_attention_bwd(causal, sm_scale, block_sizes, interpret, res, do):
-    q, k, v, o, lse = res
+    q, k, v, o, lse, seg = res
     dq, dk, dv = flash_attention_backward(
         q, k, v, o, do, lse,
-        causal=causal, sm_scale=sm_scale,
+        causal=causal, sm_scale=sm_scale, segment_ids=seg,
         block_sizes=block_sizes, interpret=interpret,
     )
-    return dq, dk, dv
+    return dq, dk, dv, _seg_cotangent(seg)
 
 
 _flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
@@ -210,6 +268,7 @@ def flash_attention(
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
+    segment_ids: Optional[Union[SegmentIds, jax.Array]] = None,
     block_sizes: Optional[tuning.BlockSizes] = None,
     tune: bool = False,
     interpret: Optional[bool] = None,
@@ -219,11 +278,14 @@ def flash_attention(
     q: [B, Hq, Nq, d]; k, v: [B, Hkv, Nkv, d] with Hq % Hkv == 0 (GQA/MQA).
     ``sm_scale`` defaults to 1/sqrt(d); pass ``sm_scale=1.0`` to reproduce the
     reference's unscaled convention (src/test_correctness.py:33).
+    ``segment_ids`` enables packed-sequence masking: a ``SegmentIds(q, kv)``
+    pair, or a single [B, N] array used for both sides (self-attention).
     ``tune=True`` times the VMEM-feasible block candidates on the live device
     the first time each shape key is seen (cached on disk thereafter) — the
     role of triton.autotune in the reference (src/flash_attention_kernels.py:11-15).
     """
     _validate(q, k, v)
+    seg = _normalize_segments(segment_ids, q, k)
     if tune and block_sizes is None:
         if isinstance(q, jax.core.Tracer):
             raise ValueError(
@@ -232,7 +294,7 @@ def flash_attention(
             )
         block_sizes = tuned_block_sizes(q, k, v, causal=causal, sm_scale=sm_scale)
     sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
-    return _flash_attention(q, k, v, causal, sm_scale, bs, interpret)
+    return _flash_attention(q, k, v, seg, causal, sm_scale, bs, interpret)
 
 
 def tuned_block_sizes(
@@ -249,7 +311,7 @@ def tuned_block_sizes(
 
         def fn(q_, k_, v_):
             return _flash_attention(
-                q_, k_, v_, causal, sm_scale_r, bs, interpret
+                q_, k_, v_, None, causal, sm_scale_r, bs, interpret
             )
 
         return fn

@@ -86,6 +86,8 @@ def _fwd_kernel(
     q_ref,
     k_ref,
     v_ref,
+    qseg_ref,  # [1, block_q, LANES] int32, or None (unpacked)
+    kvseg_ref,  # [1, SUBLANES, block_kv] int32, or None
     o_ref,
     lse_ref,  # None when save_residuals=False
     m_scratch,
@@ -132,16 +134,21 @@ def _fwd_kernel(
         # (≙ src/flash_attention_kernels.py:92 with input_precision="ieee").
         s = mxu_dot(q, k, (((1,), (1,)), ((), ())))
 
-        # Masking: causal within diagonal-crossing blocks + KV-length tail.
+        # Masking: causal within diagonal-crossing blocks + KV-length tail
+        # + (packed sequences) segment-id equality.
         if apply_mask:
-            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
             mask = None
             if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
                 mask = (row + iq * block_q) >= (col + ikv * block_kv)
             if kv_len % block_kv != 0:
+                col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
                 lm = (col + ikv * block_kv) < kv_len
                 mask = lm if mask is None else jnp.logical_and(mask, lm)
+            if qseg_ref is not None:
+                seg = qseg_ref[0][:, :1] == kvseg_ref[0][:1, :]  # [bq, bkv]
+                mask = seg if mask is None else jnp.logical_and(mask, seg)
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         # Online-softmax update (≙ src/flash_attention_kernels.py:93-98).
@@ -164,21 +171,30 @@ def _fwd_kernel(
 
     # Interior blocks (fully below the causal diagonal, fully inside the KV
     # length) skip the iota/compare/select entirely — the element mask only
-    # runs on diagonal-crossing and tail blocks.
-    needs_mask = None
-    if causal:
-        needs_mask = (ikv + 1) * block_kv - 1 > iq * block_q
-    if kv_len % block_kv != 0:
-        tail = (ikv + 1) * block_kv > kv_len
-        needs_mask = tail if needs_mask is None else jnp.logical_or(needs_mask, tail)
-
-    if needs_mask is None:
-        pl.when(should_run)(lambda: _compute(False))
+    # runs on diagonal-crossing and tail blocks.  With packed segments the
+    # boundary positions are data-dependent, so every block masks.
+    if qseg_ref is not None:
+        if should_run is True:
+            _compute(True)
+        else:
+            pl.when(should_run)(lambda: _compute(True))
     else:
-        pl.when(jnp.logical_and(should_run, needs_mask))(lambda: _compute(True))
-        pl.when(jnp.logical_and(should_run, jnp.logical_not(needs_mask)))(
-            lambda: _compute(False)
-        )
+        needs_mask = None
+        if causal:
+            needs_mask = (ikv + 1) * block_kv - 1 > iq * block_q
+        if kv_len % block_kv != 0:
+            tail = (ikv + 1) * block_kv > kv_len
+            needs_mask = (
+                tail if needs_mask is None else jnp.logical_or(needs_mask, tail)
+            )
+
+        if needs_mask is None:
+            pl.when(should_run)(lambda: _compute(False))
+        else:
+            pl.when(jnp.logical_and(should_run, needs_mask))(lambda: _compute(True))
+            pl.when(jnp.logical_and(should_run, jnp.logical_not(needs_mask)))(
+                lambda: _compute(False)
+            )
 
     @pl.when(is_last)
     def _epilogue():
@@ -211,6 +227,8 @@ def fwd_pallas(
     q,
     k,
     v,
+    q_seg=None,
+    kv_seg=None,
     *,
     sm_scale: float,
     causal: bool,
@@ -224,7 +242,10 @@ def fwd_pallas(
 
     q: [B, Hq, Nq_pad, d]; k, v: [B, Hkv, Nkv_pad, d] with Hq % Hkv == 0 and
     Nq_pad % block_q == Nkv_pad % block_kv == 0.  ``kv_len`` is the true
-    (unpadded) KV length used for tail masking.
+    (unpadded) KV length used for tail masking.  ``q_seg``/``kv_seg``
+    ([B, Nq_pad] / [B, Nkv_pad] int32, padded with non-matching sentinels)
+    enable packed-sequence masking: position pairs attend only within equal
+    segment ids.
 
     Returns O [B, Hq, Nq_pad, d] in q.dtype, plus — when ``save_residuals`` —
     LSE [B, Hq, Nq_pad, 128] fp32 (lane-replicated; callers slice [..., 0]).
@@ -246,7 +267,8 @@ def fwd_pallas(
     # T(T+1)/2 lower-triangular blocks.  Measured on v5e (N=4096, d=128,
     # 1024² blocks): 103 vs 90 TF/s.
     tri = causal and n_q == n_kv and block_q == block_kv
-    kernel = functools.partial(
+    segmented = q_seg is not None
+    base = functools.partial(
         _fwd_kernel,
         causal=causal,
         kv_len=kv_len,
@@ -255,11 +277,18 @@ def fwd_pallas(
         num_kv_blocks=num_kv_blocks,
         tri=tri,
     )
-    if not save_residuals:
-        base = kernel
-
-        def kernel(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s):  # noqa: F811
-            return base(q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s)
+    # Adapt the positional pallas argument list to the full kernel signature.
+    if segmented and save_residuals:
+        kernel = base
+    elif segmented:
+        def kernel(q_r, k_r, v_r, qs_r, ks_r, o_r, m_s, l_s, acc_s):
+            return base(q_r, k_r, v_r, qs_r, ks_r, o_r, None, m_s, l_s, acc_s)
+    elif save_residuals:
+        def kernel(q_r, k_r, v_r, o_r, lse_r, m_s, l_s, acc_s):
+            return base(q_r, k_r, v_r, None, None, o_r, lse_r, m_s, l_s, acc_s)
+    else:
+        def kernel(q_r, k_r, v_r, o_r, m_s, l_s, acc_s):
+            return base(q_r, k_r, v_r, None, None, o_r, None, m_s, l_s, acc_s)
 
     if tri:
         grid = (batch, num_q_heads, num_q_blocks * (num_q_blocks + 1) // 2)
@@ -294,6 +323,31 @@ def fwd_pallas(
 
     q_spec = pl.BlockSpec((1, 1, block_q, head_dim), q_index)
     kv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), kv_index)
+    in_specs = [q_spec, kv_spec, kv_spec]
+    inputs = [q, k, v]
+    if segmented:
+        # Lane-replicated q segments / sublane-replicated kv segments so the
+        # in-kernel compare broadcasts without a transpose.
+        qseg_rep = jnp.broadcast_to(
+            q_seg.astype(jnp.int32)[:, :, None], (batch, n_q, geo.NUM_LANES)
+        )
+        kvseg_rep = jnp.broadcast_to(
+            kv_seg.astype(jnp.int32)[:, None, :],
+            (batch, geo.NUM_SUBLANES, n_kv),
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, block_q, geo.NUM_LANES),
+                lambda *idx: (idx[0], q_index(*idx)[2], 0),
+            )
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, geo.NUM_SUBLANES, block_kv),
+                lambda *idx: (idx[0], 0, kv_index(*idx)[2]),
+            )
+        )
+        inputs += [qseg_rep, kvseg_rep]
     o_spec = pl.BlockSpec((1, 1, block_q, head_dim), q_index)
     out_specs = [o_spec]
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
@@ -317,7 +371,7 @@ def fwd_pallas(
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[q_spec, kv_spec, kv_spec],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -339,7 +393,7 @@ def fwd_pallas(
             transcendentals=batch * num_q_heads * n_q * n_kv,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(*inputs)
     if save_residuals:
         return outs[0], outs[1]
     return outs[0], None

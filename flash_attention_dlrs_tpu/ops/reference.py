@@ -23,11 +23,14 @@ def reference_attention(
     *,
     causal: bool = False,
     sm_scale: float = 1.0,
+    segment_ids=None,
     with_lse: bool = False,
 ):
     """O = softmax(scale * Q K^T + mask) V with fp32 softmax.
 
     q: [B, Hq, Nq, d]; k, v: [B, Hkv, Nkv, d] (GQA: Hq % Hkv == 0).
+    ``segment_ids``: SegmentIds-like with .q [B, Nq] / .kv [B, Nkv], or a
+    single [B, N] array — packed-sequence mask (attend within equal ids).
     """
     b, hq, n_q, d = q.shape
     hkv, n_kv = k.shape[1], k.shape[2]
@@ -44,6 +47,11 @@ def reference_attention(
     if causal:
         mask = jnp.tril(jnp.ones((n_q, n_kv), dtype=bool), k=n_kv - n_q)
         s = jnp.where(mask, s, -jnp.inf)
+    if segment_ids is not None:
+        qs = getattr(segment_ids, "q", segment_ids)
+        ks = getattr(segment_ids, "kv", segment_ids)
+        seg = qs[:, None, :, None] == ks[:, None, None, :]  # [B,1,Nq,Nkv]
+        s = jnp.where(seg, s, -jnp.inf)
     # Max-subtract softmax (the same stabilization torch SDPA's math backend
     # and this repo's kernel use); computing p via exp(s - logsumexp) instead
     # shifts outputs by ~2e-4 at the reference's scale=1 workload.
@@ -62,12 +70,17 @@ def reference_attention(
     return o
 
 
-def reference_attention_grads(q, k, v, do, *, causal=False, sm_scale=1.0):
+def reference_attention_grads(
+    q, k, v, do, *, causal=False, sm_scale=1.0, segment_ids=None
+):
     """Oracle gradients via jax.vjp through the naive attention
     (role of torch.autograd.grad in src/test_correctness.py:48)."""
 
     def f(q_, k_, v_):
-        return reference_attention(q_, k_, v_, causal=causal, sm_scale=sm_scale)
+        return reference_attention(
+            q_, k_, v_, causal=causal, sm_scale=sm_scale,
+            segment_ids=segment_ids,
+        )
 
     _, vjp = jax.vjp(f, q, k, v)
     return vjp(do)

@@ -131,3 +131,46 @@ def test_bwd_explicit_block_sizes():
     np.testing.assert_allclose(dq, dq_r, atol=DQ_ATOL, rtol=RTOL)
     np.testing.assert_allclose(dk, dk_r, atol=DK_ATOL, rtol=RTOL)
     np.testing.assert_allclose(dv, dv_r, atol=DV_ATOL, rtol=RTOL)
+
+
+# ---------------------------------------------------------------------------
+# Packed sequences (segment ids)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_bwd_segment_ids(causal):
+    from tests.test_forward import _packed_segments
+
+    b, h, n, d = 2, 2, 384, 128
+    q, k, v, do = _setup(11, (b, h, n, d), (b, h, n, d))
+    seg = _packed_segments(jax.random.PRNGKey(12), b, n)
+    bs = BlockSizes(block_q=128, block_kv=128,
+                    block_q_bwd=128, block_kv_bwd=128)
+    dq, dk, dv = _grads_via_vjp(
+        q, k, v, do, causal=causal, sm_scale=1.0,
+        segment_ids=seg, block_sizes=bs,
+    )
+    dq_r, dk_r, dv_r = reference_attention_grads(
+        q, k, v, do, causal=causal, sm_scale=1.0, segment_ids=seg
+    )
+    np.testing.assert_allclose(dq, dq_r, atol=DQ_ATOL, rtol=RTOL)
+    np.testing.assert_allclose(dk, dk_r, atol=DK_ATOL, rtol=RTOL)
+    np.testing.assert_allclose(dv, dv_r, atol=DV_ATOL, rtol=RTOL)
+
+
+def test_bwd_segment_ids_under_jit_and_grad():
+    """segment_ids must compose with jit + grad (float0 cotangents)."""
+    from tests.test_forward import _packed_segments
+
+    b, h, n, d = 1, 2, 256, 128
+    q, k, v, do = _setup(13, (b, h, n, d), (b, h, n, d))
+    seg = _packed_segments(jax.random.PRNGKey(14), b, n)
+
+    @jax.jit
+    def loss(q_, k_, v_):
+        o = flash_attention(q_, k_, v_, causal=True, segment_ids=seg)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert all(np.isfinite(np.asarray(x)).all() for x in g)

@@ -152,3 +152,60 @@ def test_tune_picks_and_caches(tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="concrete"):
         jax.jit(lambda a, b_, c: flash_attention(a, b_, c, tune=True))(q, k, v)
     tuning._TUNE_CACHE.clear()
+
+
+# ---------------------------------------------------------------------------
+# Packed sequences (segment ids) — new capability, no reference counterpart
+# ---------------------------------------------------------------------------
+
+
+def _packed_segments(key, b, n, max_segs=4):
+    """Random packed layout: each row split into 1..max_segs segments."""
+    lens = jax.random.randint(key, (b, max_segs), 1, n)
+    ids = []
+    for row in np.asarray(lens):
+        bounds = np.sort(row)[: max_segs - 1]
+        seg = np.zeros((n,), np.int32)
+        for bnd in bounds:
+            seg[bnd:] += 1
+        ids.append(seg)
+    return jnp.asarray(np.stack(ids))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("blocks", [128, 256])
+def test_fwd_segment_ids(causal, blocks):
+    from flash_attention_dlrs_tpu import SegmentIds
+
+    b, h, n, d = 2, 2, 384, 128  # non-dividing N exercises seg padding
+    q, k, v = _make_qkv(jax.random.PRNGKey(7), (b, h, n, d), (b, h, n, d))
+    seg = _packed_segments(jax.random.PRNGKey(8), b, n)
+    bs = BlockSizes(block_q=blocks, block_kv=blocks)
+    o = flash_attention(
+        q, k, v, causal=causal, sm_scale=1.0, segment_ids=seg, block_sizes=bs
+    )
+    o_ref = reference_attention(
+        q, k, v, causal=causal, sm_scale=1.0, segment_ids=seg
+    )
+    np.testing.assert_allclose(o, o_ref, atol=FWD_ATOL, rtol=FWD_RTOL)
+
+
+def test_fwd_segment_ids_cross_attention_pair():
+    """SegmentIds(q, kv) with distinct q/kv lengths."""
+    from flash_attention_dlrs_tpu import SegmentIds
+
+    b, h, d = 2, 2, 128
+    n_q, n_kv = 256, 384
+    q, k, v = _make_qkv(jax.random.PRNGKey(3), (b, h, n_q, d), (b, h, n_kv, d))
+    qs = _packed_segments(jax.random.PRNGKey(4), b, n_q)
+    ks = _packed_segments(jax.random.PRNGKey(4), b, n_kv)
+    seg = SegmentIds(q=qs, kv=ks)
+    o = flash_attention(q, k, v, sm_scale=1.0, segment_ids=seg)
+    o_ref = reference_attention(q, k, v, sm_scale=1.0, segment_ids=seg)
+    # rows whose segment id never occurs in kv are fully masked -> O = 0;
+    # the oracle yields NaN there (0/0), so compare only finite rows.
+    finite = np.isfinite(np.asarray(o_ref))
+    np.testing.assert_allclose(
+        np.asarray(o)[finite], np.asarray(o_ref)[finite],
+        atol=FWD_ATOL, rtol=FWD_RTOL,
+    )
