@@ -1,0 +1,91 @@
+"""Training-step throughput benchmark: tokens/s and MFU on one chip.
+
+Measures the flagship GQA transformer's full train step (fwd + bwd + adamw)
+with the Pallas attention path, reporting tokens/s and model FLOPs
+utilization against the chip's bf16 peak.  The model config is scaled to
+fit a single chip's HBM (a 7B model does not fit one v5e); the per-layer
+shape family matches ModelConfig.b7 (d_model, heads, head_dim ratios).
+
+Run on TPU:  python scripts/bench_train.py [--seq 2048] [--batch 8]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fa_tpu_jit_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+PEAK_BF16 = {"TPU v5 lite": 197e12, "TPU v5": 459e12, "TPU v6 lite": 918e12}
+
+
+def model_flops_per_token(cfg, seq: int) -> float:
+    """6·params-style estimate + attention quadratic term (causal)."""
+    d, ff, L = cfg.d_model, cfg.d_ff, cfg.n_layers
+    h_q, h_kv, hd = cfg.n_q_heads, cfg.n_kv_heads, cfg.head_dim
+    per_layer = 2 * d * (h_q * hd + 2 * h_kv * hd)  # qkv proj
+    per_layer += 2 * (h_q * hd) * d  # out proj
+    per_layer += 2 * d * ff * 3  # swiglu gate/up/down
+    attn = 2 * 2 * h_q * hd * seq / 2  # QK^T + PV, causal half
+    embed = 2 * d * cfg.vocab_size  # lm head
+    fwd = L * (per_layer + attn) + embed
+    return 3 * fwd  # fwd + bwd (2x fwd)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seq", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--layers", type=int, default=8)
+    args = ap.parse_args()
+
+    from flash_attention_dlrs_tpu.bench.suite import time_fn
+    from flash_attention_dlrs_tpu.models import (
+        ModelConfig, make_train_state, make_train_step,
+    )
+
+    # b7 per-layer geometry, depth/vocab scaled to fit one chip's HBM.
+    cfg = ModelConfig(
+        vocab_size=32000, d_model=4096, n_layers=args.layers,
+        n_q_heads=32, n_kv_heads=8, head_dim=128, d_ff=11008,
+        dtype=jnp.bfloat16, remat=True,
+    )
+    params, opt_state, optimizer = make_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(cfg, optimizer)
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(1), (args.batch, args.seq + 1), 0, cfg.vocab_size
+    )
+
+    def one_step(tokens_, params_, opt_state_):
+        p, o, loss = step(params_, opt_state_, tokens_)
+        # Anchor on the loss AND the updated params: consuming only the loss
+        # lets XLA dead-code-eliminate the whole backward + optimizer.
+        anchor = sum(
+            jnp.ravel(x)[0].astype(jnp.float32) for x in jax.tree.leaves(p)
+        )
+        return loss + anchor * 1e-30
+
+    sec = time_fn(one_step, tokens, params, opt_state)
+    toks = args.batch * args.seq / sec
+    fpt = model_flops_per_token(cfg, args.seq)
+    device_kind = jax.devices()[0].device_kind
+    peak = PEAK_BF16.get(device_kind, 197e12)
+    mfu = fpt * toks / peak
+    out = {
+        "tokens_per_s": toks, "ms_per_step": sec * 1e3,
+        "model_tflops": fpt * toks / 1e12, "mfu": mfu,
+        "batch": args.batch, "seq": args.seq, "layers": args.layers,
+        "device": device_kind,
+    }
+    print(json.dumps(out))
+    os.makedirs("bench_out", exist_ok=True)
+    with open("bench_out/train_1chip.json", "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
