@@ -28,6 +28,7 @@ from ..models.decoding import (
 )
 from ..models.transformer import ModelConfig
 from .kv_cache import PageAllocator
+from .sampling import GREEDY, SamplingParams, batch_params, sample_tokens
 from .scheduler import ContinuousBatchingScheduler, Request
 
 _NULL_SEQ = "__null__"
@@ -111,7 +112,14 @@ class DecodeEngine:
                 self.page_size,
             )
         self.allocator.seq_lengths[req.request_id] = t
-        first_token = int(jnp.argmax(logits[0]))
+        sp = req.sampling or GREEDY
+        temp, top_k, top_p, seeds = batch_params([sp])
+        first_token = int(
+            sample_tokens(
+                logits[:1], temp, top_k, top_p, seeds,
+                jnp.asarray([t], jnp.int32),
+            )[0]
+        )
         req.output_tokens.append(first_token)
         self.slot_request[slot] = req
         self._slot_next_token[slot] = first_token
@@ -157,7 +165,16 @@ class DecodeEngine:
             jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(rows),
             jnp.asarray(offs), jnp.asarray(tbl), jnp.asarray(lens),
         )
-        next_tokens = np.asarray(jnp.argmax(logits, axis=-1))
+        slot_params = [
+            (self.slot_request[i].sampling if self.slot_request[i] else None)
+            for i in range(b)
+        ]
+        temp, top_k, top_p, seeds = batch_params(slot_params)
+        next_tokens = np.asarray(
+            sample_tokens(
+                logits, temp, top_k, top_p, seeds, jnp.asarray(lens)
+            )
+        )
         for slot, req in active:
             tok = int(next_tokens[slot])
             req.output_tokens.append(tok)
@@ -173,14 +190,18 @@ class DecodeEngine:
         *,
         max_new_tokens: int = 16,
         max_steps: int = 10_000,
+        sampling: Optional[SamplingParams] = None,
     ) -> List[List[int]]:
-        """Generate greedily for every prompt (continuous batching)."""
+        """Generate for every prompt (continuous batching).  ``sampling``
+        defaults to greedy; per-request control goes through the scheduler's
+        Request.sampling field."""
         reqs = [
             Request(
                 request_id=f"req{i}",
                 prompt_tokens=list(p),
                 max_new_tokens=max_new_tokens,
                 eos_token=self.eos_token,
+                sampling=sampling,
             )
             for i, p in enumerate(prompts)
         ]

@@ -34,6 +34,7 @@ class Request:
     prompt_tokens: list
     max_new_tokens: int
     eos_token: Optional[int] = None
+    sampling: Optional[object] = None  # runtime.sampling.SamplingParams
     state: RequestState = RequestState.QUEUED
     output_tokens: list = dataclasses.field(default_factory=list)
 
