@@ -87,7 +87,7 @@ def bwd_d_pallas(o, do, *, block_q: int, interpret: bool = False):
 
 
 def _recompute_p(q, k, lse, iq, jkv, *, causal, kv_len, block_q,
-                 block_kv, apply_mask, qseg=None, kvseg=None):
+                 block_kv, apply_mask, window=0, qseg=None, kvseg=None):
     """P = exp2((c·Q)Kᵀ − log2e·L) with causal/length masking, where
     c = sm_scale·log2e was folded into Q by the caller.
 
@@ -103,6 +103,9 @@ def _recompute_p(q, k, lse, iq, jkv, *, causal, kv_len, block_q,
             row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
             mask = (row + iq * block_q) >= (col + jkv * block_kv)
+            if window:
+                wm = (row + iq * block_q) - (col + jkv * block_kv) < window
+                mask = jnp.logical_and(mask, wm)
         if kv_len % block_kv != 0:
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
             lm = (col + jkv * block_kv) < kv_len
@@ -115,7 +118,7 @@ def _recompute_p(q, k, lse, iq, jkv, *, causal, kv_len, block_q,
 
 
 def _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run, body,
-                segmented=False):
+                segmented=False, window=0):
     """Run `body(apply_mask)` under pl.when, masking only diagonal-crossing
     and KV-tail blocks (interior blocks skip the iota/select work).  Packed
     segments have data-dependent boundaries, so every block masks."""
@@ -128,6 +131,9 @@ def _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run, body,
     needs = None
     if causal:
         needs = (jkv + 1) * block_kv - 1 > iq * block_q
+        if window:
+            edge = jkv * block_kv < (iq + 1) * block_q - window
+            needs = jnp.logical_or(needs, edge)
     if kv_len % block_kv != 0:
         tail = (jkv + 1) * block_kv > kv_len
         needs = tail if needs is None else jnp.logical_or(needs, tail)
@@ -165,6 +171,7 @@ def _bwd_dkv_kernel(
     block_kv,
     num_q_blocks,
     tri=False,
+    window=0,
 ):
     if tri:
         jkv, iq = _tri_decode_upper(pl.program_id(2), num_q_blocks)
@@ -176,6 +183,11 @@ def _bwd_dkv_kernel(
         is_first = iq == 0
         if causal:
             should_run = (iq + 1) * block_q - 1 >= jkv * block_kv
+            if window:
+                should_run = jnp.logical_and(
+                    should_run,
+                    (jkv + 1) * block_kv - 1 >= iq * block_q - window + 1,
+                )
         else:
             should_run = True
 
@@ -196,6 +208,7 @@ def _bwd_dkv_kernel(
             q, k, lse, iq, jkv,
             causal=causal, kv_len=kv_len,
             block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
+            window=window,
             qseg=None if qseg_ref is None else qseg_ref[0],
             kvseg=None if kvseg_ref is None else kvseg_ref[0],
         )
@@ -211,7 +224,7 @@ def _bwd_dkv_kernel(
         dk_acc[...] += mxu_dot(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())))
 
     _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run,
-                _compute, segmented=qseg_ref is not None)
+                _compute, segmented=qseg_ref is not None, window=window)
 
     @pl.when(iq == num_q_blocks - 1)
     def _store():
@@ -222,12 +235,13 @@ def _bwd_dkv_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "causal", "block_q", "block_kv", "kv_len", "interpret"
+        "sm_scale", "causal", "block_q", "block_kv", "kv_len", "window",
+        "interpret"
     ),
 )
 def bwd_dkv_pallas(
     q, k, v, do, lse, dpre, q_seg=None, kv_seg=None, *,
-    sm_scale, causal, block_q, block_kv, kv_len, interpret=False,
+    sm_scale, causal, block_q, block_kv, kv_len, window=0, interpret=False,
 ):
     """dK, dV per *query* head: [B, Hq, Nkv_pad, d] fp32.
 
@@ -244,12 +258,12 @@ def bwd_dkv_pallas(
     q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
 
     num_q_blocks = n_q // block_q
-    tri = causal and n_q == n_kv and block_q == block_kv
+    tri = causal and window == 0 and n_q == n_kv and block_q == block_kv
     kernel = functools.partial(
         _bwd_dkv_kernel,
         causal=causal, kv_len=kv_len,
         block_q=block_q, block_kv=block_kv,
-        num_q_blocks=num_q_blocks, tri=tri,
+        num_q_blocks=num_q_blocks, tri=tri, window=window,
     )
     if tri:
         # Compacted upper-triangular grid (see fwd_kernel): only the
@@ -361,6 +375,7 @@ def _bwd_dq_kernel(
     block_kv,
     num_kv_blocks,
     tri=False,
+    window=0,
 ):
     if tri:
         iq, jkv = _tri_decode(pl.program_id(2), num_kv_blocks)
@@ -372,6 +387,11 @@ def _bwd_dq_kernel(
         is_last = jkv == num_kv_blocks - 1
         if causal:
             should_run = (iq + 1) * block_q - 1 >= jkv * block_kv
+            if window:
+                should_run = jnp.logical_and(
+                    should_run,
+                    (jkv + 1) * block_kv - 1 >= iq * block_q - window + 1,
+                )
         else:
             should_run = True
 
@@ -391,6 +411,7 @@ def _bwd_dq_kernel(
             q, k, lse, iq, jkv,
             causal=causal, kv_len=kv_len,
             block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
+            window=window,
             qseg=None if qseg_ref is None else qseg_ref[0],
             kvseg=None if kvseg_ref is None else kvseg_ref[0],
         )
@@ -404,7 +425,7 @@ def _bwd_dq_kernel(
         dq_acc[...] += mxu_dot(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())))
 
     _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run,
-                _compute, segmented=qseg_ref is not None)
+                _compute, segmented=qseg_ref is not None, window=window)
 
     @pl.when(is_last)
     def _store():
@@ -414,12 +435,13 @@ def _bwd_dq_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "causal", "block_q", "block_kv", "kv_len", "interpret"
+        "sm_scale", "causal", "block_q", "block_kv", "kv_len", "window",
+        "interpret"
     ),
 )
 def bwd_dq_pallas(
     q, k, v, do, lse, dpre, q_seg=None, kv_seg=None, *,
-    sm_scale, causal, block_q, block_kv, kv_len, interpret=False,
+    sm_scale, causal, block_q, block_kv, kv_len, window=0, interpret=False,
 ):
     """dQ: [B, Hq, Nq_pad, d] fp32."""
     batch, num_q_heads, n_q, head_dim = q.shape
@@ -431,12 +453,12 @@ def bwd_dq_pallas(
     q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
 
     num_kv_blocks = n_kv // block_kv
-    tri = causal and n_q == n_kv and block_q == block_kv
+    tri = causal and window == 0 and n_q == n_kv and block_q == block_kv
     kernel = functools.partial(
         _bwd_dq_kernel,
         sm_scale=sm_scale, causal=causal, kv_len=kv_len,
         block_q=block_q, block_kv=block_kv,
-        num_kv_blocks=num_kv_blocks, tri=tri,
+        num_kv_blocks=num_kv_blocks, tri=tri, window=window,
     )
     if tri:
         # Compacted lower-triangular grid (see fwd_kernel._tri_decode).

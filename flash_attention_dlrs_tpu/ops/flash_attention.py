@@ -65,6 +65,18 @@ def _normalize_segments(segment_ids, q, k):
     return SegmentIds(q=qs.astype(jnp.int32), kv=ks.astype(jnp.int32))
 
 
+def _normalize_window(window: int, causal: bool, n_kv: int) -> int:
+    """Sliding-window size (tokens visible, including self).  0 disables;
+    a window covering the whole sequence is normalized to 0 (plain causal)."""
+    window = int(window)
+    if window < 0:
+        raise ValueError(f"window must be >= 0, got {window}")
+    if window and not causal:
+        raise ValueError("window requires causal=True (sliding-window "
+                         "attention is defined on the causal mask)")
+    return 0 if window >= n_kv else window
+
+
 def _pad_segments(seg: Optional[SegmentIds], block_q: int, block_kv: int):
     if seg is None:
         return None, None
@@ -129,6 +141,7 @@ def flash_attention_forward(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     segment_ids: Optional[Union[SegmentIds, jax.Array]] = None,
+    window: int = 0,
     block_sizes: Optional[tuning.BlockSizes] = None,
     interpret: Optional[bool] = None,
 ):
@@ -136,13 +149,14 @@ def flash_attention_forward(
     (src/flash_attention_wrappers.py:7-63).  L is the natural-base logsumexp
     of the scaled scores, shape [B, H, Nq] fp32."""
     _validate(q, k, v)
+    window = _normalize_window(window, causal, k.shape[2])
     seg = _normalize_segments(segment_ids, q, k)
     sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
     qp, kp, vp, q_len, kv_len, d = _pad_inputs(q, k, v, bs.block_q, bs.block_kv)
     qseg_p, kvseg_p = _pad_segments(seg, bs.block_q, bs.block_kv)
     o, lse = fwd.fwd_pallas(
         qp, kp, vp, qseg_p, kvseg_p,
-        sm_scale=sm_scale, causal=causal,
+        sm_scale=sm_scale, causal=causal, window=window,
         block_q=bs.block_q, block_kv=bs.block_kv,
         kv_len=kv_len, save_residuals=True, interpret=interpret,
     )
@@ -160,6 +174,7 @@ def flash_attention_backward(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     segment_ids: Optional[Union[SegmentIds, jax.Array]] = None,
+    window: int = 0,
     block_sizes: Optional[tuning.BlockSizes] = None,
     interpret: Optional[bool] = None,
 ):
@@ -167,6 +182,7 @@ def flash_attention_backward(
     wrapper (src/flash_attention_wrappers.py:66-176): D-preprocess kernel,
     then the dKV and dQ kernels.  `lse` is [B, H, Nq] from the forward."""
     _validate(q, k, v)
+    window = _normalize_window(window, causal, k.shape[2])
     seg = _normalize_segments(segment_ids, q, k)
     sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
     num_kv_heads = k.shape[1]
@@ -187,12 +203,12 @@ def flash_attention_backward(
 
     dk, dv = bwd.bwd_dkv_pallas(
         qp, kp, vp, dop, lse_rep, dpre, qseg_p, kvseg_p,
-        sm_scale=sm_scale, causal=causal,
+        sm_scale=sm_scale, causal=causal, window=window,
         block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
     )
     dq = bwd.bwd_dq_pallas(
         qp, kp, vp, dop, lse_rep, dpre, qseg_p, kvseg_p,
-        sm_scale=sm_scale, causal=causal,
+        sm_scale=sm_scale, causal=causal, window=window,
         block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
     )
     # GQA: group-sum per-q-head dK/dV into per-kv-head grads.
@@ -222,25 +238,25 @@ def _seg_cotangent(seg):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_attention(q, k, v, seg, causal, sm_scale, block_sizes, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_attention(q, k, v, seg, causal, sm_scale, window, block_sizes, interpret):
     qp, kp, vp, q_len, kv_len, d = _pad_inputs(
         q, k, v, block_sizes.block_q, block_sizes.block_kv
     )
     qseg_p, kvseg_p = _pad_segments(seg, block_sizes.block_q, block_sizes.block_kv)
     o, _ = fwd.fwd_pallas(
         qp, kp, vp, qseg_p, kvseg_p,
-        sm_scale=sm_scale, causal=causal,
+        sm_scale=sm_scale, causal=causal, window=window,
         block_q=block_sizes.block_q, block_kv=block_sizes.block_kv,
         kv_len=kv_len, save_residuals=False, interpret=interpret,
     )
     return o[:, :, :q_len, :d]
 
 
-def _flash_attention_fwd(q, k, v, seg, causal, sm_scale, block_sizes, interpret):
+def _flash_attention_fwd(q, k, v, seg, causal, sm_scale, window, block_sizes, interpret):
     o, lse = flash_attention_forward(
         q, k, v,
-        causal=causal, sm_scale=sm_scale, segment_ids=seg,
+        causal=causal, sm_scale=sm_scale, segment_ids=seg, window=window,
         block_sizes=block_sizes, interpret=interpret,
     )
     # Residuals (Q, K, V, O, L) ≙ ctx.save_for_backward
@@ -248,11 +264,11 @@ def _flash_attention_fwd(q, k, v, seg, causal, sm_scale, block_sizes, interpret)
     return o, (q, k, v, o, lse, seg)
 
 
-def _flash_attention_bwd(causal, sm_scale, block_sizes, interpret, res, do):
+def _flash_attention_bwd(causal, sm_scale, window, block_sizes, interpret, res, do):
     q, k, v, o, lse, seg = res
     dq, dk, dv = flash_attention_backward(
         q, k, v, o, do, lse,
-        causal=causal, sm_scale=sm_scale, segment_ids=seg,
+        causal=causal, sm_scale=sm_scale, segment_ids=seg, window=window,
         block_sizes=block_sizes, interpret=interpret,
     )
     return dq, dk, dv, _seg_cotangent(seg)
@@ -269,6 +285,7 @@ def flash_attention(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     segment_ids: Optional[Union[SegmentIds, jax.Array]] = None,
+    window: int = 0,
     block_sizes: Optional[tuning.BlockSizes] = None,
     tune: bool = False,
     interpret: Optional[bool] = None,
@@ -285,6 +302,7 @@ def flash_attention(
     role of triton.autotune in the reference (src/flash_attention_kernels.py:11-15).
     """
     _validate(q, k, v)
+    window = _normalize_window(window, causal, k.shape[2])
     seg = _normalize_segments(segment_ids, q, k)
     if tune and block_sizes is None:
         if isinstance(q, jax.core.Tracer):
@@ -294,7 +312,7 @@ def flash_attention(
             )
         block_sizes = tuned_block_sizes(q, k, v, causal=causal, sm_scale=sm_scale)
     sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
-    return _flash_attention(q, k, v, seg, causal, sm_scale, bs, interpret)
+    return _flash_attention(q, k, v, seg, causal, sm_scale, window, bs, interpret)
 
 
 def tuned_block_sizes(
@@ -311,7 +329,7 @@ def tuned_block_sizes(
 
         def fn(q_, k_, v_):
             return _flash_attention(
-                q_, k_, v_, None, causal, sm_scale_r, bs, interpret
+                q_, k_, v_, None, causal, sm_scale_r, 0, bs, interpret
             )
 
         return fn

@@ -100,18 +100,31 @@ def _fwd_kernel(
     block_kv: int,
     num_kv_blocks: int,
     tri: bool = False,
+    window: int = 0,  # 0 = disabled; else attend to cols in (row-window, row]
+    band_w: int = 0,  # >0: banded grid, axis 3 = position within the band
 ):
-    if tri:
+    if band_w:
+        # Banded grid for causal sliding-window attention: each q row only
+        # enumerates the ≤ band_w kv blocks its window can touch — O(N·w)
+        # grid steps instead of O(N²/2).
+        iq = pl.program_id(2)
+        j = pl.program_id(3)
+        ikv = iq - (band_w - 1) + j
+        is_first = j == 0
+        is_last = j == band_w - 1  # the diagonal block, always valid
+    elif tri:
         # Compacted triangular causal grid: every step is real work, the
         # online-softmax row finishes at its diagonal block (ikv == iq).
         iq, ikv = _tri_decode(pl.program_id(2), num_kv_blocks)
+        is_first = ikv == 0
         is_last = ikv == iq
     else:
         iq = pl.program_id(2)
         ikv = pl.program_id(3)
+        is_first = ikv == 0
         is_last = ikv == num_kv_blocks - 1
 
-    @pl.when(ikv == 0)
+    @pl.when(is_first)
     def _init():
         m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
         l_scratch[...] = jnp.zeros_like(l_scratch)
@@ -120,8 +133,20 @@ def _fwd_kernel(
     # Causal block-level skip: run only if some (q_pos >= kv_pos) pair exists,
     # i.e. the block's bottom-left corner touches the lower triangle.  The
     # triangular grid never emits above-diagonal steps, so it always runs.
-    if causal and not tri:
+    if band_w:
+        # Leading band steps can fall off the left edge (ikv < 0) or below
+        # the window for short rows.
+        should_run = jnp.logical_and(
+            ikv >= 0,
+            (ikv + 1) * block_kv - 1 >= iq * block_q - window + 1,
+        )
+    elif causal and not tri:
         should_run = (iq + 1) * block_q - 1 >= ikv * block_kv
+        if window:
+            should_run = jnp.logical_and(
+                should_run,
+                (ikv + 1) * block_kv - 1 >= iq * block_q - window + 1,
+            )
     else:
         should_run = True
 
@@ -142,6 +167,9 @@ def _fwd_kernel(
                 row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
                 col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
                 mask = (row + iq * block_q) >= (col + ikv * block_kv)
+                if window:
+                    wm = (row + iq * block_q) - (col + ikv * block_kv) < window
+                    mask = jnp.logical_and(mask, wm)
             if kv_len % block_kv != 0:
                 col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
                 lm = (col + ikv * block_kv) < kv_len
@@ -182,6 +210,10 @@ def _fwd_kernel(
         needs_mask = None
         if causal:
             needs_mask = (ikv + 1) * block_kv - 1 > iq * block_q
+            if window:
+                # Blocks the window's lower edge passes through.
+                edge = ikv * block_kv < (iq + 1) * block_q - window
+                needs_mask = jnp.logical_or(needs_mask, edge)
         if kv_len % block_kv != 0:
             tail = (ikv + 1) * block_kv > kv_len
             needs_mask = (
@@ -219,6 +251,7 @@ def _fwd_kernel(
         "block_q",
         "block_kv",
         "kv_len",
+        "window",
         "save_residuals",
         "interpret",
     ),
@@ -235,6 +268,7 @@ def fwd_pallas(
     block_q: int,
     block_kv: int,
     kv_len: int,
+    window: int = 0,
     save_residuals: bool = False,
     interpret: bool = False,
 ):
@@ -266,7 +300,14 @@ def fwd_pallas(
     # pl.when (each still paying grid/bookkeeping cost), enumerate only the
     # T(T+1)/2 lower-triangular blocks.  Measured on v5e (N=4096, d=128,
     # 1024² blocks): 103 vs 90 TF/s.
-    tri = causal and n_q == n_kv and block_q == block_kv
+    banded = (
+        causal and window > 0 and n_q == n_kv and block_q == block_kv
+    )
+    band_w = 0
+    if banded:
+        # kv blocks a window of `window` tokens can touch from one q block.
+        band_w = min((block_q + window - 2) // block_kv + 1, num_kv_blocks)
+    tri = causal and not banded and n_q == n_kv and block_q == block_kv
     segmented = q_seg is not None
     base = functools.partial(
         _fwd_kernel,
@@ -276,6 +317,8 @@ def fwd_pallas(
         block_kv=block_kv,
         num_kv_blocks=num_kv_blocks,
         tri=tri,
+        window=window,
+        band_w=band_w,
     )
     # Adapt the positional pallas argument list to the full kernel signature.
     if segmented and save_residuals:
@@ -290,7 +333,20 @@ def fwd_pallas(
         def kernel(q_r, k_r, v_r, o_r, m_s, l_s, acc_s):
             return base(q_r, k_r, v_r, None, None, o_r, None, m_s, l_s, acc_s)
 
-    if tri:
+    if banded:
+        grid = (batch, num_q_heads, num_q_blocks, band_w)
+
+        def q_index(b, h, iq, j):
+            return (b, h, iq, 0)
+
+        def kv_index(b, h, iq, j):
+            # Skipped off-band steps clamp to a valid block; the pipeline
+            # elides the duplicate fetch.
+            ikv = jnp.clip(iq - (band_w - 1) + j, 0, num_kv_blocks - 1)
+            return (b, h // q_per_kv, ikv, 0)
+
+        dimension_semantics = ("parallel", "parallel", "parallel", "arbitrary")
+    elif tri:
         grid = (batch, num_q_heads, num_q_blocks * (num_q_blocks + 1) // 2)
 
         def q_index(b, h, p):

@@ -24,6 +24,7 @@ def reference_attention(
     causal: bool = False,
     sm_scale: float = 1.0,
     segment_ids=None,
+    window: int = 0,
     with_lse: bool = False,
 ):
     """O = softmax(scale * Q K^T + mask) V with fp32 softmax.
@@ -46,6 +47,10 @@ def reference_attention(
     s = s * sm_scale
     if causal:
         mask = jnp.tril(jnp.ones((n_q, n_kv), dtype=bool), k=n_kv - n_q)
+        if window:
+            row = jnp.arange(n_q)[:, None]
+            col = jnp.arange(n_kv)[None, :]
+            mask = jnp.logical_and(mask, (row - col) < window)
         s = jnp.where(mask, s, -jnp.inf)
     if segment_ids is not None:
         qs = getattr(segment_ids, "q", segment_ids)
@@ -71,7 +76,7 @@ def reference_attention(
 
 
 def reference_attention_grads(
-    q, k, v, do, *, causal=False, sm_scale=1.0, segment_ids=None
+    q, k, v, do, *, causal=False, sm_scale=1.0, segment_ids=None, window=0
 ):
     """Oracle gradients via jax.vjp through the naive attention
     (role of torch.autograd.grad in src/test_correctness.py:48)."""
@@ -79,7 +84,7 @@ def reference_attention_grads(
     def f(q_, k_, v_):
         return reference_attention(
             q_, k_, v_, causal=causal, sm_scale=sm_scale,
-            segment_ids=segment_ids,
+            segment_ids=segment_ids, window=window,
         )
 
     _, vjp = jax.vjp(f, q, k, v)

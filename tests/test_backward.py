@@ -174,3 +174,20 @@ def test_bwd_segment_ids_under_jit_and_grad():
 
     g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     assert all(np.isfinite(np.asarray(x)).all() for x in g)
+
+
+@pytest.mark.parametrize("window", [100, 256])
+def test_bwd_sliding_window(window):
+    b, h, n, d = 2, 2, 512, 128
+    q, k, v, do = _setup(31, (b, h, n, d), (b, h, n, d))
+    bs = BlockSizes(block_q=128, block_kv=128,
+                    block_q_bwd=128, block_kv_bwd=128)
+    dq, dk, dv = _grads_via_vjp(
+        q, k, v, do, causal=True, sm_scale=1.0, window=window, block_sizes=bs
+    )
+    dq_r, dk_r, dv_r = reference_attention_grads(
+        q, k, v, do, causal=True, sm_scale=1.0, window=window
+    )
+    np.testing.assert_allclose(dq, dq_r, atol=DQ_ATOL, rtol=RTOL)
+    np.testing.assert_allclose(dk, dk_r, atol=DK_ATOL, rtol=RTOL)
+    np.testing.assert_allclose(dv, dv_r, atol=DV_ATOL, rtol=RTOL)

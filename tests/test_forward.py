@@ -209,3 +209,47 @@ def test_fwd_segment_ids_cross_attention_pair():
         np.asarray(o)[finite], np.asarray(o_ref)[finite],
         atol=FWD_ATOL, rtol=FWD_RTOL,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window (local causal) attention
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("window", [1, 100, 256, 300])
+@pytest.mark.parametrize("blocks", [128, 256])
+def test_fwd_sliding_window(window, blocks):
+    b, h, n, d = 2, 2, 512, 128
+    q, k, v = _make_qkv(jax.random.PRNGKey(21), (b, h, n, d), (b, h, n, d))
+    bs = BlockSizes(block_q=blocks, block_kv=blocks)
+    o = flash_attention(
+        q, k, v, causal=True, sm_scale=1.0, window=window, block_sizes=bs
+    )
+    o_ref = reference_attention(
+        q, k, v, causal=True, sm_scale=1.0, window=window
+    )
+    np.testing.assert_allclose(o, o_ref, atol=FWD_ATOL, rtol=FWD_RTOL)
+
+
+def test_fwd_window_ragged_and_gqa():
+    b, hq, hkv, n, d = 2, 4, 2, 300, 128  # ragged N + GQA
+    q, _, _ = _make_qkv(jax.random.PRNGKey(22), (b, hq, n, d), (b, hq, n, d))
+    _, k, v = _make_qkv(jax.random.PRNGKey(23), (b, hkv, n, d), (b, hkv, n, d))
+    o = flash_attention(q, k, v, causal=True, sm_scale=1.0, window=77)
+    o_ref = reference_attention(q, k, v, causal=True, sm_scale=1.0, window=77)
+    np.testing.assert_allclose(o, o_ref, atol=FWD_ATOL, rtol=FWD_RTOL)
+
+
+def test_fwd_window_full_coverage_equals_causal():
+    b, h, n, d = 1, 2, 256, 128
+    q, k, v = _make_qkv(jax.random.PRNGKey(24), (b, h, n, d), (b, h, n, d))
+    o_w = flash_attention(q, k, v, causal=True, sm_scale=1.0, window=n)
+    o_c = flash_attention(q, k, v, causal=True, sm_scale=1.0)
+    np.testing.assert_allclose(np.asarray(o_w), np.asarray(o_c))
+
+
+def test_fwd_window_requires_causal():
+    b, h, n, d = 1, 2, 128, 128
+    q, k, v = _make_qkv(jax.random.PRNGKey(25), (b, h, n, d), (b, h, n, d))
+    with pytest.raises(ValueError):
+        flash_attention(q, k, v, causal=False, window=16)
