@@ -44,7 +44,11 @@ def init_kv_pools(
     dtype=jnp.bfloat16,
     quantized: bool = False,
 ) -> KVPools:
-    shape = (cfg.n_kv_heads, num_pages, page_size, cfg.head_dim)
+    # Pools pad head_dim to the 128-lane multiple: the decode kernel's page
+    # DMA requires a lane-aligned trailing dim (Mosaic tiling constraint).
+    from .. import geometry as geo
+    d_pad = geo.current_geometry().round_up(cfg.head_dim)
+    shape = (cfg.n_kv_heads, num_pages, page_size, d_pad)
     k = tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layers))
     v = tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layers))
     if quantized:
@@ -156,6 +160,11 @@ def make_decode_step(
             # Scatter this token's K/V into the pools: [Hkv, B] rows.
             kT = jnp.swapaxes(k, 0, 1)  # [Hkv, B, d]
             vT = jnp.swapaxes(v, 0, 1)
+            d_pool = pools.k[li].shape[-1]
+            if kT.shape[-1] != d_pool:
+                pad = ((0, 0), (0, 0), (0, d_pool - kT.shape[-1]))
+                kT = jnp.pad(kT, pad)
+                vT = jnp.pad(vT, pad)
             if pools.quantized:
                 kq, ks = _quantize_rows(kT, pools.k[li].dtype)
                 vq, vs = _quantize_rows(vT, pools.v[li].dtype)
@@ -204,6 +213,11 @@ def write_prompt_kv(
 ) -> KVPools:
     """Write one sequence's prompt K/V into its pages (admission path)."""
     k, v = kv
+    d_pool = pools.k[layer].shape[-1]
+    if k.shape[-1] != d_pool:
+        pad = d_pool - k.shape[-1]
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad)))
     hkv, t, d = k.shape
     n_pages = pages.shape[0]
     pad = n_pages * page_size - t

@@ -272,7 +272,7 @@ def paged_decode_attention(
         k_sc = jnp.ones((hkv, p, 1, ps), jnp.float32)
         v_sc = k_sc
 
-    num_kv_heads, _, page_size, _ = k_vals.shape
+    num_kv_heads, _, page_size, d_pool = k_vals.shape
     if num_q_heads % num_kv_heads:
         raise ValueError(
             f"num_q_heads ({num_q_heads}) must divide by num_kv_heads ({num_kv_heads})"
@@ -281,6 +281,11 @@ def paged_decode_attention(
     group_pad = max(geo.NUM_SUBLANES, group)
     if sm_scale is None:
         sm_scale = float(head_dim) ** -0.5
+    # Pools carry a lane-padded head dim (Mosaic page-DMA alignment); pad q
+    # to match and slice the output back.  Zero-padded K columns add zero to
+    # the scores; zero-padded V columns are sliced off below.
+    if head_dim != d_pool:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, d_pool - head_dim)))
     if interpret is None:
         interpret = default_interpret()
 
@@ -291,7 +296,7 @@ def paged_decode_attention(
         pad = pages_per_block - pages_per_seq % pages_per_block
         page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
 
-    qg = q.reshape(batch, num_kv_heads, group, head_dim) * jnp.asarray(
+    qg = q.reshape(batch, num_kv_heads, group, d_pool) * jnp.asarray(
         sm_scale, q.dtype
     )
     if group_pad != group:
@@ -303,7 +308,7 @@ def paged_decode_attention(
         sm_scale=float(sm_scale), pages_per_block=pages_per_block,
         quantized=quantized, interpret=bool(interpret),
     )
-    return o[:, :, :group, :].reshape(batch, num_q_heads, head_dim)
+    return o[:, :, :group, :head_dim].reshape(batch, num_q_heads, head_dim)
 
 
 # ---------------------------------------------------------------------------
@@ -326,15 +331,17 @@ def paged_reference_attention(
         k_pages = k_pages.dequantize()
         v_pages = v_pages.dequantize()
     batch, num_q_heads, head_dim = q.shape
-    num_kv_heads, _, page_size, _ = k_pages.shape
+    num_kv_heads, _, page_size, d_pool = k_pages.shape
     if sm_scale is None:
         sm_scale = float(head_dim) ** -0.5
+    if head_dim != d_pool:  # lane-padded pools (see paged_decode_attention)
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, d_pool - head_dim)))
     max_len = page_indices.shape[1] * page_size
     k_dense = jnp.moveaxis(k_pages[:, page_indices], 1, 0).reshape(
-        batch, num_kv_heads, max_len, head_dim
+        batch, num_kv_heads, max_len, d_pool
     )
     v_dense = jnp.moveaxis(v_pages[:, page_indices], 1, 0).reshape(
-        batch, num_kv_heads, max_len, head_dim
+        batch, num_kv_heads, max_len, d_pool
     )
     if num_q_heads != num_kv_heads:
         rep = num_q_heads // num_kv_heads
@@ -354,4 +361,4 @@ def paged_reference_attention(
         "bhl,bhld->bhd", p, v_dense.astype(jnp.float32),
         precision=jax.lax.Precision.HIGHEST,
     )
-    return o.astype(q.dtype)
+    return o[..., :head_dim].astype(q.dtype)

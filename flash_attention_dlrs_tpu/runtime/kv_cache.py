@@ -23,7 +23,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import geometry as geo
 from ..ops.quantization import QuantizedTensor, qmax_for
+
+
+def _pad_d(x: jax.Array, d_pool: int) -> jax.Array:
+    """Zero-pad the trailing (head) dim up to the pool's lane-aligned width."""
+    d = x.shape[-1]
+    if d == d_pool:
+        return x
+    pads = [(0, 0)] * (x.ndim - 1) + [(0, d_pool - d)]
+    return jnp.pad(x, pads)
 
 
 class PageAllocator:
@@ -89,6 +99,10 @@ class PagedKVCache:
     v_scales: Optional[jax.Array]
     page_size: int
     allocator: PageAllocator
+    # True head dim; pools are padded to the 128-lane multiple because the
+    # decode kernel's page DMA needs a lane-aligned trailing dim (Mosaic
+    # rejects HBM slices whose last dim isn't a tiling multiple).
+    head_dim: int = 0
 
     # -- construction -------------------------------------------------------
 
@@ -103,7 +117,8 @@ class PagedKVCache:
         dtype=jnp.bfloat16,
         quantized: bool = False,
     ) -> "PagedKVCache":
-        shape = (num_kv_heads, num_pages, page_size, head_dim)
+        d_pad = geo.current_geometry().round_up(head_dim)
+        shape = (num_kv_heads, num_pages, page_size, d_pad)
         k = jnp.zeros(shape, dtype)
         v = jnp.zeros(shape, dtype)
         sc = (
@@ -118,6 +133,7 @@ class PagedKVCache:
             v_scales=None if sc is None else sc,
             page_size=page_size,
             allocator=PageAllocator(num_pages, page_size),
+            head_dim=head_dim,
         )
 
     @property
@@ -170,6 +186,8 @@ class PagedKVCache:
 
     def write_prompt(self, seq_id, k: jax.Array, v: jax.Array) -> None:
         """Write a full prompt's K/V ([Hkv, T, d]) into the sequence's pages."""
+        k = _pad_d(k, self.k_pages.shape[-1])
+        v = _pad_d(v, self.v_pages.shape[-1])
         t = k.shape[1]
         self.ensure_capacity(seq_id, t)
         table = self.page_tables[seq_id]
@@ -186,6 +204,8 @@ class PagedKVCache:
 
     def append_tokens(self, seq_ids, k_new: jax.Array, v_new: jax.Array) -> None:
         """Append one token per sequence: k_new/v_new [B, Hkv, d]."""
+        k_new = _pad_d(k_new, self.k_pages.shape[-1])
+        v_new = _pad_d(v_new, self.v_pages.shape[-1])
         rows, slots = [], []
         for sid in seq_ids:
             pos = self.seq_lengths[sid]

@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--d-model", type=int, default=128)
     ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--gate", type=float, default=0.1)
+    ap.add_argument("--train-steps", type=int, default=300)
     args = ap.parse_args()
 
     from flash_attention_dlrs_tpu.models import ModelConfig, init_params
@@ -39,9 +40,44 @@ def main():
         head_dim=32, d_ff=args.d_model * 2, dtype=jnp.float32, remat=False,
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
-    tokens = jax.random.randint(
-        jax.random.PRNGKey(1), (args.batch, args.seq), 0, cfg.vocab_size
-    )
+
+    # Structured synthetic data (noisy first-order Markov chain) so a short
+    # training run reaches a realistic perplexity — a quantization gap gate
+    # on a RANDOM model (ppl ≈ vocab) measures only rounding noise at an
+    # arbitrary scale, not serving quality.
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    succ = rng.integers(0, cfg.vocab_size, size=cfg.vocab_size)
+
+    def draw(batch, seq, seed):
+        r = np.random.default_rng(seed)
+        out = np.zeros((batch, seq), np.int32)
+        out[:, 0] = r.integers(0, cfg.vocab_size, size=batch)
+        for t in range(1, seq):
+            follow = r.random(batch) < 0.9
+            out[:, t] = np.where(
+                follow, succ[out[:, t - 1]],
+                r.integers(0, cfg.vocab_size, size=batch),
+            )
+        return jnp.asarray(out)
+
+    if args.train_steps:
+        from flash_attention_dlrs_tpu.models import (
+            make_train_state, make_train_step,
+        )
+
+        params, opt_state, optimizer = make_train_state(
+            jax.random.PRNGKey(0), cfg, learning_rate=1e-3
+        )
+        step = make_train_step(cfg, optimizer)
+        for i in range(args.train_steps):
+            batch = draw(8, args.seq + 1, seed=100 + i)
+            params, opt_state, loss = step(params, opt_state, batch)
+            if i % 50 == 0:
+                print(f"[train] step {i}: loss {float(loss):.3f}", flush=True)
+
+    tokens = draw(args.batch, args.seq, seed=9999)
 
     ppl_dense = perplexity_dense(params, cfg, tokens)
     ppl_fp = perplexity_paged(params, cfg, tokens, kv_dtype=jnp.float32)

@@ -63,7 +63,10 @@ def test_kv_cache_prompt_then_decode_matches_dense():
     np.testing.assert_allclose(o, o_ref, atol=2e-4, rtol=1e-4)
 
     # and the dense K/V reconstructed from pages matches what we wrote
-    k_dense = kp[:, np.asarray(cache.page_tables["s"])].reshape(hkv, -1, d)
+    # (pools are lane-padded to 128 in the head dim; slice back to d)
+    k_dense = kp[:, np.asarray(cache.page_tables["s"])][..., :d].reshape(
+        hkv, -1, d
+    )
     np.testing.assert_allclose(k_dense[:, :t], k_prompt, rtol=1e-6)
     np.testing.assert_allclose(
         k_dense[:, t : t + 3], jnp.stack(ks, axis=1), rtol=1e-6
@@ -83,7 +86,9 @@ def test_kv_cache_quantized_append():
     cache.append_tokens(["s"], kn, vn)
     kq, _ = cache.kv_for_attention()
     page = cache.page_tables["s"][0]
-    recon = kq.values[:, page, 0].astype(jnp.float32) * kq.scales[:, page, 0]
+    recon = (
+        kq.values[:, page, 0, :d].astype(jnp.float32) * kq.scales[:, page, 0]
+    )
     np.testing.assert_allclose(recon, kn[0], atol=2e-2, rtol=2e-2)
 
 
