@@ -204,6 +204,102 @@ def make_decode_step(
     return decode_step
 
 
+# ---------------------------------------------------------------------------
+# Verify step (speculative decoding): score T tokens in one dispatch
+# ---------------------------------------------------------------------------
+
+
+def make_verify_step(
+    cfg: ModelConfig,
+    num_tokens: int,
+    *,
+    pages_per_block: int | None = None,
+    interpret: Optional[bool] = None,
+):
+    """jitted multi-token step for speculative verification / chunked prefill.
+
+    (params, pools, tokens [B, T], positions [B, T], page_rows [B, T],
+     page_offs [B, T], page_tbl [B, pages_per_seq], lengths [B])
+     -> (logits [B, T, V], pools)
+
+    Writes all T tokens' K/V into the pools, then scores every position with
+    :func:`ops.decode.paged_verify_attention` — token t attends to positions
+    < lengths − (T−1−t).  ``lengths`` is the FINAL length (all T counted).
+    """
+    from ..ops.decode import paged_verify_attention
+
+    t_new = num_tokens
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def verify_step(params, pools: KVPools, tokens, positions, page_rows,
+                    page_offs, page_tbl, lengths):
+        b = tokens.shape[0]
+        x = params["embed"][tokens.reshape(-1)].reshape(b, t_new, -1)
+        new_k, new_v = list(pools.k), list(pools.v)
+        new_ks = list(pools.k_scales) if pools.quantized else None
+        new_vs = list(pools.v_scales) if pools.quantized else None
+
+        rows_f = page_rows.reshape(-1)
+        offs_f = page_offs.reshape(-1)
+
+        for li, layer in enumerate(params["layers"]):
+            h = rms_norm(x, layer["attn_norm"])
+            q = _proj(h, layer["wq"]).reshape(b, t_new, cfg.n_q_heads, cfg.head_dim)
+            k = _proj(h, layer["wk"]).reshape(b, t_new, cfg.n_kv_heads, cfg.head_dim)
+            v = _proj(h, layer["wv"]).reshape(b, t_new, cfg.n_kv_heads, cfg.head_dim)
+            q = rope(q, positions, cfg.rope_theta)  # [B, T, Hq, d]
+            k = rope(k, positions, cfg.rope_theta)
+
+            # Scatter all B·T tokens' K/V: [Hkv, B·T, d]
+            kT = k.reshape(b * t_new, cfg.n_kv_heads, -1).swapaxes(0, 1)
+            vT = v.reshape(b * t_new, cfg.n_kv_heads, -1).swapaxes(0, 1)
+            d_pool = pools.k[li].shape[-1]
+            if kT.shape[-1] != d_pool:
+                pad = ((0, 0), (0, 0), (0, d_pool - kT.shape[-1]))
+                kT = jnp.pad(kT, pad)
+                vT = jnp.pad(vT, pad)
+            if pools.quantized:
+                kq, ks = _quantize_rows(kT, pools.k[li].dtype)
+                vq, vs = _quantize_rows(vT, pools.v[li].dtype)
+                new_k[li] = new_k[li].at[:, rows_f, offs_f].set(kq)
+                new_v[li] = new_v[li].at[:, rows_f, offs_f].set(vq)
+                new_ks[li] = new_ks[li].at[:, rows_f, offs_f].set(ks)
+                new_vs[li] = new_vs[li].at[:, rows_f, offs_f].set(vs)
+                k_att = QuantizedTensor(new_k[li], new_ks[li])
+                v_att = QuantizedTensor(new_v[li], new_vs[li])
+            else:
+                new_k[li] = new_k[li].at[:, rows_f, offs_f].set(
+                    kT.astype(new_k[li].dtype)
+                )
+                new_v[li] = new_v[li].at[:, rows_f, offs_f].set(
+                    vT.astype(new_v[li].dtype)
+                )
+                k_att, v_att = new_k[li], new_v[li]
+
+            o = paged_verify_attention(
+                q.transpose(0, 2, 1, 3),  # [B, Hq, T, d]
+                k_att, v_att, lengths, page_tbl,
+                pages_per_block=pages_per_block, interpret=interpret,
+            )
+            o = o.transpose(0, 2, 1, 3).reshape(b, t_new, -1)
+            x = x + _proj(o, layer["wo"])
+            x = mlp_block(layer, x)
+
+        x = rms_norm(x, params["final_norm"])
+        logits = jnp.einsum(
+            "btd,vd->btv", x, params["embed"],
+            preferred_element_type=jnp.float32,
+        )
+        pools_out = KVPools(
+            tuple(new_k), tuple(new_v),
+            tuple(new_ks) if new_ks is not None else None,
+            tuple(new_vs) if new_vs is not None else None,
+        )
+        return logits, pools_out
+
+    return verify_step
+
+
 def write_prompt_kv(
     pools: KVPools,
     layer: int,

@@ -62,6 +62,8 @@ def _decode_kernel(
     pages_per_block: int,
     page_size: int,
     pages_per_seq: int,
+    num_tokens: int = 1,
+    group_pad: int = 0,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -129,16 +131,26 @@ def _decode_kernel(
         for c in dma_block(i, slot):
             c.wait()
 
-        q = q_ref[0, 0]  # [g, d], already sm_scale-scaled
+        q = q_ref[0, 0]  # [rows, d], already sm_scale-scaled
         k = k_buf[slot].reshape(bk, -1)  # [bk, d]
-        s = mxu_dot(q, k.astype(q.dtype), (((1,), (1,)), ((), ())))  # [g, bk]
+        s = mxu_dot(q, k.astype(q.dtype), (((1,), (1,)), ((), ())))  # [rows, bk]
         if quantized:
             k_sc = k_sc_buf[slot].reshape(1, bk)
             s = s * k_sc
 
-        # Length mask for the tail of the last block.
+        # Length mask.  Multi-token (verify/chunked-prefill) mode: row
+        # r = t·group_pad + g is the t-th of num_tokens new tokens, whose
+        # causal horizon is length − (num_tokens − 1 − t); ``length`` is the
+        # FINAL sequence length after all num_tokens are appended.
         pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(pos < length, s, DEFAULT_MASK_VALUE)
+        if num_tokens > 1:
+            t_of_row = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // group_pad
+            )
+            thr = length - (num_tokens - 1) + t_of_row
+        else:
+            thr = length
+        s = jnp.where(pos < thr, s, DEFAULT_MASK_VALUE)
 
         m_prev, l_prev = m_scr[...], l_scr[...]
         m_curr = jnp.max(s, axis=-1, keepdims=True)
@@ -165,7 +177,8 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "pages_per_block", "quantized", "interpret"
+        "sm_scale", "pages_per_block", "quantized", "interpret",
+        "num_tokens", "group_pad",
     ),
 )
 def _paged_decode(
@@ -181,8 +194,12 @@ def _paged_decode(
     pages_per_block: int,
     quantized: bool,
     interpret: bool,
+    num_tokens: int = 1,
+    group_pad: int = 0,
 ):
-    batch, num_kv_heads, group_pad, head_dim = q_grouped.shape
+    batch, num_kv_heads, rows_pad, head_dim = q_grouped.shape
+    if not group_pad:
+        group_pad = rows_pad
     _, total_pages, page_size, _ = k_pages.shape
     pages_per_seq = page_indices.shape[1]
     num_blocks = pages_per_seq // pages_per_block
@@ -193,6 +210,8 @@ def _paged_decode(
         pages_per_block=pages_per_block,
         page_size=page_size,
         pages_per_seq=pages_per_seq,
+        num_tokens=num_tokens,
+        group_pad=group_pad,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -200,7 +219,7 @@ def _paged_decode(
         grid=(batch, num_kv_heads, num_blocks),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, group_pad, head_dim), lambda b, h, i, *refs: (b, h, 0, 0)
+                (1, 1, rows_pad, head_dim), lambda b, h, i, *refs: (b, h, 0, 0)
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -208,7 +227,7 @@ def _paged_decode(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, group_pad, head_dim), lambda b, h, i, *refs: (b, h, 0, 0)
+            (1, 1, rows_pad, head_dim), lambda b, h, i, *refs: (b, h, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, pages_per_block, page_size, head_dim), k_pages.dtype),
@@ -216,9 +235,9 @@ def _paged_decode(
             pltpu.VMEM((2, pages_per_block, 1, page_size), jnp.float32),
             pltpu.VMEM((2, pages_per_block, 1, page_size), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4)),
-            pltpu.VMEM((group_pad, geo.NUM_LANES), jnp.float32),
-            pltpu.VMEM((group_pad, geo.NUM_LANES), jnp.float32),
-            pltpu.VMEM((group_pad, head_dim), jnp.float32),
+            pltpu.VMEM((rows_pad, geo.NUM_LANES), jnp.float32),
+            pltpu.VMEM((rows_pad, geo.NUM_LANES), jnp.float32),
+            pltpu.VMEM((rows_pad, head_dim), jnp.float32),
         ],
     )
 
@@ -309,6 +328,82 @@ def paged_decode_attention(
         quantized=quantized, interpret=bool(interpret),
     )
     return o[:, :, :group, :head_dim].reshape(batch, num_q_heads, head_dim)
+
+
+def paged_verify_attention(
+    q,  # [B, Hq, T, d] — T new tokens per sequence (draft verify / chunked prefill)
+    k_pages,
+    v_pages,
+    lengths,  # [B] int32 — FINAL lengths (after the T tokens are appended)
+    page_indices,
+    *,
+    sm_scale=None,
+    pages_per_block: int | None = None,
+    interpret=None,
+):
+    """Multi-token paged attention: token t of the T new tokens attends to
+    positions < lengths − (T−1−t).  The KV for all T tokens must already be
+    written into the pages (same protocol as the single-token decode step).
+
+    This is the verification kernel for speculative decoding and the
+    continuation kernel for chunked prefill — one grid pass over the paged
+    cache scores all T positions.
+    """
+    batch, num_q_heads, num_tokens, head_dim = q.shape
+    quantized = isinstance(k_pages, QuantizedTensor)
+    if quantized != isinstance(v_pages, QuantizedTensor):
+        raise ValueError("k_pages and v_pages must both (not) be quantized")
+    if quantized:
+        k_vals, k_sc = k_pages.values, k_pages.scales
+        v_vals, v_sc = v_pages.values, v_pages.scales
+        k_sc = jnp.swapaxes(k_sc, -1, -2).astype(jnp.float32)
+        v_sc = jnp.swapaxes(v_sc, -1, -2).astype(jnp.float32)
+    else:
+        k_vals, v_vals = k_pages, v_pages
+        hkv, p, ps, _ = k_vals.shape
+        k_sc = jnp.ones((hkv, p, 1, ps), jnp.float32)
+        v_sc = k_sc
+
+    num_kv_heads, _, page_size, d_pool = k_vals.shape
+    if num_q_heads % num_kv_heads:
+        raise ValueError(
+            f"num_q_heads ({num_q_heads}) must divide by num_kv_heads ({num_kv_heads})"
+        )
+    group = num_q_heads // num_kv_heads
+    group_pad = max(geo.NUM_SUBLANES, group)
+    if sm_scale is None:
+        sm_scale = float(head_dim) ** -0.5
+    if interpret is None:
+        interpret = default_interpret()
+    if head_dim != d_pool:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, d_pool - head_dim)))
+
+    pages_per_seq = page_indices.shape[1]
+    if pages_per_block is None:
+        pages_per_block = max(1, min(2048 // page_size, pages_per_seq))
+    if pages_per_seq % pages_per_block:
+        pad = pages_per_block - pages_per_seq % pages_per_block
+        page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
+
+    # [B, Hq, T, d] → [B, Hkv, T, group_pad, d] → rows = T·group_pad,
+    # t-major so the kernel recovers t = row // group_pad.
+    qg = q.reshape(batch, num_kv_heads, group, num_tokens, d_pool)
+    qg = jnp.swapaxes(qg, 2, 3)  # [B, Hkv, T, group, d]
+    qg = qg * jnp.asarray(sm_scale, q.dtype)
+    if group_pad != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, 0), (0, group_pad - group), (0, 0)))
+    qg = qg.reshape(batch, num_kv_heads, num_tokens * group_pad, d_pool)
+
+    o = _paged_decode(
+        qg, k_vals, v_vals, k_sc, v_sc,
+        lengths.astype(jnp.int32), page_indices.astype(jnp.int32),
+        sm_scale=float(sm_scale), pages_per_block=pages_per_block,
+        quantized=quantized, interpret=bool(interpret),
+        num_tokens=num_tokens, group_pad=group_pad,
+    )
+    o = o.reshape(batch, num_kv_heads, num_tokens, group_pad, d_pool)
+    o = jnp.swapaxes(o[:, :, :, :group, :head_dim], 2, 3)
+    return o.reshape(batch, num_q_heads, num_tokens, head_dim)
 
 
 # ---------------------------------------------------------------------------

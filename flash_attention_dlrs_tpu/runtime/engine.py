@@ -24,6 +24,7 @@ from ..models.decoding import (
     init_kv_pools,
     make_decode_step,
     make_prefill,
+    make_verify_step,
     write_prompt_kv,
 )
 from ..models.transformer import ModelConfig
@@ -85,6 +86,7 @@ class DecodeEngine:
         self._decode_step = make_decode_step(
             cfg, pages_per_block=pages_per_block, interpret=interpret
         )
+        self._verify_cache: Dict[int, object] = {}
 
     # -- admission / retirement ------------------------------------------------
 
@@ -231,3 +233,159 @@ class DecodeEngine:
             steps += 1
         self.scheduler.schedule()  # final retirement
         return [r.output_tokens for r in reqs]
+
+    # -- speculative decoding ---------------------------------------------------
+
+    def _single_decode(self, sids, tokens_np):
+        """One batched greedy decode step for explicit (sid, token) pairs
+        occupying slots 0..len(sids)−1; returns next greedy tokens."""
+        b = self.num_slots
+        tokens = np.zeros(b, np.int32)
+        positions = np.zeros(b, np.int32)
+        rows = np.full(b, self._null_page, np.int32)
+        offs = np.zeros(b, np.int32)
+        tbl = np.full((b, self.pages_per_seq), self._null_page, np.int32)
+        lens = np.zeros(b, np.int32)
+        for slot, (sid, tok) in enumerate(zip(sids, tokens_np)):
+            pos = self.allocator.seq_lengths[sid]
+            self.allocator.ensure_capacity(sid, pos + 1)
+            table = self.allocator.page_tables[sid]
+            tokens[slot] = tok
+            positions[slot] = pos
+            rows[slot] = table[pos // self.page_size]
+            offs[slot] = pos % self.page_size
+            tbl[slot, : len(table)] = table
+            lens[slot] = pos + 1
+            self.allocator.seq_lengths[sid] = pos + 1
+        logits, self.pools = self._decode_step(
+            self.params, self.pools,
+            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(rows),
+            jnp.asarray(offs), jnp.asarray(tbl), jnp.asarray(lens),
+        )
+        return np.asarray(jnp.argmax(logits, axis=-1))
+
+    def generate_speculative(
+        self,
+        prompts: Sequence[Sequence[int]],
+        *,
+        draft: "DecodeEngine",
+        gamma: int = 4,
+        max_new_tokens: int = 16,
+        max_rounds: int = 10_000,
+    ) -> List[List[int]]:
+        """Greedy speculative decoding: the ``draft`` engine proposes ``gamma``
+        tokens per round, this (target) engine verifies them in ONE
+        multi-token step and commits the longest matching prefix plus the
+        correction/bonus token.  Output is IDENTICAL to plain greedy
+        ``generate`` regardless of draft quality — only the round count
+        (≈ tokens / acceptance) changes.
+
+        Both engines must share vocab, page size, and have enough slots for
+        all prompts (no mid-flight admission in this mode).
+        """
+        n = len(prompts)
+        if n > self.num_slots or n > draft.num_slots:
+            raise ValueError(
+                f"{n} prompts exceed slots (target {self.num_slots}, "
+                f"draft {draft.num_slots})"
+            )
+        if draft.page_size != self.page_size:
+            raise ValueError("draft and target page sizes must match")
+        verify = self._verify_cache.get(gamma)
+        if verify is None:
+            verify = make_verify_step(
+                self.cfg, gamma, interpret=self.interpret
+            )
+            self._verify_cache[gamma] = verify
+
+        # Admit everywhere (bypasses the scheduler: fixed batch, lockstep).
+        reqs = [
+            Request(request_id=f"spec{i}", prompt_tokens=list(p),
+                    max_new_tokens=max_new_tokens, eos_token=self.eos_token)
+            for i, p in enumerate(prompts)
+        ]
+        d_reqs = [
+            Request(request_id=f"spec{i}", prompt_tokens=list(p),
+                    max_new_tokens=max_new_tokens, eos_token=self.eos_token)
+            for i, p in enumerate(prompts)
+        ]
+        for slot, (r, dr) in enumerate(zip(reqs, d_reqs)):
+            self._admit(r, slot)
+            draft._admit(dr, slot)
+            # The draft conditions on the TARGET's committed stream.
+            draft._slot_next_token[slot] = r.output_tokens[0]
+        sids = [r.request_id for r in reqs]
+        outputs = [[r.output_tokens[0]] for r in reqs]
+
+        b = self.num_slots
+        for _ in range(max_rounds):
+            live = [
+                i for i in range(n)
+                if len(outputs[i]) < max_new_tokens and not (
+                    self.eos_token is not None
+                    and outputs[i][-1] == self.eos_token
+                )
+            ]
+            if not live:
+                break
+            # x0 per slot: last committed token (pending insertion).
+            x0 = np.asarray([outputs[i][-1] for i in range(n)], np.int64)
+
+            # --- draft proposes gamma−1 continuation tokens ----------------
+            proposals = np.zeros((n, gamma), np.int64)
+            proposals[:, 0] = x0
+            cur = x0
+            for j in range(1, gamma):
+                cur = draft._single_decode(sids, cur)[:n]
+                proposals[:, j] = cur
+
+            # --- target verifies all gamma tokens in one step --------------
+            tokens = np.zeros((b, gamma), np.int32)
+            positions = np.zeros((b, gamma), np.int32)
+            rows = np.full((b, gamma), self._null_page, np.int32)
+            offs = np.zeros((b, gamma), np.int32)
+            tbl = np.full((b, self.pages_per_seq), self._null_page, np.int32)
+            lens = np.zeros(b, np.int32)
+            base_pos = np.zeros(n, np.int32)
+            for slot in range(n):
+                sid = sids[slot]
+                p0 = self.allocator.seq_lengths[sid]
+                base_pos[slot] = p0
+                self.allocator.ensure_capacity(sid, p0 + gamma)
+                table = self.allocator.page_tables[sid]
+                tokens[slot] = proposals[slot]
+                positions[slot] = p0 + np.arange(gamma)
+                for j in range(gamma):
+                    pos = p0 + j
+                    rows[slot, j] = table[pos // self.page_size]
+                    offs[slot, j] = pos % self.page_size
+                tbl[slot, : len(table)] = table
+                lens[slot] = p0 + gamma
+            logits, self.pools = verify(
+                self.params, self.pools,
+                jnp.asarray(tokens), jnp.asarray(positions),
+                jnp.asarray(rows), jnp.asarray(offs), jnp.asarray(tbl),
+                jnp.asarray(lens),
+            )
+            greedy = np.asarray(jnp.argmax(logits, axis=-1))  # [b, gamma]
+
+            # --- accept longest matching prefix + correction/bonus ---------
+            for slot in live:
+                sid = sids[slot]
+                m = 0
+                while m < gamma - 1 and proposals[slot, m + 1] == greedy[slot, m]:
+                    m += 1
+                committed = [int(t) for t in greedy[slot, : m + 1]]
+                budget = max_new_tokens - len(outputs[slot])
+                for tok in committed[:budget]:
+                    outputs[slot].append(tok)
+                    if self.eos_token is not None and tok == self.eos_token:
+                        break
+                # cache holds x0, d1..d_m as valid prefix (m+1 tokens)
+                self.allocator.seq_lengths[sid] = int(base_pos[slot]) + 1 + m
+                draft.allocator.seq_lengths[sid] = int(base_pos[slot]) + 1 + m
+
+        for slot in range(n):
+            self._retire(reqs[slot], slot)
+            draft._retire(d_reqs[slot], slot)
+        return outputs

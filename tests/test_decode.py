@@ -87,3 +87,122 @@ def test_paged_decode_zero_length():
     assert bool(jnp.all(o[1] == 0.0))
     o_ref = paged_reference_attention(q, kp, vp, lengths, pidx)
     np.testing.assert_allclose(o, o_ref, atol=2e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Multi-token verify attention (speculative decoding / chunked prefill)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_verify_matches_per_token_reference(quantized):
+    from flash_attention_dlrs_tpu.ops.decode import paged_verify_attention
+
+    hq, hkv, d, ps = 8, 2, 128, 128
+    b, t_new, ctx = 2, 4, 512  # final length after appending t_new tokens
+    pages_per_seq = ctx // ps
+    num_pages = b * pages_per_seq
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    kp = jax.random.normal(keys[0], (hkv, num_pages, ps, d), jnp.float32)
+    vp = jax.random.normal(keys[1], (hkv, num_pages, ps, d), jnp.float32)
+    if quantized:
+        kp = quantize_kv_pages(kp, jnp.int8)
+        vp = quantize_kv_pages(vp, jnp.int8)
+    pidx = jnp.arange(num_pages, dtype=jnp.int32).reshape(b, pages_per_seq)
+    lengths = jnp.asarray([ctx, ctx - 37], jnp.int32)
+    q = jax.random.normal(keys[2], (b, hq, t_new, d), jnp.float32)
+
+    o = paged_verify_attention(q, kp, vp, lengths, pidx)
+    assert o.shape == (b, hq, t_new, d)
+    # per-token oracle: token t sees lengths − (t_new−1−t)
+    for t in range(t_new):
+        o_t = paged_reference_attention(
+            q[:, :, t], kp, vp, lengths - (t_new - 1 - t), pidx
+        )
+        np.testing.assert_allclose(
+            np.asarray(o[:, :, t]), np.asarray(o_t), atol=2e-4, rtol=1e-4
+        )
+
+
+def test_paged_verify_single_token_equals_decode():
+    from flash_attention_dlrs_tpu.ops.decode import paged_verify_attention
+
+    hq, hkv, d, ps = 4, 2, 128, 128
+    b, ctx = 2, 256
+    pages_per_seq = ctx // ps
+    num_pages = b * pages_per_seq
+    keys = jax.random.split(jax.random.PRNGKey(6), 3)
+    kp = jax.random.normal(keys[0], (hkv, num_pages, ps, d), jnp.float32)
+    vp = jax.random.normal(keys[1], (hkv, num_pages, ps, d), jnp.float32)
+    pidx = jnp.arange(num_pages, dtype=jnp.int32).reshape(b, pages_per_seq)
+    lengths = jnp.asarray([ctx, ctx - 10], jnp.int32)
+    q = jax.random.normal(keys[2], (b, hq, 1, d), jnp.float32)
+    o_v = paged_verify_attention(q, kp, vp, lengths, pidx)
+    o_d = paged_decode_attention(q[:, :, 0], kp, vp, lengths, pidx)
+    np.testing.assert_allclose(
+        np.asarray(o_v[:, :, 0]), np.asarray(o_d), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_verify_step_matches_sequential_decode_steps():
+    """Scoring T tokens with one verify step == T sequential decode steps."""
+    import numpy as onp
+    from flash_attention_dlrs_tpu.models import ModelConfig, init_params
+    from flash_attention_dlrs_tpu.models.decoding import (
+        init_kv_pools, make_decode_step, make_prefill, make_verify_step,
+        write_prompt_kv,
+    )
+
+    cfg = ModelConfig(vocab_size=128, d_model=64, n_layers=2, n_q_heads=4,
+                      n_kv_heads=2, head_dim=32, d_ff=128, dtype=jnp.float32)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ps = 64
+    prompt = onp.arange(1, 11)  # 10 tokens
+    t0 = len(prompt)
+    t_new = 3
+    draft = onp.array([5, 7, 9])
+
+    def fresh_pools_with_prompt():
+        pools = init_kv_pools(cfg, num_pages=8, page_size=ps, dtype=jnp.float32)
+        prefill = make_prefill(cfg)
+        toks = jnp.asarray(prompt[None, :], jnp.int32)
+        logits, kvs = prefill(params, jnp.pad(toks, ((0, 0), (0, 128 - t0))),
+                              jnp.asarray([t0], jnp.int32))
+        pages = jnp.arange(2, dtype=jnp.int32)  # pages 0,1 for this seq
+        for li, (k, v) in enumerate(kvs):
+            pools = write_prompt_kv(
+                pools, li, (k[0, :, :2 * ps], v[0, :, :2 * ps]), pages, ps
+            )
+        return pools
+
+    # path A: sequential single-token decode steps
+    pools = fresh_pools_with_prompt()
+    step = make_decode_step(cfg)
+    logits_seq = []
+    for i, tok in enumerate(draft):
+        pos = t0 + i
+        logits, pools = step(
+            params, pools,
+            jnp.asarray([tok], jnp.int32), jnp.asarray([pos], jnp.int32),
+            jnp.asarray([pos // ps], jnp.int32), jnp.asarray([pos % ps], jnp.int32),
+            jnp.arange(8, dtype=jnp.int32)[None, :],  # table rows 0..; seq uses 0,1
+            jnp.asarray([pos + 1], jnp.int32),
+        )
+        logits_seq.append(np.asarray(logits[0]))
+
+    # path B: one verify step over the same 3 tokens
+    pools2 = fresh_pools_with_prompt()
+    verify = make_verify_step(cfg, t_new)
+    positions = jnp.asarray([[t0, t0 + 1, t0 + 2]], jnp.int32)
+    rows = positions // ps
+    offs = positions % ps
+    logits_v, pools2 = verify(
+        params, pools2,
+        jnp.asarray(draft[None, :], jnp.int32), positions, rows, offs,
+        jnp.arange(8, dtype=jnp.int32)[None, :],
+        jnp.asarray([t0 + t_new], jnp.int32),
+    )
+    for t in range(t_new):
+        np.testing.assert_allclose(
+            np.asarray(logits_v[0, t]), logits_seq[t], atol=2e-4, rtol=1e-4
+        )
