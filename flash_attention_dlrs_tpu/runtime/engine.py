@@ -56,6 +56,7 @@ class DecodeEngine:
         quantized_kv: bool = False,
         eos_token: Optional[int] = None,
         pages_per_block: int | None = None,
+        prefill_chunk: int = 0,  # 0 = dense prefill; >0 = chunked admission
         interpret: Optional[bool] = None,
     ):
         self.params = params
@@ -87,10 +88,19 @@ class DecodeEngine:
             cfg, pages_per_block=pages_per_block, interpret=interpret
         )
         self._verify_cache: Dict[int, object] = {}
+        self.prefill_chunk = prefill_chunk
+        if prefill_chunk:
+            self._chunk_prefill = make_verify_step(
+                cfg, prefill_chunk, pages_per_block=pages_per_block,
+                interpret=interpret,
+            )
 
     # -- admission / retirement ------------------------------------------------
 
     def _admit(self, req: Request, slot: int) -> None:
+        if self.prefill_chunk:
+            self._admit_chunked(req, slot)
+            return
         prompt = np.asarray(req.prompt_tokens, np.int32)
         t = len(prompt)
         self.allocator.allocate(req.request_id, t + req.max_new_tokens)
@@ -119,6 +129,60 @@ class DecodeEngine:
         first_token = int(
             sample_tokens(
                 logits[:1], temp, top_k, top_p, seeds,
+                jnp.asarray([t], jnp.int32),
+            )[0]
+        )
+        req.output_tokens.append(first_token)
+        self.slot_request[slot] = req
+        self._slot_next_token[slot] = first_token
+
+    def _admit_chunked(self, req: Request, slot: int) -> None:
+        """Prefill through the multi-token verify kernel in fixed chunks:
+        ONE compiled program serves every prompt length (the dense path
+        compiles one program per pow2 length bucket), with bounded
+        activation memory.  Real tokens sit at the END of each chunk so the
+        kernel's per-row horizon (lengths − (C−1−t)) is exact for partial
+        chunks; front-pad rows scatter their K/V to the null page and
+        produce ignored outputs.
+        """
+        c = self.prefill_chunk
+        prompt = np.asarray(req.prompt_tokens, np.int32)
+        t = len(prompt)
+        sid = req.request_id
+        self.allocator.allocate(sid, t + req.max_new_tokens)
+        table = self.allocator.page_tables[sid]
+        tbl = np.full((1, self.pages_per_seq), self._null_page, np.int32)
+        tbl[0, : len(table)] = table
+
+        logits = None
+        done = 0
+        while done < t:
+            r = min(c, t - done)  # real tokens in this chunk
+            tokens = np.zeros((1, c), np.int32)
+            positions = np.zeros((1, c), np.int32)
+            rows = np.full((1, c), self._null_page, np.int32)
+            offs = np.zeros((1, c), np.int32)
+            tokens[0, c - r:] = prompt[done : done + r]
+            for j in range(r):
+                pos = done + j
+                positions[0, c - r + j] = pos
+                rows[0, c - r + j] = table[pos // self.page_size]
+                offs[0, c - r + j] = pos % self.page_size
+            lengths = np.asarray([done + r], np.int32)
+            logits, self.pools = self._chunk_prefill(
+                self.params, self.pools,
+                jnp.asarray(tokens), jnp.asarray(positions),
+                jnp.asarray(rows), jnp.asarray(offs), jnp.asarray(tbl),
+                jnp.asarray(lengths),
+            )
+            done += r
+
+        self.allocator.seq_lengths[sid] = t
+        sp = req.sampling or GREEDY
+        temp, top_k, top_p, seeds = batch_params([sp])
+        first_token = int(
+            sample_tokens(
+                logits[:1, -1], temp, top_k, top_p, seeds,
                 jnp.asarray([t], jnp.int32),
             )[0]
         )

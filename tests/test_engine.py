@@ -86,3 +86,25 @@ def test_engine_eos_stops_early(params):
     )
     toks = eng.generate(prompts, max_new_tokens=10)[0]
     assert toks[0] == first and len(toks) == 1
+
+
+def test_chunked_prefill_matches_dense_prefill():
+    """Engine with chunked admission generates the same greedy stream."""
+    from flash_attention_dlrs_tpu.models import ModelConfig, init_params
+    from flash_attention_dlrs_tpu.runtime.engine import DecodeEngine
+
+    cfg = ModelConfig(vocab_size=128, d_model=64, n_layers=2, n_q_heads=4,
+                      n_kv_heads=2, head_dim=32, d_ff=128, dtype=jnp.float32)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prompts = [list(range(1, 40)), [7, 6, 5], list(range(60, 100))]
+
+    def run(**kw):
+        eng = DecodeEngine(params, cfg, num_pages=64, page_size=32,
+                           pages_per_seq=8, num_slots=3, **kw)
+        return eng.generate(prompts, max_new_tokens=6)
+
+    dense = run()
+    # chunk smaller than, equal to, and larger than prompt pieces
+    for chunk in (16, 64):
+        chunked = run(prefill_chunk=chunk)
+        assert chunked == dense, (chunk, chunked, dense)
