@@ -46,6 +46,11 @@ _VMEM_BYTES = {
 # but applied to a VMEM budget instead of GA102 SRAM.
 SAFETY_MARGIN = 0.25
 
+# Mosaic's scoped-VMEM stack limit per kernel (blocks + scratch must fit a
+# 16 MiB scoped allocation regardless of total VMEM; measured empirically —
+# an fp32 1024x1024 backward cell fails compile at 16.89M vs this limit).
+SCOPED_VMEM_BYTES = 16 * 1024 * 1024
+
 
 @dataclasses.dataclass(frozen=True)
 class TpuGeometry:
@@ -59,7 +64,10 @@ class TpuGeometry:
 
     @property
     def vmem_budget(self) -> int:
-        return int(self.vmem_bytes * SAFETY_MARGIN)
+        return min(
+            int(self.vmem_bytes * SAFETY_MARGIN),
+            int(SCOPED_VMEM_BYTES * 0.95),
+        )
 
     def min_sublane_tile(self, dtype) -> int:
         itemsize = jnp.dtype(dtype).itemsize
@@ -114,11 +122,17 @@ def attention_bwd_vmem_bytes(
     Q/K/V/dO tiles + two fp32 score-sized temporaries + fp32 grad accumulators.
     """
     isz = jnp.dtype(dtype).itemsize
-    tiles = 2 * (block_q * head_dim + 2 * block_kv * head_dim) * isz
+    # Q/dO + K/V input tiles plus lane-replicated L and D rows, all
+    # double-buffered by the Pallas pipeline.
+    inputs = (
+        2 * block_q * head_dim * isz
+        + 2 * block_kv * head_dim * isz
+        + 2 * block_q * NUM_LANES * 4
+    ) * 2
     scores = 2 * block_q * block_kv * 4  # p and dp/ds
     accs = 2 * block_kv * head_dim * 4 + block_q * head_dim * 4
-    stats = 2 * block_q * 4  # L and D rows
-    return tiles + scores + accs + stats
+    outs = 2 * block_kv * head_dim * 4  # dK/dV output blocks
+    return inputs + scores + accs + outs
 
 
 def fits_vmem(nbytes: int, geom: TpuGeometry | None = None) -> bool:

@@ -172,8 +172,20 @@ def _bwd_dkv_kernel(
     num_q_blocks,
     tri=False,
     window=0,
+    band_w=0,
 ):
-    if tri:
+    if band_w:
+        # Transposed band: for kv block jkv, walk q rows iq = jkv … jkv+W−1
+        # (only rows whose window reaches back into jkv).
+        jkv = pl.program_id(2)
+        j = pl.program_id(3)
+        iq = jkv + j
+        is_first = j == 0  # iq == jkv, always valid
+        should_run = jnp.logical_and(
+            iq <= num_q_blocks - 1,
+            (jkv + 1) * block_kv - 1 >= iq * block_q - window + 1,
+        )
+    elif tri:
         jkv, iq = _tri_decode_upper(pl.program_id(2), num_q_blocks)
         is_first = iq == jkv
         should_run = True
@@ -226,7 +238,13 @@ def _bwd_dkv_kernel(
     _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run,
                 _compute, segmented=qseg_ref is not None, window=window)
 
-    @pl.when(iq == num_q_blocks - 1)
+    # Banded mode: the last steps of a row can be skipped (window ran out or
+    # iq fell off the grid), so write the running accumulators on every
+    # active step — the buffer's final content is flushed when the output
+    # block index changes.
+    store_now = should_run if band_w else (iq == num_q_blocks - 1)
+
+    @pl.when(store_now)
     def _store():
         dk_ref[0, 0] = (dk_acc[...] * LN2).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
@@ -258,14 +276,32 @@ def bwd_dkv_pallas(
     q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
 
     num_q_blocks = n_q // block_q
+    banded = causal and window > 0 and n_q == n_kv and block_q == block_kv
+    band_w = 0
+    if banded:
+        band_w = min((block_kv + window - 2) // block_q + 1, num_q_blocks)
     tri = causal and window == 0 and n_q == n_kv and block_q == block_kv
     kernel = functools.partial(
         _bwd_dkv_kernel,
         causal=causal, kv_len=kv_len,
         block_q=block_q, block_kv=block_kv,
-        num_q_blocks=num_q_blocks, tri=tri, window=window,
+        num_q_blocks=num_q_blocks, tri=tri, window=window, band_w=band_w,
     )
-    if tri:
+    if banded:
+        grid = (batch, num_q_heads, n_kv // block_kv, band_w)
+
+        def q_index(b, h, jkv, j):
+            iq = jnp.minimum(jkv + j, num_q_blocks - 1)
+            return (b, h, iq, 0)
+
+        def kv_index(b, h, jkv, j):
+            return (b, h // q_per_kv, jkv, 0)
+
+        def dkv_index(b, h, jkv, j):
+            return (b, h, jkv, 0)
+
+        dimension_semantics = ("parallel", "parallel", "parallel", "arbitrary")
+    elif tri:
         # Compacted upper-triangular grid (see fwd_kernel): only the
         # iq ≥ jkv steps exist; no skipped grid steps, no index clamping.
         grid = (batch, num_q_heads, num_q_blocks * (num_q_blocks + 1) // 2)
@@ -376,8 +412,20 @@ def _bwd_dq_kernel(
     num_kv_blocks,
     tri=False,
     window=0,
+    band_w=0,
 ):
-    if tri:
+    if band_w:
+        # Banded sliding-window grid: axis 3 walks the ≤ band_w kv blocks a
+        # q row's window can touch (see fwd_kernel).
+        iq = pl.program_id(2)
+        j = pl.program_id(3)
+        jkv = iq - (band_w - 1) + j
+        is_last = j == band_w - 1  # diagonal block, always valid
+        should_run = jnp.logical_and(
+            jkv >= 0,
+            (jkv + 1) * block_kv - 1 >= iq * block_q - window + 1,
+        )
+    elif tri:
         iq, jkv = _tri_decode(pl.program_id(2), num_kv_blocks)
         is_last = jkv == iq
         should_run = True
@@ -395,7 +443,7 @@ def _bwd_dq_kernel(
         else:
             should_run = True
 
-    @pl.when(jkv == 0)
+    @pl.when((j == 0) if band_w else (jkv == 0))
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
@@ -453,14 +501,30 @@ def bwd_dq_pallas(
     q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
 
     num_kv_blocks = n_kv // block_kv
+    banded = causal and window > 0 and n_q == n_kv and block_q == block_kv
+    band_w = 0
+    if banded:
+        band_w = min((block_q + window - 2) // block_kv + 1, num_kv_blocks)
     tri = causal and window == 0 and n_q == n_kv and block_q == block_kv
     kernel = functools.partial(
         _bwd_dq_kernel,
         sm_scale=sm_scale, causal=causal, kv_len=kv_len,
         block_q=block_q, block_kv=block_kv,
-        num_kv_blocks=num_kv_blocks, tri=tri, window=window,
+        num_kv_blocks=num_kv_blocks, tri=tri, window=window, band_w=band_w,
     )
-    if tri:
+    if banded:
+        num_q_blocks = n_q // block_q
+        grid = (batch, num_q_heads, num_q_blocks, band_w)
+
+        def q_index(b, h, iq, j):
+            return (b, h, iq, 0)
+
+        def kv_index(b, h, iq, j):
+            jkv = jnp.clip(iq - (band_w - 1) + j, 0, num_kv_blocks - 1)
+            return (b, h // q_per_kv, jkv, 0)
+
+        dimension_semantics = ("parallel", "parallel", "parallel", "arbitrary")
+    elif tri:
         # Compacted lower-triangular grid (see fwd_kernel._tri_decode).
         num_q_blocks = n_q // block_q
         grid = (batch, num_q_heads, num_q_blocks * (num_q_blocks + 1) // 2)
