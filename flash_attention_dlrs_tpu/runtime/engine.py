@@ -28,7 +28,7 @@ from ..models.decoding import (
     write_prompt_kv,
 )
 from ..models.transformer import ModelConfig
-from .kv_cache import PageAllocator
+from .native_alloc import make_page_allocator
 from .sampling import GREEDY, SamplingParams, batch_params, sample_tokens
 from .scheduler import ContinuousBatchingScheduler, Request
 
@@ -57,6 +57,7 @@ class DecodeEngine:
         eos_token: Optional[int] = None,
         pages_per_block: int | None = None,
         prefill_chunk: int = 0,  # 0 = dense prefill; >0 = chunked admission
+        native_allocator: Optional[bool] = None,  # None = auto-detect C++ lib
         interpret: Optional[bool] = None,
     ):
         self.params = params
@@ -71,7 +72,9 @@ class DecodeEngine:
             cfg, num_pages=num_pages, page_size=page_size,
             dtype=kv_dtype, quantized=quantized_kv,
         )
-        self.allocator = PageAllocator(num_pages, page_size)
+        self.allocator = make_page_allocator(
+            num_pages, page_size, native=native_allocator
+        )
         self.allocator.allocate(_NULL_SEQ, 1)  # scratch page for idle slots
         self._null_page = self.allocator.page_tables[_NULL_SEQ][0]
 
@@ -213,18 +216,18 @@ class DecodeEngine:
         tbl = np.full((b, self.pages_per_seq), self._null_page, np.int32)
         lens = np.zeros(b, np.int32)
 
-        for slot, req in active:
-            sid = req.request_id
-            pos = self.allocator.seq_lengths[sid]
-            self.allocator.ensure_capacity(sid, pos + 1)
-            table = self.allocator.page_tables[sid]
+        # One fused bookkeeping call (native C++ when available).
+        sids = [req.request_id for _, req in active]
+        rows_a, offs_a, tbl_a, pos_a, lens_a = (
+            self.allocator.decode_step_bookkeeping(sids, self.pages_per_seq)
+        )
+        for i, (slot, req) in enumerate(active):
             tokens[slot] = self._slot_next_token[slot]
-            positions[slot] = pos
-            rows[slot] = table[pos // self.page_size]
-            offs[slot] = pos % self.page_size
-            tbl[slot, : len(table)] = table
-            lens[slot] = pos + 1
-            self.allocator.seq_lengths[sid] = pos + 1
+            positions[slot] = pos_a[i]
+            rows[slot] = rows_a[i]
+            offs[slot] = offs_a[i]
+            tbl[slot] = tbl_a[i]
+            lens[slot] = lens_a[i]
 
         logits, self.pools = self._decode_step(
             self.params, self.pools,

@@ -88,6 +88,30 @@ class PageAllocator:
             [self.seq_lengths.get(s, 0) for s in seq_ids], np.int32
         )
 
+    def decode_step_bookkeeping(self, seq_ids, pages_per_seq: int):
+        """Per-decode-step bookkeeping for a batch: grow each sequence's
+        table by one token, emit (rows, offs, tables, positions, lens) and
+        advance the stored lengths.  Same contract as the native allocator's
+        single-call fused version (native_alloc.py)."""
+        n = len(seq_ids)
+        rows = np.zeros(n, np.int32)
+        offs = np.zeros(n, np.int32)
+        tbl = np.zeros((n, pages_per_seq), np.int32)
+        positions = np.zeros(n, np.int32)
+        lens = np.zeros(n, np.int32)
+        for i, sid in enumerate(seq_ids):
+            pos = self.seq_lengths[sid]
+            self.ensure_capacity(sid, pos + 1)
+            table = self.page_tables[sid]
+            rows[i] = table[pos // self.page_size]
+            offs[i] = pos % self.page_size
+            m = min(len(table), pages_per_seq)
+            tbl[i, :m] = table[:m]
+            positions[i] = pos
+            lens[i] = pos + 1
+            self.seq_lengths[sid] = pos + 1
+        return rows, offs, tbl, positions, lens
+
 
 @dataclasses.dataclass
 class PagedKVCache:
