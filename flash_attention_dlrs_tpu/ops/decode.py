@@ -68,41 +68,68 @@ def _decode_kernel(
     b = pl.program_id(0)
     h = pl.program_id(1)
     i = pl.program_id(2)
+    nb_total = pl.num_programs(0)
+    nh_total = pl.num_programs(1)
     bk = pages_per_block * page_size
     length = lengths_ref[b]
     num_blocks = pl.cdiv(length, bk)
 
-    def dma_block(block, slot):
-        """One async copy per page of `block` into buffer `slot`."""
+    def dma_block(cell_b, cell_h, block, slot):
+        """One async copy per page of `block` of cell (cell_b, cell_h) into
+        buffer `slot`."""
         copies = []
         for j in range(pages_per_block):
-            pidx = page_idx_ref[b * pages_per_seq + block * pages_per_block + j]
+            pidx = page_idx_ref[
+                cell_b * pages_per_seq + block * pages_per_block + j
+            ]
             copies.append(
                 pltpu.make_async_copy(
-                    k_pages_ref.at[h, pidx], k_buf.at[slot, j], sems.at[slot, 0]
+                    k_pages_ref.at[cell_h, pidx],
+                    k_buf.at[slot, j],
+                    sems.at[slot, 0],
                 )
             )
             copies.append(
                 pltpu.make_async_copy(
-                    v_pages_ref.at[h, pidx], v_buf.at[slot, j], sems.at[slot, 1]
+                    v_pages_ref.at[cell_h, pidx],
+                    v_buf.at[slot, j],
+                    sems.at[slot, 1],
                 )
             )
             if quantized:
                 copies.append(
                     pltpu.make_async_copy(
-                        k_scales_ref.at[h, pidx],
+                        k_scales_ref.at[cell_h, pidx],
                         k_sc_buf.at[slot, j],
                         sems.at[slot, 2],
                     )
                 )
                 copies.append(
                     pltpu.make_async_copy(
-                        v_scales_ref.at[h, pidx],
+                        v_scales_ref.at[cell_h, pidx],
                         v_sc_buf.at[slot, j],
                         sems.at[slot, 3],
                     )
                 )
         return copies
+
+    # Cross-cell software pipeline: slot 2 is a handoff buffer that always
+    # holds a cell's FIRST block, filled by the PREVIOUS grid cell while its
+    # own last block computes.  Without this the DMA pipeline drains at
+    # every (batch, head) boundary — the cold first-block fetch cost
+    # ~2.4 µs × B·Hkv cells ≈ 25% of the whole step at 8K ctx (measured
+    # 609 → 756 GB/s on v5e).  Requires strictly sequential row-major grid
+    # execution — dimension_semantics is all-"arbitrary" below.
+    is_last_step = i == jnp.maximum(num_blocks - 1, 0)
+    next_h = jax.lax.rem(h + 1, nh_total)
+    next_b = b + (h + 1) // nh_total
+    not_last_cell = jnp.logical_or(b < nb_total - 1, h < nh_total - 1)
+
+    @pl.when(jnp.logical_and(jnp.logical_and(b == 0, h == 0), i == 0))
+    def _boot():
+        # The very first cell has no predecessor: fill its own handoff slot.
+        for c in dma_block(0, 0, 0, 2):
+            c.start()
 
     @pl.when(i == 0)
     def _first():
@@ -111,24 +138,39 @@ def _decode_kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
         o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
 
-        @pl.when(length > 0)
-        def _start():
-            for c in dma_block(0, 0):
-                c.start()
+    # Early cross-issue: overlaps this cell's last compute.  Only safe once
+    # the handoff slot's data was consumed (at i == 0), i.e. multi-block
+    # cells; 1-block cells issue late (below) after their compute.
+    @pl.when(
+        jnp.logical_and(
+            jnp.logical_and(is_last_step, not_last_cell), num_blocks > 1
+        )
+    )
+    def _xcell_early():
+        for c in dma_block(next_b, next_h, 0, 2):
+            c.start()
+
+    # Empty cell (idle slot, length 0): nobody computes from the handoff
+    # data the predecessor sent — drain the semaphores to keep the protocol
+    # aligned for the next cell.
+    @pl.when(jnp.logical_and(i == 0, num_blocks == 0))
+    def _drain():
+        for c in dma_block(b, h, 0, 2):
+            c.wait()
 
     @pl.when(i < num_blocks)
     def _active():
-        slot = jax.lax.rem(i, 2)
-        next_slot = jax.lax.rem(i + 1, 2)
+        # Block 0 lives in the handoff slot; blocks ≥ 1 alternate slots 0/1.
+        slot = jnp.where(i == 0, 2, jax.lax.rem(i - 1, 2))
 
-        # Prefetch next block while this one computes.
+        # Prefetch the next within-cell block while this one computes.
         @pl.when(i + 1 < num_blocks)
         def _prefetch():
-            for c in dma_block(i + 1, next_slot):
+            for c in dma_block(b, h, i + 1, jax.lax.rem(i, 2)):
                 c.start()
 
         # Wait for this block's pages.
-        for c in dma_block(i, slot):
+        for c in dma_block(b, h, i, slot):
             c.wait()
 
         q = q_ref[0, 0]  # [rows, d], already sm_scale-scaled
@@ -172,6 +214,17 @@ def _decode_kernel(
         l = l_scr[...][:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+
+    # Late cross-issue for 1-block cells: their handoff slot is only freed
+    # by the compute above.
+    @pl.when(
+        jnp.logical_and(
+            jnp.logical_and(is_last_step, not_last_cell), num_blocks <= 1
+        )
+    )
+    def _xcell_late():
+        for c in dma_block(next_b, next_h, 0, 2):
+            c.start()
 
 
 @functools.partial(
@@ -230,11 +283,13 @@ def _paged_decode(
             (1, 1, rows_pad, head_dim), lambda b, h, i, *refs: (b, h, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, pages_per_block, page_size, head_dim), k_pages.dtype),
-            pltpu.VMEM((2, pages_per_block, page_size, head_dim), v_pages.dtype),
-            pltpu.VMEM((2, pages_per_block, 1, page_size), jnp.float32),
-            pltpu.VMEM((2, pages_per_block, 1, page_size), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            # 3 slots: 2 for the steady-state double buffer + 1 handoff slot
+            # filled across cell boundaries (see _decode_kernel).
+            pltpu.VMEM((3, pages_per_block, page_size, head_dim), k_pages.dtype),
+            pltpu.VMEM((3, pages_per_block, page_size, head_dim), v_pages.dtype),
+            pltpu.VMEM((3, pages_per_block, 1, page_size), jnp.float32),
+            pltpu.VMEM((3, pages_per_block, 1, page_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, 4)),
             pltpu.VMEM((rows_pad, geo.NUM_LANES), jnp.float32),
             pltpu.VMEM((rows_pad, geo.NUM_LANES), jnp.float32),
             pltpu.VMEM((rows_pad, head_dim), jnp.float32),
@@ -246,11 +301,28 @@ def _paged_decode(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q_grouped.shape, q_grouped.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # All-"arbitrary": the cross-cell handoff pipeline relies on
+            # strict sequential row-major grid order on one core.
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(lengths, page_indices.reshape(-1), q_grouped, k_pages, v_pages,
       k_scales, v_scales)
+
+
+def _default_pages_per_block(page_size, head_dim, dtype, pages_per_seq):
+    """Target ~1 MiB of K payload per double-buffered DMA block: measured on
+    v5e @8K ctx, smaller blocks are DMA-issue-bound (int8 at 2048-token
+    blocks: 414 GB/s; at 4096-token blocks: 707 GB/s) and larger ones blow
+    the handoff-slot VMEM.  Bytes-based, so int8 blocks carry twice the
+    tokens of bf16."""
+    isz = jnp.dtype(dtype).itemsize
+    target = 1 << 20
+    ppb = max(1, target // (page_size * head_dim * isz))
+    # Keep >= 2 blocks per sequence: with a single block per cell the
+    # cross-cell handoff prefetch cannot overlap anything (late issue).
+    ppb = min(ppb, max(1, pages_per_seq // 2))
+    return int(max(1, min(ppb, pages_per_seq)))
 
 
 def paged_decode_attention(
@@ -310,7 +382,9 @@ def paged_decode_attention(
 
     pages_per_seq = page_indices.shape[1]
     if pages_per_block is None:
-        pages_per_block = max(1, min(2048 // page_size, pages_per_seq))
+        pages_per_block = _default_pages_per_block(
+            page_size, d_pool, k_vals.dtype, pages_per_seq
+        )
     if pages_per_seq % pages_per_block:
         pad = pages_per_block - pages_per_seq % pages_per_block
         page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
@@ -380,7 +454,9 @@ def paged_verify_attention(
 
     pages_per_seq = page_indices.shape[1]
     if pages_per_block is None:
-        pages_per_block = max(1, min(2048 // page_size, pages_per_seq))
+        pages_per_block = _default_pages_per_block(
+            page_size, d_pool, k_vals.dtype, pages_per_seq
+        )
     if pages_per_seq % pages_per_block:
         pad = pages_per_block - pages_per_seq % pages_per_block
         page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
