@@ -48,6 +48,7 @@ def _decode_kernel(
     v_scales_ref,
     # outputs
     o_ref,  # [1, 1, group_pad, d]
+    lse_ref,  # [1, 1, rows_pad, NUM_LANES] f32, or None
     # scratch
     k_buf,  # [2, ppb, page_size, d]
     v_buf,
@@ -137,6 +138,8 @@ def _decode_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
         o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+        if lse_ref is not None:
+            lse_ref[0, 0] = jnp.full_like(lse_ref[0, 0], DEFAULT_MASK_VALUE)
 
     # Early cross-issue: overlaps this cell's last compute.  Only safe once
     # the handoff slot's data was consumed (at i == 0), i.e. multi-block
@@ -214,6 +217,13 @@ def _decode_kernel(
         l = l_scr[...][:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        if lse_ref is not None:
+            # natural-base logsumexp of this chip's partial attention; the
+            # cross-chip combine is merge_partials (parallel/ring.py)
+            lse = m_scr[...] + jnp.log(jnp.where(l_scr[...] == 0.0, 1.0,
+                                                 l_scr[...]))
+            lse = jnp.where(l_scr[...] == 0.0, DEFAULT_MASK_VALUE, lse)
+            lse_ref[0, 0] = lse
 
     # Late cross-issue for 1-block cells: their handoff slot is only freed
     # by the compute above.
@@ -231,7 +241,7 @@ def _decode_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "pages_per_block", "quantized", "interpret",
-        "num_tokens", "group_pad",
+        "num_tokens", "group_pad", "return_lse",
     ),
 )
 def _paged_decode(
@@ -249,6 +259,7 @@ def _paged_decode(
     interpret: bool,
     num_tokens: int = 1,
     group_pad: int = 0,
+    return_lse: bool = False,
 ):
     batch, num_kv_heads, rows_pad, head_dim = q_grouped.shape
     if not group_pad:
@@ -257,7 +268,7 @@ def _paged_decode(
     pages_per_seq = page_indices.shape[1]
     num_blocks = pages_per_seq // pages_per_block
 
-    kernel = functools.partial(
+    base_kernel = functools.partial(
         _decode_kernel,
         quantized=quantized,
         pages_per_block=pages_per_block,
@@ -266,6 +277,12 @@ def _paged_decode(
         num_tokens=num_tokens,
         group_pad=group_pad,
     )
+    if return_lse:
+        kernel = base_kernel
+    else:
+        def kernel(l_r, p_r, q_r, k_r, v_r, ks_r, vs_r, o_r, *scratch):
+            return base_kernel(l_r, p_r, q_r, k_r, v_r, ks_r, vs_r, o_r,
+                               None, *scratch)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -279,9 +296,11 @@ def _paged_decode(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
+        out_specs=[pl.BlockSpec(
             (1, 1, rows_pad, head_dim), lambda b, h, i, *refs: (b, h, 0, 0)
-        ),
+        )] + ([pl.BlockSpec(
+            (1, 1, rows_pad, geo.NUM_LANES), lambda b, h, i, *refs: (b, h, 0, 0)
+        )] if return_lse else []),
         scratch_shapes=[
             # 3 slots: 2 for the steady-state double buffer + 1 handoff slot
             # filled across cell boundaries (see _decode_kernel).
@@ -296,10 +315,14 @@ def _paged_decode(
         ],
     )
 
-    return pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct(q_grouped.shape, q_grouped.dtype)]
+    if return_lse:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (batch, num_kv_heads, rows_pad, geo.NUM_LANES), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(q_grouped.shape, q_grouped.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             # All-"arbitrary": the cross-cell handoff pipeline relies on
             # strict sequential row-major grid order on one core.
@@ -308,6 +331,9 @@ def _paged_decode(
         interpret=interpret,
     )(lengths, page_indices.reshape(-1), q_grouped, k_pages, v_pages,
       k_scales, v_scales)
+    if return_lse:
+        return outs[0], outs[1]
+    return outs[0]
 
 
 def _default_pages_per_block(page_size, head_dim, dtype, pages_per_seq):
@@ -334,6 +360,7 @@ def paged_decode_attention(
     *,
     sm_scale=None,
     pages_per_block: int | None = None,
+    return_lse: bool = False,
     interpret=None,
 ):
     """O = softmax(scale·q·K_pagesᵀ, masked to `lengths`) · V_pages.
@@ -395,13 +422,19 @@ def paged_decode_attention(
     if group_pad != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_pad - group), (0, 0)))
 
-    o = _paged_decode(
+    res = _paged_decode(
         qg, k_vals, v_vals, k_sc, v_sc,
         lengths.astype(jnp.int32), page_indices.astype(jnp.int32),
         sm_scale=float(sm_scale), pages_per_block=pages_per_block,
         quantized=quantized, interpret=bool(interpret),
+        return_lse=return_lse,
     )
-    return o[:, :, :group, :head_dim].reshape(batch, num_q_heads, head_dim)
+    if return_lse:
+        o, lse = res
+        o = o[:, :, :group, :head_dim].reshape(batch, num_q_heads, head_dim)
+        lse = lse[:, :, :group, 0].reshape(batch, num_q_heads)
+        return o, lse
+    return res[:, :, :group, :head_dim].reshape(batch, num_q_heads, head_dim)
 
 
 def paged_verify_attention(

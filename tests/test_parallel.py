@@ -145,3 +145,66 @@ def test_ring_attention_gradients(causal):
     np.testing.assert_allclose(dq, dq_r, atol=2e-3, rtol=1e-4)
     np.testing.assert_allclose(dk, dk_r, atol=2e-3, rtol=1e-4)
     np.testing.assert_allclose(dv, dv_r, atol=2e-4, rtol=1e-4)
+
+
+def test_context_sharded_paged_decode_matches_single_device():
+    """Flash-decoding split over a context axis == unsharded paged decode."""
+    import numpy as onp
+    from flash_attention_dlrs_tpu.ops.decode import (
+        paged_decode_attention, quantize_kv_pages,
+    )
+    from flash_attention_dlrs_tpu.parallel import make_mesh
+    from flash_attention_dlrs_tpu.parallel.sharded_decode import (
+        context_sharded_paged_decode,
+    )
+
+    n_dev = 4
+    mesh = make_mesh([n_dev], ("context",), devices=jax.devices()[:n_dev])
+    hq, hkv, d, ps = 4, 2, 128, 128
+    b = 2
+    pages_per_chip = 4  # per-sequence pages on each chip
+    pages_local_pool = b * pages_per_chip
+    total_pages = n_dev * pages_local_pool
+
+    key = jax.random.PRNGKey(0)
+    kp = jax.random.normal(key, (hkv, total_pages, ps, d), jnp.float32)
+    vp = jax.random.normal(jax.random.fold_in(key, 1),
+                           (hkv, total_pages, ps, d), jnp.float32)
+    q = jax.random.normal(jax.random.fold_in(key, 2), (b, hq, d), jnp.float32)
+
+    # per-chip local tables: chip c, seq s owns local pages [s*ppc, (s+1)*ppc)
+    # token counts: seq 0 full everywhere; seq 1 has tokens on chips 0-1 only
+    tok = onp.zeros((b, n_dev), onp.int32)
+    tok[0, :] = pages_per_chip * ps
+    tok[1, 0] = pages_per_chip * ps
+    tok[1, 1] = 100
+    pidx_local = onp.zeros((b, n_dev, pages_per_chip), onp.int32)
+    for s in range(b):
+        for c in range(n_dev):
+            pidx_local[s, c] = onp.arange(
+                s * pages_per_chip, (s + 1) * pages_per_chip
+            )
+    fn = context_sharded_paged_decode(mesh)
+    o = fn(q, kp, vp, jnp.asarray(tok), jnp.asarray(pidx_local))
+
+    # unsharded reference: concatenate each sequence's resident tokens
+    # (chip order) into one contiguous page list over the global pool
+    glob_tbl = onp.zeros((b, n_dev * pages_per_chip), onp.int32)
+    glob_len = onp.zeros((b,), onp.int32)
+    for s in range(b):
+        pages, total = [], 0
+        for c in range(n_dev):
+            t = int(tok[s, c])
+            npg = -(-t // ps) if t else 0
+            for j in range(npg):
+                pages.append(c * pages_local_pool + pidx_local[s, c, j])
+            total += t
+        # NOTE: partial chip pages are only valid if the NEXT chip is empty
+        # (true in this fixture: seq 1 ends on chip 1)
+        glob_tbl[s, : len(pages)] = pages
+        glob_len[s] = total
+    o_ref = paged_decode_attention(
+        q, kp, vp, jnp.asarray(glob_len), jnp.asarray(glob_tbl)
+    )
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               atol=2e-4, rtol=1e-4)
