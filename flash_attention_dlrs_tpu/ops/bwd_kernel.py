@@ -87,7 +87,8 @@ def bwd_d_pallas(o, do, *, block_q: int, interpret: bool = False):
 
 
 def _recompute_p(q, k, lse, iq, jkv, *, causal, kv_len, block_q,
-                 block_kv, apply_mask, window=0, qseg=None, kvseg=None):
+                 block_kv, apply_mask, window=0, softcap=0.0,
+                 qseg=None, kvseg=None):
     """P = exp2((c·Q)Kᵀ − log2e·L) with causal/length masking, where
     c = sm_scale·log2e was folded into Q by the caller.
 
@@ -96,6 +97,12 @@ def _recompute_p(q, k, lse, iq, jkv, *, causal, kv_len, block_q,
     Returns probabilities p [block_q, block_kv] fp32.
     """
     s = mxu_dot(q, k, (((1,), (1,)), ((), ())))
+    grad_cap = None
+    if softcap:
+        c2 = softcap * LOG2E
+        s = c2 * jnp.tanh(s * (1.0 / c2))
+        # d(cap·tanh(S/cap))/dS = 1 − tanh² = 1 − (S_c/cap)², scale-invariant
+        grad_cap = 1.0 - (s * (1.0 / c2)) ** 2
     lse = lse * LOG2E  # [block_q, 1] — O(block_q), off the hot path
     if apply_mask:
         mask = None
@@ -114,7 +121,7 @@ def _recompute_p(q, k, lse, iq, jkv, *, causal, kv_len, block_q,
             seg = qseg[:, :1] == kvseg[:1, :]  # [block_q, block_kv]
             mask = seg if mask is None else jnp.logical_and(mask, seg)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-    return jnp.exp2(s - lse)
+    return jnp.exp2(s - lse), grad_cap
 
 
 def _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run, body,
@@ -173,6 +180,7 @@ def _bwd_dkv_kernel(
     tri=False,
     window=0,
     band_w=0,
+    softcap=0.0,
 ):
     if band_w:
         # Transposed band: for kv block jkv, walk q rows iq = jkv … jkv+W−1
@@ -216,11 +224,11 @@ def _bwd_dkv_kernel(
         lse = lse_ref[0, 0][:, :1]  # [block_q, 1]
         dpre = dpre_ref[0, 0][:, :1]
 
-        p = _recompute_p(
+        p, grad_cap = _recompute_p(
             q, k, lse, iq, jkv,
             causal=causal, kv_len=kv_len,
             block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
-            window=window,
+            window=window, softcap=softcap,
             qseg=None if qseg_ref is None else qseg_ref[0],
             kvseg=None if kvseg_ref is None else kvseg_ref[0],
         )
@@ -232,6 +240,8 @@ def _bwd_dkv_kernel(
         # holds c·Q with c = sm_scale·log2e, so dK = sm_scale·dSᵀQ
         # = ln2·dSᵀ(c·Q) — the ln2 lives in the store epilogue, O(B_c·d).
         ds = p * (dp - dpre)
+        if grad_cap is not None:  # soft-cap chain rule
+            ds = ds * grad_cap
         # dK += dSᵀ (c·Q)  (≙ :293)
         dk_acc[...] += mxu_dot(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())))
 
@@ -254,12 +264,13 @@ def _bwd_dkv_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "causal", "block_q", "block_kv", "kv_len", "window",
-        "interpret"
+        "softcap", "interpret"
     ),
 )
 def bwd_dkv_pallas(
     q, k, v, do, lse, dpre, q_seg=None, kv_seg=None, *,
-    sm_scale, causal, block_q, block_kv, kv_len, window=0, interpret=False,
+    sm_scale, causal, block_q, block_kv, kv_len, window=0, softcap=0.0,
+    interpret=False,
 ):
     """dK, dV per *query* head: [B, Hq, Nkv_pad, d] fp32.
 
@@ -286,6 +297,7 @@ def bwd_dkv_pallas(
         causal=causal, kv_len=kv_len,
         block_q=block_q, block_kv=block_kv,
         num_q_blocks=num_q_blocks, tri=tri, window=window, band_w=band_w,
+        softcap=float(softcap),
     )
     if banded:
         grid = (batch, num_q_heads, n_kv // block_kv, band_w)
@@ -413,6 +425,7 @@ def _bwd_dq_kernel(
     tri=False,
     window=0,
     band_w=0,
+    softcap=0.0,
 ):
     if band_w:
         # Banded sliding-window grid: axis 3 walks the ≤ band_w kv blocks a
@@ -455,11 +468,11 @@ def _bwd_dq_kernel(
         lse = lse_ref[0, 0][:, :1]
         dpre = dpre_ref[0, 0][:, :1]
 
-        p = _recompute_p(
+        p, grad_cap = _recompute_p(
             q, k, lse, iq, jkv,
             causal=causal, kv_len=kv_len,
             block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
-            window=window,
+            window=window, softcap=softcap,
             qseg=None if qseg_ref is None else qseg_ref[0],
             kvseg=None if kvseg_ref is None else kvseg_ref[0],
         )
@@ -467,6 +480,8 @@ def _bwd_dq_kernel(
         # No per-element sm_scale multiply: k is unscaled here, so the true
         # scale is applied once to dQ in the store epilogue (O(B_r·d)).
         ds = p * (dp - dpre)
+        if grad_cap is not None:  # soft-cap chain rule
+            ds = ds * grad_cap
         # dQ += dS K — accumulated over the sequential KV grid axis; this is
         # the reduction the reference serialized with a spinlock
         # (src/flash_attention_kernels.py:305-320).  No lock needed here.
@@ -484,12 +499,13 @@ def _bwd_dq_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "causal", "block_q", "block_kv", "kv_len", "window",
-        "interpret"
+        "softcap", "interpret"
     ),
 )
 def bwd_dq_pallas(
     q, k, v, do, lse, dpre, q_seg=None, kv_seg=None, *,
-    sm_scale, causal, block_q, block_kv, kv_len, window=0, interpret=False,
+    sm_scale, causal, block_q, block_kv, kv_len, window=0, softcap=0.0,
+    interpret=False,
 ):
     """dQ: [B, Hq, Nq_pad, d] fp32."""
     batch, num_q_heads, n_q, head_dim = q.shape
@@ -511,6 +527,7 @@ def bwd_dq_pallas(
         sm_scale=sm_scale, causal=causal, kv_len=kv_len,
         block_q=block_q, block_kv=block_kv,
         num_kv_blocks=num_kv_blocks, tri=tri, window=window, band_w=band_w,
+        softcap=float(softcap),
     )
     if banded:
         num_q_blocks = n_q // block_q

@@ -142,6 +142,7 @@ def flash_attention_forward(
     sm_scale: Optional[float] = None,
     segment_ids: Optional[Union[SegmentIds, jax.Array]] = None,
     window: int = 0,
+    logit_softcap: float = 0.0,
     block_sizes: Optional[tuning.BlockSizes] = None,
     interpret: Optional[bool] = None,
 ):
@@ -157,6 +158,7 @@ def flash_attention_forward(
     o, lse = fwd.fwd_pallas(
         qp, kp, vp, qseg_p, kvseg_p,
         sm_scale=sm_scale, causal=causal, window=window,
+        softcap=float(logit_softcap),
         block_q=bs.block_q, block_kv=bs.block_kv,
         kv_len=kv_len, save_residuals=True, interpret=interpret,
     )
@@ -175,6 +177,7 @@ def flash_attention_backward(
     sm_scale: Optional[float] = None,
     segment_ids: Optional[Union[SegmentIds, jax.Array]] = None,
     window: int = 0,
+    logit_softcap: float = 0.0,
     block_sizes: Optional[tuning.BlockSizes] = None,
     interpret: Optional[bool] = None,
 ):
@@ -204,11 +207,13 @@ def flash_attention_backward(
     dk, dv = bwd.bwd_dkv_pallas(
         qp, kp, vp, dop, lse_rep, dpre, qseg_p, kvseg_p,
         sm_scale=sm_scale, causal=causal, window=window,
+        softcap=float(logit_softcap),
         block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
     )
     dq = bwd.bwd_dq_pallas(
         qp, kp, vp, dop, lse_rep, dpre, qseg_p, kvseg_p,
         sm_scale=sm_scale, causal=causal, window=window,
+        softcap=float(logit_softcap),
         block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
     )
     # GQA: group-sum per-q-head dK/dV into per-kv-head grads.
@@ -238,25 +243,28 @@ def _seg_cotangent(seg):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash_attention(q, k, v, seg, causal, sm_scale, window, block_sizes, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_attention(q, k, v, seg, causal, sm_scale, window, softcap,
+                     block_sizes, interpret):
     qp, kp, vp, q_len, kv_len, d = _pad_inputs(
         q, k, v, block_sizes.block_q, block_sizes.block_kv
     )
     qseg_p, kvseg_p = _pad_segments(seg, block_sizes.block_q, block_sizes.block_kv)
     o, _ = fwd.fwd_pallas(
         qp, kp, vp, qseg_p, kvseg_p,
-        sm_scale=sm_scale, causal=causal, window=window,
+        sm_scale=sm_scale, causal=causal, window=window, softcap=softcap,
         block_q=block_sizes.block_q, block_kv=block_sizes.block_kv,
         kv_len=kv_len, save_residuals=False, interpret=interpret,
     )
     return o[:, :, :q_len, :d]
 
 
-def _flash_attention_fwd(q, k, v, seg, causal, sm_scale, window, block_sizes, interpret):
+def _flash_attention_fwd(q, k, v, seg, causal, sm_scale, window, softcap,
+                         block_sizes, interpret):
     o, lse = flash_attention_forward(
         q, k, v,
         causal=causal, sm_scale=sm_scale, segment_ids=seg, window=window,
+        logit_softcap=softcap,
         block_sizes=block_sizes, interpret=interpret,
     )
     # Residuals (Q, K, V, O, L) ≙ ctx.save_for_backward
@@ -264,11 +272,13 @@ def _flash_attention_fwd(q, k, v, seg, causal, sm_scale, window, block_sizes, in
     return o, (q, k, v, o, lse, seg)
 
 
-def _flash_attention_bwd(causal, sm_scale, window, block_sizes, interpret, res, do):
+def _flash_attention_bwd(causal, sm_scale, window, softcap, block_sizes,
+                         interpret, res, do):
     q, k, v, o, lse, seg = res
     dq, dk, dv = flash_attention_backward(
         q, k, v, o, do, lse,
         causal=causal, sm_scale=sm_scale, segment_ids=seg, window=window,
+        logit_softcap=softcap,
         block_sizes=block_sizes, interpret=interpret,
     )
     return dq, dk, dv, _seg_cotangent(seg)
@@ -286,6 +296,7 @@ def flash_attention(
     sm_scale: Optional[float] = None,
     segment_ids: Optional[Union[SegmentIds, jax.Array]] = None,
     window: int = 0,
+    logit_softcap: float = 0.0,
     block_sizes: Optional[tuning.BlockSizes] = None,
     tune: bool = False,
     interpret: Optional[bool] = None,
@@ -311,8 +322,11 @@ def flash_attention(
                 "pass the tuned block_sizes in explicitly)"
             )
         block_sizes = tuned_block_sizes(q, k, v, causal=causal, sm_scale=sm_scale)
+    if logit_softcap < 0:
+        raise ValueError(f"logit_softcap must be >= 0, got {logit_softcap}")
     sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
-    return _flash_attention(q, k, v, seg, causal, sm_scale, window, bs, interpret)
+    return _flash_attention(q, k, v, seg, causal, sm_scale, window,
+                            float(logit_softcap), bs, interpret)
 
 
 def tuned_block_sizes(
@@ -329,7 +343,7 @@ def tuned_block_sizes(
 
         def fn(q_, k_, v_):
             return _flash_attention(
-                q_, k_, v_, None, causal, sm_scale_r, 0, bs, interpret
+                q_, k_, v_, None, causal, sm_scale_r, 0, 0.0, bs, interpret
             )
 
         return fn

@@ -25,6 +25,7 @@ def reference_attention(
     sm_scale: float = 1.0,
     segment_ids=None,
     window: int = 0,
+    logit_softcap: float = 0.0,
     with_lse: bool = False,
 ):
     """O = softmax(scale * Q K^T + mask) V with fp32 softmax.
@@ -45,6 +46,8 @@ def reference_attention(
         precision=MATMUL_PRECISION,
     )
     s = s * sm_scale
+    if logit_softcap:
+        s = logit_softcap * jnp.tanh(s / logit_softcap)
     if causal:
         mask = jnp.tril(jnp.ones((n_q, n_kv), dtype=bool), k=n_kv - n_q)
         if window:
@@ -76,7 +79,8 @@ def reference_attention(
 
 
 def reference_attention_grads(
-    q, k, v, do, *, causal=False, sm_scale=1.0, segment_ids=None, window=0
+    q, k, v, do, *, causal=False, sm_scale=1.0, segment_ids=None, window=0,
+    logit_softcap=0.0,
 ):
     """Oracle gradients via jax.vjp through the naive attention
     (role of torch.autograd.grad in src/test_correctness.py:48)."""
@@ -85,6 +89,7 @@ def reference_attention_grads(
         return reference_attention(
             q_, k_, v_, causal=causal, sm_scale=sm_scale,
             segment_ids=segment_ids, window=window,
+            logit_softcap=logit_softcap,
         )
 
     _, vjp = jax.vjp(f, q, k, v)

@@ -191,3 +191,17 @@ def test_bwd_sliding_window(window):
     np.testing.assert_allclose(dq, dq_r, atol=DQ_ATOL, rtol=RTOL)
     np.testing.assert_allclose(dk, dk_r, atol=DK_ATOL, rtol=RTOL)
     np.testing.assert_allclose(dv, dv_r, atol=DV_ATOL, rtol=RTOL)
+
+
+def test_bwd_logit_softcap():
+    b, h, n, d = 2, 2, 256, 128
+    q, k, v, do = _setup(41, (b, h, n, d), (b, h, n, d))
+    dq, dk, dv = _grads_via_vjp(
+        q, k, v, do, causal=True, sm_scale=1.0, logit_softcap=30.0
+    )
+    dq_r, dk_r, dv_r = reference_attention_grads(
+        q, k, v, do, causal=True, sm_scale=1.0, logit_softcap=30.0
+    )
+    np.testing.assert_allclose(dq, dq_r, atol=DQ_ATOL, rtol=RTOL)
+    np.testing.assert_allclose(dk, dk_r, atol=DK_ATOL, rtol=RTOL)
+    np.testing.assert_allclose(dv, dv_r, atol=DV_ATOL, rtol=RTOL)

@@ -253,3 +253,18 @@ def test_fwd_window_requires_causal():
     q, k, v = _make_qkv(jax.random.PRNGKey(25), (b, h, n, d), (b, h, n, d))
     with pytest.raises(ValueError):
         flash_attention(q, k, v, causal=False, window=16)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fwd_logit_softcap(causal):
+    """Gemma-style cap·tanh(S/cap) pre-softmax vs oracle."""
+    b, h, n, d = 2, 2, 256, 128
+    q, k, v = _make_qkv(jax.random.PRNGKey(33), (b, h, n, d), (b, h, n, d))
+    o = flash_attention(q, k, v, causal=causal, sm_scale=1.0,
+                        logit_softcap=30.0)
+    o_ref = reference_attention(q, k, v, causal=causal, sm_scale=1.0,
+                                logit_softcap=30.0)
+    np.testing.assert_allclose(o, o_ref, atol=FWD_ATOL, rtol=FWD_RTOL)
+    # capping changes the result vs uncapped (sanity the flag is live)
+    o_plain = flash_attention(q, k, v, causal=causal, sm_scale=1.0)
+    assert float(jnp.max(jnp.abs(o - o_plain))) > 1e-3
