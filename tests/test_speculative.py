@@ -66,3 +66,20 @@ def test_speculative_smaller_draft_model():
         PROMPTS, draft=draft, gamma=4, max_new_tokens=8
     )
     assert spec == plain
+
+
+def test_speculative_with_quantized_kv():
+    """Speculative loop over int8-KV pools (verify step writes quantized)."""
+    cfg = ModelConfig(**CFG)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    def eng():
+        return DecodeEngine(params, cfg, num_pages=64, page_size=64,
+                            pages_per_seq=6, quantized_kv=True,
+                            kv_dtype=jnp.int8)
+
+    plain = eng().generate(PROMPTS, max_new_tokens=8)
+    spec = eng().generate_speculative(
+        PROMPTS, draft=eng(), gamma=3, max_new_tokens=8
+    )
+    assert spec == plain
