@@ -57,6 +57,7 @@ class DecodeEngine:
         eos_token: Optional[int] = None,
         pages_per_block: int | None = None,
         prefill_chunk: int = 0,  # 0 = dense prefill; >0 = chunked admission
+        enable_prefix_cache: bool = False,  # share full-page prompt prefixes
         native_allocator: Optional[bool] = None,  # None = auto-detect C++ lib
         interpret: Optional[bool] = None,
     ):
@@ -97,6 +98,18 @@ class DecodeEngine:
                 cfg, prefill_chunk, pages_per_block=pages_per_block,
                 interpret=interpret,
             )
+        self.prefix_cache = None
+        if enable_prefix_cache:
+            if not prefill_chunk:
+                raise ValueError(
+                    "enable_prefix_cache requires prefill_chunk > 0 (the "
+                    "suffix prefill runs through the chunked path)"
+                )
+            from .prefix_cache import PrefixCache
+
+            self.prefix_cache = PrefixCache(self.allocator, page_size)
+            # admission gate may free pages by evicting cache entries
+            self.scheduler._can_allocate = self.prefix_cache.can_allocate
 
     # -- admission / retirement ------------------------------------------------
 
@@ -152,13 +165,22 @@ class DecodeEngine:
         prompt = np.asarray(req.prompt_tokens, np.int32)
         t = len(prompt)
         sid = req.request_id
-        self.allocator.allocate(sid, t + req.max_new_tokens)
+        cached_tokens = 0
+        if self.prefix_cache is not None:
+            shared_pages, cached_tokens = self.prefix_cache.match(
+                req.prompt_tokens
+            )
+            self.prefix_cache.allocate_mixed_with_eviction(
+                sid, shared_pages, t + req.max_new_tokens
+            )
+        else:
+            self.allocator.allocate(sid, t + req.max_new_tokens)
         table = self.allocator.page_tables[sid]
         tbl = np.full((1, self.pages_per_seq), self._null_page, np.int32)
         tbl[0, : len(table)] = table
 
         logits = None
-        done = 0
+        done = cached_tokens  # cached prefix pages are already filled
         while done < t:
             r = min(c, t - done)  # real tokens in this chunk
             tokens = np.zeros((1, c), np.int32)
@@ -181,6 +203,8 @@ class DecodeEngine:
             done += r
 
         self.allocator.seq_lengths[sid] = t
+        if self.prefix_cache is not None:
+            self.prefix_cache.register(req.prompt_tokens, table)
         sp = req.sampling or GREEDY
         temp, top_k, top_p, seeds = batch_params([sp])
         first_token = int(

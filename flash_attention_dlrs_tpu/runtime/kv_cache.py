@@ -48,20 +48,49 @@ class PageAllocator:
         self.free_pages = list(range(num_pages - 1, -1, -1))
         self.page_tables: dict = {}
         self.seq_lengths: dict = {}
+        # Reference counts for prefix sharing: a page allocated to a
+        # sequence starts at 1; add_ref/release manage extra holders (the
+        # prefix-cache registry and sequences reusing cached pages).  A page
+        # returns to the free list only when its count reaches 0.
+        self._refs = np.zeros(num_pages, np.int32)
 
     def can_allocate(self, num_tokens: int) -> bool:
         return -(-max(num_tokens, 1) // self.page_size) <= len(self.free_pages)
 
     def allocate(self, seq_id, num_tokens: int) -> None:
+        self.allocate_mixed(seq_id, (), num_tokens)
+
+    def allocate_mixed(self, seq_id, shared_pages, num_tokens: int) -> None:
+        """Allocate a sequence whose first pages are SHARED (refcounted,
+        already filled by a previous sequence) plus fresh pages to cover
+        ``num_tokens`` total."""
         if seq_id in self.page_tables:
             raise ValueError(f"sequence {seq_id!r} already allocated")
-        need = -(-max(num_tokens, 1) // self.page_size)
+        shared = list(shared_pages)
+        need = -(-max(num_tokens, 1) // self.page_size) - len(shared)
         if need > len(self.free_pages):
             raise MemoryError(
                 f"KV cache out of pages: need {need}, free {len(self.free_pages)}"
             )
-        self.page_tables[seq_id] = [self.free_pages.pop() for _ in range(need)]
+        fresh = [self.free_pages.pop() for _ in range(max(need, 0))]
+        for p in shared:
+            self._refs[p] += 1
+        for p in fresh:
+            self._refs[p] = 1
+        self.page_tables[seq_id] = shared + fresh
         self.seq_lengths[seq_id] = 0
+
+    def add_ref(self, pages) -> None:
+        for p in pages:
+            self._refs[p] += 1
+
+    def release(self, pages) -> None:
+        """Drop one reference per page; count-0 pages return to the free list."""
+        for p in pages:
+            self._refs[p] -= 1
+            if self._refs[p] <= 0:
+                self._refs[p] = 0
+                self.free_pages.append(int(p))
 
     def ensure_capacity(self, seq_id, new_len: int) -> None:
         table = self.page_tables[seq_id]
@@ -69,12 +98,14 @@ class PageAllocator:
         while len(table) < need:
             if not self.free_pages:
                 raise MemoryError("KV cache out of pages")
-            table.append(self.free_pages.pop())
+            p = self.free_pages.pop()
+            self._refs[p] = 1
+            table.append(p)
 
     def free(self, seq_id) -> None:
         pages = self.page_tables.pop(seq_id)
         self.seq_lengths.pop(seq_id)
-        self.free_pages.extend(reversed(pages))
+        self.release(reversed(pages))
 
     def page_indices_for(self, seq_ids, pages_per_seq: int) -> np.ndarray:
         out = np.zeros((len(seq_ids), pages_per_seq), np.int32)

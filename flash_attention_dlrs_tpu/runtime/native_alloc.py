@@ -90,6 +90,16 @@ def _load_lib():
         lib.pa_decode_step.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
             ctypes.c_int32] + [ctypes.POINTER(ctypes.c_int32)] * 5
+        lib.pa_allocate_mixed.restype = ctypes.c_int32
+        lib.pa_allocate_mixed.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int64]
+        lib.pa_add_ref.restype = None
+        lib.pa_add_ref.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        lib.pa_release.restype = None
+        lib.pa_release.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
         _lib = lib
         return _lib
 
@@ -232,6 +242,30 @@ class NativePageAllocator:
         if rc == -2:
             raise MemoryError("KV cache out of pages")
 
+    def allocate_mixed(self, seq_id, shared_pages, num_tokens: int) -> None:
+        key = self._key_of(seq_id, create=True)
+        shared = np.asarray(list(shared_pages), np.int32)
+        rc = self._lib.pa_allocate_mixed(
+            self._h, key,
+            shared.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(shared), int(num_tokens))
+        if rc == -1:
+            raise ValueError(f"sequence {seq_id!r} already allocated")
+        if rc == -2:
+            raise MemoryError("KV cache out of pages")
+
+    def add_ref(self, pages) -> None:
+        arr = np.asarray(list(pages), np.int32)
+        self._lib.pa_add_ref(
+            self._h, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(arr))
+
+    def release(self, pages) -> None:
+        arr = np.asarray(list(pages), np.int32)
+        self._lib.pa_release(
+            self._h, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(arr))
+
     def ensure_capacity(self, seq_id, new_len: int) -> None:
         key = self._keys.get(seq_id)
         rc = -1 if key is None else self._lib.pa_ensure_capacity(
@@ -245,6 +279,11 @@ class NativePageAllocator:
         key = self._keys.pop(seq_id, None)
         if key is None or self._lib.pa_free(self._h, key) != 0:
             raise KeyError(seq_id)
+        # A re-submitted sequence id interns a NEW key; cached step buffers
+        # hold the old one and would hit a freed sequence.
+        self._step_cache = {
+            k: v for k, v in self._step_cache.items() if seq_id not in k[0]
+        }
 
     def page_indices_for(self, seq_ids, pages_per_seq: int) -> np.ndarray:
         keys = np.asarray(

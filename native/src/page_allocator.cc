@@ -19,6 +19,7 @@ namespace {
 struct Allocator {
   int32_t page_size;
   std::vector<int32_t> free_pages;  // LIFO: pop from back
+  std::vector<int32_t> refs;        // per-page reference counts
   std::unordered_map<int64_t, std::vector<int32_t>> tables;
   std::unordered_map<int64_t, int64_t> lengths;
 
@@ -35,6 +36,7 @@ extern "C" {
 Allocator* pa_create(int32_t num_pages, int32_t page_size) {
   auto* a = new Allocator();
   a->page_size = page_size;
+  a->refs.assign(num_pages, 0);
   a->free_pages.reserve(num_pages);
   // Same order as the Python free list: list(range(n-1, -1, -1)) popped
   // from the back means page 0 is handed out first.
@@ -63,11 +65,51 @@ int32_t pa_allocate(Allocator* a, int64_t key, int64_t num_tokens) {
   auto& table = a->tables[key];
   table.reserve(need);
   for (int64_t i = 0; i < need; ++i) {
-    table.push_back(a->free_pages.back());
+    int32_t p = a->free_pages.back();
     a->free_pages.pop_back();
+    a->refs[p] = 1;
+    table.push_back(p);
   }
   a->lengths[key] = 0;
   return 0;
+}
+
+// Allocate with a shared (refcounted, pre-filled) prefix of pages.
+// 0 ok, -1 key exists, -2 out of pages.
+int32_t pa_allocate_mixed(Allocator* a, int64_t key,
+                          const int32_t* shared, int32_t n_shared,
+                          int64_t num_tokens) {
+  if (a->tables.count(key)) return -1;
+  int64_t need = a->pages_needed(num_tokens) - n_shared;
+  if (need > static_cast<int64_t>(a->free_pages.size())) return -2;
+  auto& table = a->tables[key];
+  table.reserve(n_shared + (need > 0 ? need : 0));
+  for (int32_t i = 0; i < n_shared; ++i) {
+    a->refs[shared[i]] += 1;
+    table.push_back(shared[i]);
+  }
+  for (int64_t i = 0; i < need; ++i) {
+    int32_t p = a->free_pages.back();
+    a->free_pages.pop_back();
+    a->refs[p] = 1;
+    table.push_back(p);
+  }
+  a->lengths[key] = 0;
+  return 0;
+}
+
+void pa_add_ref(Allocator* a, const int32_t* pages, int32_t n) {
+  for (int32_t i = 0; i < n; ++i) a->refs[pages[i]] += 1;
+}
+
+void pa_release(Allocator* a, const int32_t* pages, int32_t n) {
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t p = pages[i];
+    if (--a->refs[p] <= 0) {
+      a->refs[p] = 0;
+      a->free_pages.push_back(p);
+    }
+  }
 }
 
 // 0 ok, -1 missing key, -2 out of pages
@@ -78,8 +120,10 @@ int32_t pa_ensure_capacity(Allocator* a, int64_t key, int64_t new_len) {
   auto& table = it->second;
   while (static_cast<int64_t>(table.size()) < need) {
     if (a->free_pages.empty()) return -2;
-    table.push_back(a->free_pages.back());
+    int32_t p = a->free_pages.back();
     a->free_pages.pop_back();
+    a->refs[p] = 1;
+    table.push_back(p);
   }
   return 0;
 }
@@ -88,9 +132,15 @@ int32_t pa_free(Allocator* a, int64_t key) {
   auto it = a->tables.find(key);
   if (it == a->tables.end()) return -1;
   auto& table = it->second;
-  // Python frees with extend(reversed(pages)) so reuse order matches.
-  for (auto rit = table.rbegin(); rit != table.rend(); ++rit)
-    a->free_pages.push_back(*rit);
+  // Python frees with extend(reversed(pages)) so reuse order matches;
+  // shared pages only return to the free list at refcount 0.
+  for (auto rit = table.rbegin(); rit != table.rend(); ++rit) {
+    int32_t p = *rit;
+    if (--a->refs[p] <= 0) {
+      a->refs[p] = 0;
+      a->free_pages.push_back(p);
+    }
+  }
   a->tables.erase(it);
   a->lengths.erase(key);
   return 0;
@@ -165,8 +215,10 @@ int32_t pa_decode_step(Allocator* a, const int64_t* keys, int32_t n,
     auto& table = tit->second;
     while (static_cast<int64_t>(table.size()) < need) {
       if (a->free_pages.empty()) return -2;
-      table.push_back(a->free_pages.back());
+      int32_t p = a->free_pages.back();
       a->free_pages.pop_back();
+      a->refs[p] = 1;
+      table.push_back(p);
     }
     rows[i] = table[pos / a->page_size];
     offs[i] = static_cast<int32_t>(pos % a->page_size);
