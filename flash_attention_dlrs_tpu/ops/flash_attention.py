@@ -31,6 +31,7 @@ from .. import tuning
 from ..utils import default_interpret, pad_axis_to
 from . import bwd_kernel as bwd
 from . import fwd_kernel as fwd
+from . import fwd_small
 
 
 class SegmentIds(NamedTuple):
@@ -115,6 +116,49 @@ def _resolve(q, k, sm_scale, block_sizes, interpret):
     return float(sm_scale), block_sizes, bool(interpret)
 
 
+def _use_small(q, k, block_sizes) -> bool:
+    """Route to the one-shot short-sequence kernel: only when the caller
+    didn't pin block sizes (explicit blocks keep exercising the general
+    kernel) and the whole padded sequence fits one block."""
+    return (
+        block_sizes is None
+        and max(q.shape[2], k.shape[2]) <= fwd_small.MAX_SMALL_N
+    )
+
+
+def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, bs, small,
+                  interpret, save_residuals):
+    """Shared forward dispatch: one-shot small kernel or the general one."""
+    if small:
+        n_pad = geo.current_geometry().round_up(
+            max(q.shape[2], k.shape[2]), geo.NUM_LANES
+        )
+        qp, kp, vp, q_len, kv_len, d = _pad_inputs(q, k, v, n_pad, n_pad)
+        qseg_p, kvseg_p = _pad_segments(seg, n_pad, n_pad)
+        o, lse = fwd_small.fwd_small_pallas(
+            qp, kp, vp, qseg_p, kvseg_p,
+            sm_scale=sm_scale, causal=causal, kv_len=kv_len,
+            window=window, softcap=float(softcap),
+            save_residuals=save_residuals, interpret=interpret,
+        )
+    else:
+        qp, kp, vp, q_len, kv_len, d = _pad_inputs(
+            q, k, v, bs.block_q, bs.block_kv
+        )
+        qseg_p, kvseg_p = _pad_segments(seg, bs.block_q, bs.block_kv)
+        o, lse = fwd.fwd_pallas(
+            qp, kp, vp, qseg_p, kvseg_p,
+            sm_scale=sm_scale, causal=causal, window=window,
+            softcap=float(softcap),
+            block_q=bs.block_q, block_kv=bs.block_kv,
+            kv_len=kv_len, save_residuals=save_residuals,
+            interpret=interpret,
+        )
+    if save_residuals:
+        return o[:, :, :q_len, :d], lse[:, :, :q_len, 0]
+    return o[:, :, :q_len, :d], None
+
+
 def _pad_inputs(q, k, v, block_q, block_kv):
     q, q_len = pad_axis_to(q, 2, block_q)
     k, kv_len = pad_axis_to(k, 2, block_kv)
@@ -152,17 +196,12 @@ def flash_attention_forward(
     _validate(q, k, v)
     window = _normalize_window(window, causal, k.shape[2])
     seg = _normalize_segments(segment_ids, q, k)
+    small = _use_small(q, k, block_sizes)
     sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
-    qp, kp, vp, q_len, kv_len, d = _pad_inputs(q, k, v, bs.block_q, bs.block_kv)
-    qseg_p, kvseg_p = _pad_segments(seg, bs.block_q, bs.block_kv)
-    o, lse = fwd.fwd_pallas(
-        qp, kp, vp, qseg_p, kvseg_p,
-        sm_scale=sm_scale, causal=causal, window=window,
-        softcap=float(logit_softcap),
-        block_q=bs.block_q, block_kv=bs.block_kv,
-        kv_len=kv_len, save_residuals=True, interpret=interpret,
+    return _forward_impl(
+        q, k, v, seg, causal, sm_scale, window, logit_softcap, bs, small,
+        interpret, save_residuals=True,
     )
-    return o[:, :, :q_len, :d], lse[:, :, :q_len, 0]
 
 
 def flash_attention_backward(
@@ -243,29 +282,21 @@ def _seg_cotangent(seg):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _flash_attention(q, k, v, seg, causal, sm_scale, window, softcap,
-                     block_sizes, interpret):
-    qp, kp, vp, q_len, kv_len, d = _pad_inputs(
-        q, k, v, block_sizes.block_q, block_sizes.block_kv
+                     block_sizes, small, interpret):
+    o, _ = _forward_impl(
+        q, k, v, seg, causal, sm_scale, window, softcap, block_sizes, small,
+        interpret, save_residuals=False,
     )
-    qseg_p, kvseg_p = _pad_segments(seg, block_sizes.block_q, block_sizes.block_kv)
-    o, _ = fwd.fwd_pallas(
-        qp, kp, vp, qseg_p, kvseg_p,
-        sm_scale=sm_scale, causal=causal, window=window, softcap=softcap,
-        block_q=block_sizes.block_q, block_kv=block_sizes.block_kv,
-        kv_len=kv_len, save_residuals=False, interpret=interpret,
-    )
-    return o[:, :, :q_len, :d]
+    return o
 
 
 def _flash_attention_fwd(q, k, v, seg, causal, sm_scale, window, softcap,
-                         block_sizes, interpret):
-    o, lse = flash_attention_forward(
-        q, k, v,
-        causal=causal, sm_scale=sm_scale, segment_ids=seg, window=window,
-        logit_softcap=softcap,
-        block_sizes=block_sizes, interpret=interpret,
+                         block_sizes, small, interpret):
+    o, lse = _forward_impl(
+        q, k, v, seg, causal, sm_scale, window, softcap, block_sizes, small,
+        interpret, save_residuals=True,
     )
     # Residuals (Q, K, V, O, L) ≙ ctx.save_for_backward
     # (src/flash_attention_torch.py:77).
@@ -273,7 +304,7 @@ def _flash_attention_fwd(q, k, v, seg, causal, sm_scale, window, softcap,
 
 
 def _flash_attention_bwd(causal, sm_scale, window, softcap, block_sizes,
-                         interpret, res, do):
+                         small, interpret, res, do):
     q, k, v, o, lse, seg = res
     dq, dk, dv = flash_attention_backward(
         q, k, v, o, do, lse,
@@ -324,9 +355,10 @@ def flash_attention(
         block_sizes = tuned_block_sizes(q, k, v, causal=causal, sm_scale=sm_scale)
     if logit_softcap < 0:
         raise ValueError(f"logit_softcap must be >= 0, got {logit_softcap}")
+    small = _use_small(q, k, block_sizes)
     sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
     return _flash_attention(q, k, v, seg, causal, sm_scale, window,
-                            float(logit_softcap), bs, interpret)
+                            float(logit_softcap), bs, small, interpret)
 
 
 def tuned_block_sizes(
@@ -343,7 +375,8 @@ def tuned_block_sizes(
 
         def fn(q_, k_, v_):
             return _flash_attention(
-                q_, k_, v_, None, causal, sm_scale_r, 0, 0.0, bs, interpret
+                q_, k_, v_, None, causal, sm_scale_r, 0, 0.0, bs, False,
+                interpret
             )
 
         return fn

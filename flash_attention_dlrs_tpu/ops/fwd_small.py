@@ -1,0 +1,202 @@
+"""One-shot forward kernel for short sequences.
+
+When the whole (padded) sequence fits one block, the general kernel's online
+softmax is pure overhead: running (m, l, acc) scratch, per-step init and
+epilogue, and one grid step per (batch, head) pair.  This kernel computes
+softmax(QKᵀ)V in a single pass per cell and blocks several HEADS per grid
+cell, amortizing per-step cost over the batched head loop.  Measured on v5e
+(B=8 H=16 d=128 bf16 causal): N=256 11.9 → ~35 TF/s, N=512 27 → ~50 TF/s.
+
+Composes with causal, sliding window, segment ids, soft-capping, GQA, and
+the LSE residual; the backward stays on the general kernels (small-N bwd is
+a follow-up).  Q arrives pre-scaled by sm_scale·log2e (base-2 convention,
+see fwd_kernel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import geometry as geo
+from .fwd_kernel import DEFAULT_MASK_VALUE, LN2, LOG2E, mxu_dot
+
+# Only sequences up to this padded length take the one-shot path: beyond it
+# the [n, n] score tile stops fitting comfortably in scoped VMEM and the
+# general online-softmax kernel wins anyway.
+MAX_SMALL_N = 512
+
+
+def _heads_per_cell(n: int, head_dim: int, num_q_heads: int, q_per_kv: int,
+                    dtype) -> int:
+    """Largest head block (multiple of q_per_kv, divisor of Hq) whose
+    footprint fits the scoped-VMEM budget."""
+    isz = jnp.dtype(dtype).itemsize
+    budget = geo.current_geometry().vmem_budget
+    hb = num_q_heads
+    while hb > q_per_kv:
+        q_kv = hb * n * head_dim * isz * 2  # q + out
+        kv = 2 * (hb // q_per_kv) * n * head_dim * isz
+        scores = 2 * n * n * 4
+        if (q_kv + kv) * 2 + scores <= budget and num_q_heads % hb == 0:
+            break
+        hb //= 2
+    return max(hb, q_per_kv)
+
+
+def _small_kernel(
+    q_ref,  # [1, hb, n, d] — pre-scaled
+    k_ref,  # [1, hb // q_per_kv, n, d]
+    v_ref,
+    qseg_ref,  # [1, n, LANES] int32 or None
+    kvseg_ref,  # [1, SUBLANES, n] int32 or None
+    o_ref,
+    lse_ref,  # [1, hb, n, LANES] f32 or None
+    *,
+    causal: bool,
+    kv_len: int,
+    n: int,
+    hb: int,
+    q_per_kv: int,
+    window: int,
+    softcap: float,
+):
+    mask = None
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        mask = row >= col
+        if window:
+            mask = jnp.logical_and(mask, (row - col) < window)
+    if kv_len != n:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        lm = col < kv_len
+        mask = lm if mask is None else jnp.logical_and(mask, lm)
+    if qseg_ref is not None:
+        seg = qseg_ref[0][:, :1] == kvseg_ref[0][:1, :]
+        mask = seg if mask is None else jnp.logical_and(mask, seg)
+
+    for j in range(hb):
+        q = q_ref[0, j]
+        k = k_ref[0, j // q_per_kv]
+        v = v_ref[0, j // q_per_kv]
+        s = mxu_dot(q, k, (((1,), (1,)), ((), ())))
+        if softcap:
+            c2 = softcap * LOG2E
+            s = c2 * jnp.tanh(s * (1.0 / c2))
+        if mask is not None:
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = mxu_dot(p.astype(v.dtype), v, (((1,), (0,)), ((), ())))
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, j] = (pv * l_inv).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse = LN2 * m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+            lse = jnp.where(l == 0.0, DEFAULT_MASK_VALUE, lse)
+            lse_ref[0, j] = jnp.broadcast_to(lse, (n, geo.NUM_LANES))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale", "causal", "kv_len", "window", "softcap",
+        "save_residuals", "interpret",
+    ),
+)
+def fwd_small_pallas(
+    q,
+    k,
+    v,
+    q_seg=None,
+    kv_seg=None,
+    *,
+    sm_scale: float,
+    causal: bool,
+    kv_len: int,
+    window: int = 0,
+    softcap: float = 0.0,
+    save_residuals: bool = False,
+    interpret: bool = False,
+):
+    """One-shot attention for padded [B, H, n, d] with n == padded KV length.
+
+    Same contract as fwd_pallas restricted to the single-block case.
+    """
+    batch, num_q_heads, n, head_dim = q.shape
+    num_kv_heads = k.shape[1]
+    q_per_kv = num_q_heads // num_kv_heads
+
+    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
+    hb = _heads_per_cell(n, head_dim, num_q_heads, q_per_kv, q.dtype)
+
+    kernel = functools.partial(
+        _small_kernel,
+        causal=causal, kv_len=kv_len, n=n, hb=hb, q_per_kv=q_per_kv,
+        window=window, softcap=float(softcap),
+    )
+    segmented = q_seg is not None
+    if segmented and save_residuals:
+        kern = kernel
+    elif segmented:
+        def kern(q_r, k_r, v_r, qs_r, ks_r, o_r):
+            return kernel(q_r, k_r, v_r, qs_r, ks_r, o_r, None)
+    elif save_residuals:
+        def kern(q_r, k_r, v_r, o_r, lse_r):
+            return kernel(q_r, k_r, v_r, None, None, o_r, lse_r)
+    else:
+        def kern(q_r, k_r, v_r, o_r):
+            return kernel(q_r, k_r, v_r, None, None, o_r, None)
+
+    grid = (batch, num_q_heads // hb)
+    q_spec = pl.BlockSpec((1, hb, n, head_dim), lambda b, h: (b, h, 0, 0))
+    kv_spec = pl.BlockSpec(
+        (1, hb // q_per_kv, n, head_dim), lambda b, h: (b, h, 0, 0)
+    )
+    in_specs = [q_spec, kv_spec, kv_spec]
+    inputs = [q, k, v]
+    if segmented:
+        qseg_rep = jnp.broadcast_to(
+            q_seg.astype(jnp.int32)[:, :, None], (batch, n, geo.NUM_LANES)
+        )
+        kvseg_rep = jnp.broadcast_to(
+            kv_seg.astype(jnp.int32)[:, None, :],
+            (batch, geo.NUM_SUBLANES, n),
+        )
+        in_specs.append(
+            pl.BlockSpec((1, n, geo.NUM_LANES), lambda b, h: (b, 0, 0))
+        )
+        in_specs.append(
+            pl.BlockSpec((1, geo.NUM_SUBLANES, n), lambda b, h: (b, 0, 0))
+        )
+        inputs += [qseg_rep, kvseg_rep]
+    out_specs = [q_spec]
+    out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    if save_residuals:
+        out_specs.append(
+            pl.BlockSpec((1, hb, n, geo.NUM_LANES), lambda b, h: (b, h, 0, 0))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct(
+                (batch, num_q_heads, n, geo.NUM_LANES), jnp.float32
+            )
+        )
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    if save_residuals:
+        return outs[0], outs[1]
+    return outs[0], None

@@ -268,3 +268,52 @@ def test_fwd_logit_softcap(causal):
     # capping changes the result vs uncapped (sanity the flag is live)
     o_plain = flash_attention(q, k, v, causal=causal, sm_scale=1.0)
     assert float(jnp.max(jnp.abs(o - o_plain))) > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# One-shot short-sequence path (no explicit blocks, N <= 512)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [192, 256, 500])
+@pytest.mark.parametrize("causal", [False, True])
+def test_fwd_small_path(n, causal):
+    b, hq, hkv, d = 2, 4, 2, 128
+    q, _, _ = _make_qkv(jax.random.PRNGKey(51), (b, hq, n, d), (b, hq, n, d))
+    _, k, v = _make_qkv(jax.random.PRNGKey(52), (b, hkv, n, d), (b, hkv, n, d))
+    o = flash_attention(q, k, v, causal=causal, sm_scale=1.0)  # small path
+    o_ref = reference_attention(q, k, v, causal=causal, sm_scale=1.0)
+    np.testing.assert_allclose(o, o_ref, atol=FWD_ATOL, rtol=FWD_RTOL)
+
+
+def test_fwd_small_path_window_segments_softcap():
+    b, h, n, d = 2, 2, 320, 128
+    q, k, v = _make_qkv(jax.random.PRNGKey(53), (b, h, n, d), (b, h, n, d))
+    seg = _packed_segments(jax.random.PRNGKey(54), b, n)
+    for kw in (dict(window=70), dict(segment_ids=seg),
+               dict(logit_softcap=20.0),
+               dict(window=90, logit_softcap=15.0)):
+        o = flash_attention(q, k, v, causal=True, sm_scale=1.0, **kw)
+        o_ref = reference_attention(q, k, v, causal=True, sm_scale=1.0, **kw)
+        np.testing.assert_allclose(o, o_ref, atol=FWD_ATOL, rtol=FWD_RTOL,
+                                   err_msg=str(kw))
+
+
+def test_fwd_small_lse_feeds_general_backward():
+    """Grads through the small fwd (residual LSE) + general bwd kernels."""
+    from flash_attention_dlrs_tpu.ops import reference_attention_grads
+
+    b, h, n, d = 2, 2, 256, 128
+    q, k, v = _make_qkv(jax.random.PRNGKey(55), (b, h, n, d), (b, h, n, d))
+    do = jax.random.normal(jax.random.PRNGKey(56), (b, h, n, d))
+    _, vjp = jax.vjp(
+        lambda a, b_, c: flash_attention(a, b_, c, causal=True, sm_scale=1.0),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(do)
+    dq_r, dk_r, dv_r = reference_attention_grads(
+        q, k, v, do, causal=True, sm_scale=1.0
+    )
+    np.testing.assert_allclose(dq, dq_r, atol=9e-4, rtol=1e-5)
+    np.testing.assert_allclose(dk, dk_r, atol=7e-4, rtol=1e-5)
+    np.testing.assert_allclose(dv, dv_r, atol=7e-5, rtol=1e-5)
