@@ -222,7 +222,13 @@ def flash_attention_backward(
 ):
     """Backward pass returning (dQ, dK, dV) like the reference functional
     wrapper (src/flash_attention_wrappers.py:66-176): D-preprocess kernel,
-    then the dKV and dQ kernels.  `lse` is [B, H, Nq] from the forward."""
+    then the dKV and dQ kernels.  `lse` is [B, H, Nq] from the forward.
+
+    This path always honors the PASSED lse — callers like ring attention
+    feed the globally-merged logsumexp so each block produces its global
+    gradient contribution.  The fused short-sequence backward (which
+    recomputes softmax inline and ignores lse) is only dispatched from the
+    custom_vjp, where the lse is known to come from the matching forward."""
     _validate(q, k, v)
     window = _normalize_window(window, causal, k.shape[2])
     seg = _normalize_segments(segment_ids, q, k)
@@ -257,6 +263,34 @@ def flash_attention_backward(
     )
     # GQA: group-sum per-q-head dK/dV into per-kv-head grads.
     batch, num_q_heads = q.shape[0], q.shape[1]
+    if num_q_heads != num_kv_heads:
+        grp = num_q_heads // num_kv_heads
+        dk = dk.reshape(batch, num_kv_heads, grp, *dk.shape[2:]).sum(axis=2)
+        dv = dv.reshape(batch, num_kv_heads, grp, *dv.shape[2:]).sum(axis=2)
+    dq = dq[:, :, :q_len, :d].astype(q.dtype)
+    dk = dk[:, :, :kv_len, :d].astype(k.dtype)
+    dv = dv[:, :, :kv_len, :d].astype(v.dtype)
+    return dq, dk, dv
+
+
+def _backward_small(q, k, v, do, seg, causal, sm_scale, window, softcap,
+                    interpret):
+    """One-shot fused backward for short sequences (see fwd_small)."""
+    n_pad = geo.current_geometry().round_up(
+        max(q.shape[2], k.shape[2]), geo.NUM_LANES
+    )
+    qp, kp, vp, q_len, kv_len, d = _pad_inputs(q, k, v, n_pad, n_pad)
+    dop, _ = pad_axis_to(do, 2, n_pad)
+    if qp.shape[-1] != d:
+        dop, _ = pad_axis_to(dop, 3, qp.shape[-1])
+    qseg_p, kvseg_p = _pad_segments(seg, n_pad, n_pad)
+    dq, dk, dv = fwd_small.bwd_small_pallas(
+        qp, kp, vp, dop, qseg_p, kvseg_p,
+        sm_scale=sm_scale, causal=causal, kv_len=kv_len,
+        window=window, softcap=float(softcap), interpret=interpret,
+    )
+    batch, num_q_heads = q.shape[0], q.shape[1]
+    num_kv_heads = k.shape[1]
     if num_q_heads != num_kv_heads:
         grp = num_q_heads // num_kv_heads
         dk = dk.reshape(batch, num_kv_heads, grp, *dk.shape[2:]).sum(axis=2)
@@ -306,12 +340,17 @@ def _flash_attention_fwd(q, k, v, seg, causal, sm_scale, window, softcap,
 def _flash_attention_bwd(causal, sm_scale, window, softcap, block_sizes,
                          small, interpret, res, do):
     q, k, v, o, lse, seg = res
-    dq, dk, dv = flash_attention_backward(
-        q, k, v, o, do, lse,
-        causal=causal, sm_scale=sm_scale, segment_ids=seg, window=window,
-        logit_softcap=softcap,
-        block_sizes=block_sizes, interpret=interpret,
-    )
+    if small:
+        dq, dk, dv = _backward_small(
+            q, k, v, do, seg, causal, sm_scale, window, softcap, interpret
+        )
+    else:
+        dq, dk, dv = flash_attention_backward(
+            q, k, v, o, do, lse,
+            causal=causal, sm_scale=sm_scale, segment_ids=seg, window=window,
+            logit_softcap=softcap,
+            block_sizes=block_sizes, interpret=interpret,
+        )
     return dq, dk, dv, _seg_cotangent(seg)
 
 

@@ -200,3 +200,169 @@ def fwd_small_pallas(
     if save_residuals:
         return outs[0], outs[1]
     return outs[0], None
+
+
+def _small_bwd_kernel(
+    q_ref,  # [1, hb, n, d] — pre-scaled by sm_scale*log2e
+    k_ref,  # [1, hb // q_per_kv, n, d]
+    v_ref,
+    do_ref,  # [1, hb, n, d]
+    qseg_ref,
+    kvseg_ref,
+    dq_ref,  # [1, hb, n, d] f32
+    dk_ref,  # [1, hb, n, d] f32 (per q-head; caller group-sums)
+    dv_ref,
+    *,
+    causal: bool,
+    kv_len: int,
+    n: int,
+    hb: int,
+    q_per_kv: int,
+    window: int,
+    softcap: float,
+    sm_scale: float,
+):
+    """One-shot backward: with the full row resident there is no need for
+    the saved logsumexp or the D-preprocess — softmax and D = rowsum(P∘dP)
+    are computed inline, fusing the three general backward kernels into one.
+    """
+    mask = None
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        mask = row >= col
+        if window:
+            mask = jnp.logical_and(mask, (row - col) < window)
+    if kv_len != n:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        lm = col < kv_len
+        mask = lm if mask is None else jnp.logical_and(mask, lm)
+    if qseg_ref is not None:
+        seg = qseg_ref[0][:, :1] == kvseg_ref[0][:1, :]
+        mask = seg if mask is None else jnp.logical_and(mask, seg)
+
+    for j in range(hb):
+        q = q_ref[0, j]
+        k = k_ref[0, j // q_per_kv]
+        v = v_ref[0, j // q_per_kv]
+        do = do_ref[0, j].astype(jnp.float32)
+        s = mxu_dot(q, k, (((1,), (1,)), ((), ())))
+        grad_cap = None
+        if softcap:
+            c2 = softcap * LOG2E
+            s = c2 * jnp.tanh(s * (1.0 / c2))
+            grad_cap = 1.0 - (s * (1.0 / c2)) ** 2
+        if mask is not None:
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp2(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        p = e * jnp.where(l == 0.0, 0.0, 1.0 / l)  # normalized probabilities
+        # dV = Pᵀ dO
+        dv_ref[0, j] = mxu_dot(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ()))
+        )
+        # dP = dO Vᵀ ; D = rowsum(P ∘ dP) (≡ rowsum(dO ∘ O))
+        dp = mxu_dot(do, v.astype(do.dtype), (((1,), (1,)), ((), ())))
+        dpre = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = p * (dp - dpre)
+        if grad_cap is not None:
+            ds = ds * grad_cap
+        # dQ = sm_scale · dS K  (k unscaled)
+        dq_ref[0, j] = sm_scale * mxu_dot(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        )
+        # dK = ln2 · dSᵀ (c·Q)  (q pre-scaled by c = sm_scale·log2e)
+        dk_ref[0, j] = LN2 * mxu_dot(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale", "causal", "kv_len", "window", "softcap", "interpret",
+    ),
+)
+def bwd_small_pallas(
+    q,
+    k,
+    v,
+    do,
+    q_seg=None,
+    kv_seg=None,
+    *,
+    sm_scale: float,
+    causal: bool,
+    kv_len: int,
+    window: int = 0,
+    softcap: float = 0.0,
+    interpret: bool = False,
+):
+    """(dQ, dK, dV) for padded short sequences; dK/dV are per q-head fp32
+    (the caller group-sums GQA heads, same as the general path)."""
+    batch, num_q_heads, n, head_dim = q.shape
+    num_kv_heads = k.shape[1]
+    q_per_kv = num_q_heads // num_kv_heads
+
+    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
+    # Backward holds ~3 score-sized f32 temporaries + 4 operand tiles:
+    # halve the forward head block.
+    hb = max(
+        _heads_per_cell(n, head_dim, num_q_heads, q_per_kv, q.dtype) // 2,
+        q_per_kv,
+    )
+    while num_q_heads % hb:
+        hb //= 2
+    hb = max(hb, q_per_kv)
+
+    kernel = functools.partial(
+        _small_bwd_kernel,
+        causal=causal, kv_len=kv_len, n=n, hb=hb, q_per_kv=q_per_kv,
+        window=window, softcap=float(softcap), sm_scale=sm_scale,
+    )
+    segmented = q_seg is not None
+    if segmented:
+        kern = kernel
+    else:
+        def kern(q_r, k_r, v_r, do_r, dq_r, dk_r, dv_r):
+            return kernel(q_r, k_r, v_r, do_r, None, None, dq_r, dk_r, dv_r)
+
+    grid = (batch, num_q_heads // hb)
+    q_spec = pl.BlockSpec((1, hb, n, head_dim), lambda b, h: (b, h, 0, 0))
+    kv_spec = pl.BlockSpec(
+        (1, hb // q_per_kv, n, head_dim), lambda b, h: (b, h, 0, 0)
+    )
+    in_specs = [q_spec, kv_spec, kv_spec, q_spec]
+    inputs = [q, k, v, do]
+    if segmented:
+        qseg_rep = jnp.broadcast_to(
+            q_seg.astype(jnp.int32)[:, :, None], (batch, n, geo.NUM_LANES)
+        )
+        kvseg_rep = jnp.broadcast_to(
+            kv_seg.astype(jnp.int32)[:, None, :],
+            (batch, geo.NUM_SUBLANES, n),
+        )
+        in_specs.append(
+            pl.BlockSpec((1, n, geo.NUM_LANES), lambda b, h: (b, 0, 0))
+        )
+        in_specs.append(
+            pl.BlockSpec((1, geo.NUM_SUBLANES, n), lambda b, h: (b, 0, 0))
+        )
+        inputs += [qseg_rep, kvseg_rep]
+    g_spec = pl.BlockSpec((1, hb, n, head_dim), lambda b, h: (b, h, 0, 0))
+    g_shape = jax.ShapeDtypeStruct(
+        (batch, num_q_heads, n, head_dim), jnp.float32
+    )
+    dq, dk, dv = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[g_spec, g_spec, g_spec],
+        out_shape=[g_shape, g_shape, g_shape],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return dq, dk, dv

@@ -35,21 +35,15 @@ def main() -> int:
     fwd_atol, tol = 1e-4, {"dq": 9e-4, "dk": 7e-4, "dv": 7e-5}
     rtol = 1e-5
 
-    # The reference tolerances assume GPU true-fp32 FMA matmuls
-    # (input_precision="ieee", src/flash_attention_kernels.py:6).  The TPU
-    # MXU has no fp32 mode: Precision.HIGHEST is a multi-pass bf16 emulation
-    # whose ABSOLUTE error grows with operand magnitude, and this workload
-    # (sm_scale=1, d=128 → |S| ≈ 45) sits far above the unit scale the
-    # tolerances were tuned at — measured S error ~4e-5 vs ~2e-6 on GPU
-    # fp32, amplifying to ~2e-3 in dQ through P = exp(S − L).  The kernels
-    # pass the unscaled gate bit-for-bit semantics in true fp32 (CPU
-    # backend / interpret mode); on TPU the backward tolerances are scaled
-    # by the measured emulation-floor ratio (×10).
-    if jax.default_backend() == "tpu":
-        hw = 10.0
-        tol = {kk: vv * hw for kk, vv in tol.items()}
-        fwd_atol *= hw
-        print(f"[tpu] MXU fp32-emulation floor: tolerances scaled ×{hw:g}")
+    # History: the multi-kernel backward (recompute from the saved
+    # logsumexp) needed ×10-scaled tolerances on TPU — the MXU has no fp32
+    # FMA (HIGHEST = multi-pass bf16 emulation whose absolute error grows
+    # with |S|, ~4e-5 at this sm_scale=1 workload vs ~2e-6 on GPU), and the
+    # lse round-trip amplified it to ~5e-3 in dQ.  The fused one-shot
+    # backward for short sequences (ops/fwd_small.py) recomputes softmax
+    # inline instead, and the gate workload (N=256) now meets the
+    # reference's ORIGINAL tolerances unscaled on TPU (measured worst:
+    # dq 1.6e-4, dk 1.6e-4, dv 1.6e-5).  See BASELINE.md.
 
     @jax.jit
     def run(q, k, v, do):
