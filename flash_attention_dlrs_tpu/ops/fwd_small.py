@@ -32,20 +32,28 @@ MAX_SMALL_N = 512
 
 
 def _heads_per_cell(n: int, head_dim: int, num_q_heads: int, q_per_kv: int,
-                    dtype) -> int:
+                    dtype, budget_frac: float = 1.0) -> int:
     """Largest head block (multiple of q_per_kv, divisor of Hq) whose
-    footprint fits the scoped-VMEM budget."""
+    footprint fits the scoped-VMEM budget.
+
+    The multiple-of-q_per_kv constraint is load-bearing: the kv BlockSpec
+    holds hb // q_per_kv heads and the kernel indexes k_ref[0, j // q_per_kv]
+    for j < hb, so a non-multiple hb (e.g. hb=6 with q_per_kv=4) would read
+    past the block — candidates are filtered, never just halved.
+    """
     isz = jnp.dtype(dtype).itemsize
-    budget = geo.current_geometry().vmem_budget
-    hb = num_q_heads
-    while hb > q_per_kv:
+    budget = geo.current_geometry().vmem_budget * budget_frac
+    candidates = [
+        hb for hb in range(num_q_heads, q_per_kv - 1, -1)
+        if num_q_heads % hb == 0 and hb % q_per_kv == 0
+    ]
+    for hb in candidates:
         q_kv = hb * n * head_dim * isz * 2  # q + out
         kv = 2 * (hb // q_per_kv) * n * head_dim * isz
         scores = 2 * n * n * 4
-        if (q_kv + kv) * 2 + scores <= budget and num_q_heads % hb == 0:
-            break
-        hb //= 2
-    return max(hb, q_per_kv)
+        if (q_kv + kv) * 2 + scores <= budget:
+            return hb
+    return q_per_kv
 
 
 def _small_kernel(
@@ -134,6 +142,7 @@ def fwd_small_pallas(
 
     q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
     hb = _heads_per_cell(n, head_dim, num_q_heads, q_per_kv, q.dtype)
+    assert num_q_heads % hb == 0 and hb % q_per_kv == 0, (hb, q_per_kv)
 
     kernel = functools.partial(
         _small_kernel,
@@ -307,14 +316,11 @@ def bwd_small_pallas(
 
     q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
     # Backward holds ~3 score-sized f32 temporaries + 4 operand tiles:
-    # halve the forward head block.
-    hb = max(
-        _heads_per_cell(n, head_dim, num_q_heads, q_per_kv, q.dtype) // 2,
-        q_per_kv,
+    # give the head-block search half the forward budget.
+    hb = _heads_per_cell(
+        n, head_dim, num_q_heads, q_per_kv, q.dtype, budget_frac=0.5
     )
-    while num_q_heads % hb:
-        hb //= 2
-    hb = max(hb, q_per_kv)
+    assert num_q_heads % hb == 0 and hb % q_per_kv == 0, (hb, q_per_kv)
 
     kernel = functools.partial(
         _small_bwd_kernel,

@@ -29,7 +29,13 @@ from ..models.decoding import (
 )
 from ..models.transformer import ModelConfig
 from .native_alloc import make_page_allocator
-from .sampling import GREEDY, SamplingParams, batch_params, sample_tokens
+from .sampling import (
+    GREEDY,
+    SamplingParams,
+    batch_params,
+    sample_tokens,
+    speculative_verify,
+)
 from .scheduler import ContinuousBatchingScheduler, Request
 
 _NULL_SEQ = "__null__"
@@ -78,6 +84,14 @@ class DecodeEngine:
         )
         self.allocator.allocate(_NULL_SEQ, 1)  # scratch page for idle slots
         self._null_page = self.allocator.page_tables[_NULL_SEQ][0]
+        # decode_step_bookkeeping (python and native) zero-pads page-table
+        # rows, and _step copies rows wholesale — padding slots point at page
+        # 0.  That is only safe because _NULL_SEQ is allocated FIRST and gets
+        # page 0; make the implicit invariant explicit.
+        assert self._null_page == 0, (
+            "null sequence must own page 0 (zero-padded page-table rows "
+            f"alias it); got page {self._null_page}"
+        )
 
         self.scheduler = ContinuousBatchingScheduler(
             num_slots=num_slots,
@@ -327,9 +341,10 @@ class DecodeEngine:
 
     # -- speculative decoding ---------------------------------------------------
 
-    def _single_decode(self, sids, tokens_np):
-        """One batched greedy decode step for explicit (sid, token) pairs
-        occupying slots 0..len(sids)−1; returns next greedy tokens."""
+    def _single_decode_logits(self, sids, tokens_np):
+        """One batched decode step for explicit (sid, token) pairs occupying
+        slots 0..len(sids)−1; inserts the tokens' K/V and returns the raw
+        next-token logits [num_slots, vocab]."""
         b = self.num_slots
         tokens = np.zeros(b, np.int32)
         positions = np.zeros(b, np.int32)
@@ -353,7 +368,13 @@ class DecodeEngine:
             jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(rows),
             jnp.asarray(offs), jnp.asarray(tbl), jnp.asarray(lens),
         )
-        return np.asarray(jnp.argmax(logits, axis=-1))
+        return logits
+
+    def _single_decode(self, sids, tokens_np):
+        """Greedy form of :meth:`_single_decode_logits`."""
+        return np.asarray(
+            jnp.argmax(self._single_decode_logits(sids, tokens_np), axis=-1)
+        )
 
     def generate_speculative(
         self,
@@ -363,13 +384,20 @@ class DecodeEngine:
         gamma: int = 4,
         max_new_tokens: int = 16,
         max_rounds: int = 10_000,
+        sampling: Optional[SamplingParams] = None,
     ) -> List[List[int]]:
-        """Greedy speculative decoding: the ``draft`` engine proposes ``gamma``
+        """Speculative decoding: the ``draft`` engine proposes ``gamma``−1
         tokens per round, this (target) engine verifies them in ONE
-        multi-token step and commits the longest matching prefix plus the
-        correction/bonus token.  Output is IDENTICAL to plain greedy
-        ``generate`` regardless of draft quality — only the round count
-        (≈ tokens / acceptance) changes.
+        multi-token step and commits the accepted prefix plus a
+        correction/bonus token.
+
+        Greedy (``sampling`` None or temperature 0): output is IDENTICAL to
+        plain greedy ``generate`` regardless of draft quality — only the
+        round count (≈ tokens / acceptance) changes.  temperature > 0 uses
+        rejection sampling (accept d with prob min(1, p(d)/q(d)), resample
+        the first rejection from the residual norm(max(p−q, 0))), so the
+        output token DISTRIBUTION equals plain sampling from the target —
+        see runtime.sampling.speculative_verify.
 
         Both engines must share vocab, page size, and have enough slots for
         all prompts (no mid-flight admission in this mode).
@@ -382,17 +410,23 @@ class DecodeEngine:
             )
         if draft.page_size != self.page_size:
             raise ValueError("draft and target page sizes must match")
+        if gamma < 2:
+            raise ValueError("gamma must be >= 2 (draft proposes gamma-1)")
         verify = self._verify_cache.get(gamma)
         if verify is None:
             verify = make_verify_step(
                 self.cfg, gamma, interpret=self.interpret
             )
             self._verify_cache[gamma] = verify
+        sp = sampling or GREEDY
+        b = self.num_slots
+        temp, top_k, top_p, seeds = batch_params([sp] * n + [None] * (b - n))
 
         # Admit everywhere (bypasses the scheduler: fixed batch, lockstep).
         reqs = [
             Request(request_id=f"spec{i}", prompt_tokens=list(p),
-                    max_new_tokens=max_new_tokens, eos_token=self.eos_token)
+                    max_new_tokens=max_new_tokens, eos_token=self.eos_token,
+                    sampling=sp)
             for i, p in enumerate(prompts)
         ]
         d_reqs = [
@@ -408,7 +442,6 @@ class DecodeEngine:
         sids = [r.request_id for r in reqs]
         outputs = [[r.output_tokens[0]] for r in reqs]
 
-        b = self.num_slots
         for _ in range(max_rounds):
             live = [
                 i for i in range(n)
@@ -421,14 +454,32 @@ class DecodeEngine:
                 break
             # x0 per slot: last committed token (pending insertion).
             x0 = np.asarray([outputs[i][-1] for i in range(n)], np.int64)
+            base_pos_d = np.zeros(b, np.int32)
+            base_pos_d[:n] = [draft.allocator.seq_lengths[s] for s in sids]
 
             # --- draft proposes gamma−1 continuation tokens ----------------
+            # Proposal d_j is SAMPLED from the draft's filtered distribution
+            # q_{j-1} (greedy when temperature is 0); the logits are kept —
+            # rejection sampling needs q at the proposed tokens.
             proposals = np.zeros((n, gamma), np.int64)
             proposals[:, 0] = x0
+            d_logits = []
             cur = x0
             for j in range(1, gamma):
-                cur = draft._single_decode(sids, cur)[:n]
+                logits_j = draft._single_decode_logits(sids, cur)
+                d_logits.append(logits_j)
+                cur = np.asarray(
+                    sample_tokens(
+                        logits_j, temp, top_k, top_p, seeds,
+                        jnp.asarray(base_pos_d + j, jnp.int32),
+                    )
+                )[:n]
                 proposals[:, j] = cur
+            # Insert the FINAL proposal's K/V too: if every proposal is
+            # accepted the draft stream is x0..d_{γ-1} and the next round
+            # decodes on top of position base+γ−1 — without this write that
+            # slot would be stale and acceptance would silently degrade.
+            draft._single_decode_logits(sids, proposals[:, gamma - 1])
 
             # --- target verifies all gamma tokens in one step --------------
             tokens = np.zeros((b, gamma), np.int32)
@@ -458,15 +509,24 @@ class DecodeEngine:
                 jnp.asarray(rows), jnp.asarray(offs), jnp.asarray(tbl),
                 jnp.asarray(lens),
             )
-            greedy = np.asarray(jnp.argmax(logits, axis=-1))  # [b, gamma]
 
-            # --- accept longest matching prefix + correction/bonus ---------
+            # --- accept/reject + correction/bonus (one jitted call) --------
+            draft_logits = jnp.stack(d_logits, axis=1)  # [b, γ-1, V]
+            proposals_b = np.zeros((b, gamma), np.int64)
+            proposals_b[:n] = proposals
+            base_pos_b = np.zeros(b, np.int32)
+            base_pos_b[:n] = base_pos
+            round_tokens, n_committed = speculative_verify(
+                logits, draft_logits, jnp.asarray(proposals_b, jnp.int32),
+                temp, top_k, top_p, seeds, jnp.asarray(base_pos_b),
+            )
+            round_tokens = np.asarray(round_tokens)
+            n_committed = np.asarray(n_committed)
+
             for slot in live:
                 sid = sids[slot]
-                m = 0
-                while m < gamma - 1 and proposals[slot, m + 1] == greedy[slot, m]:
-                    m += 1
-                committed = [int(t) for t in greedy[slot, : m + 1]]
+                m = int(n_committed[slot]) - 1  # accepted proposals
+                committed = [int(t) for t in round_tokens[slot, : m + 1]]
                 budget = max_new_tokens - len(outputs[slot])
                 for tok in committed[:budget]:
                     outputs[slot].append(tok)

@@ -84,6 +84,9 @@ class PageAllocator:
         for p in pages:
             self._refs[p] += 1
 
+    def ref_counts(self, pages) -> np.ndarray:
+        return self._refs[np.asarray(list(pages), np.int32)].copy()
+
     def release(self, pages) -> None:
         """Drop one reference per page; count-0 pages return to the free list."""
         for p in pages:

@@ -100,6 +100,10 @@ def _load_lib():
         lib.pa_release.restype = None
         lib.pa_release.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        lib.pa_ref_counts.restype = None
+        lib.pa_ref_counts.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
         return _lib
 
@@ -265,6 +269,14 @@ class NativePageAllocator:
         self._lib.pa_release(
             self._h, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             len(arr))
+
+    def ref_counts(self, pages) -> np.ndarray:
+        arr = np.asarray(list(pages), np.int32)
+        out = np.empty(len(arr), np.int32)
+        self._lib.pa_ref_counts(
+            self._h, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(arr), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
 
     def ensure_capacity(self, seq_id, new_len: int) -> None:
         key = self._keys.get(seq_id)

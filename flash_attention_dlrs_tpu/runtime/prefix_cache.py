@@ -89,25 +89,40 @@ class PrefixCache:
     # -- capacity ----------------------------------------------------------
 
     def evictable(self) -> int:
-        return len(self._entries)
+        """Number of cache entries whose eviction would actually FREE a page.
+
+        Only pages at refcount 1 (registry-only — no live sequence holds
+        them) return to the free list when the registry drops its ref;
+        counting every entry would let the scheduler admit work that
+        eviction cannot make room for (allocate_mixed would then raise)."""
+        if not self._entries:
+            return 0
+        refs = self.allocator.ref_counts(list(self._entries.values()))
+        return int(sum(1 for r in refs if r == 1))
 
     def evict(self, n_pages: int, exclude=()) -> int:
-        """Release up to n_pages LRU entries (a hit bumps the whole used
-        chain, so LRU order is naturally suffix-before-prefix for live
-        chains).  ``exclude``: pages that must survive — e.g. the prefix just
-        matched for the sequence being admitted, whose refs are not yet
-        taken.  Returns the number of entries released."""
+        """Release LRU entries until n_pages pages have actually returned to
+        the free list (a hit bumps the whole used chain, so LRU order is
+        naturally suffix-before-prefix for live chains).  Entries whose pages
+        are still referenced by a live sequence are kept — dropping the
+        registry ref would free nothing now and forfeit a future hit.
+        ``exclude``: pages that must survive — e.g. the prefix just matched
+        for the sequence being admitted, whose refs are not yet taken.
+        Returns the number of pages freed."""
         exclude = set(int(p) for p in exclude)
         released = 0
         kept = []
-        while released < n_pages and self._entries:
+        scanned = 0
+        n_entries = len(self._entries)
+        while released < n_pages and scanned < n_entries and self._entries:
             h, page = self._entries.popitem(last=False)
-            if page in exclude:
+            scanned += 1
+            if page in exclude or self.allocator.ref_counts([page])[0] != 1:
                 kept.append((h, page))
                 continue
             self.allocator.release([page])
             released += 1
-        for h, page in kept:  # reinsert protected entries at LRU head
+        for h, page in reversed(kept):  # reinsert protected entries, LRU head
             self._entries[h] = page
             self._entries.move_to_end(h, last=False)
         return released

@@ -106,7 +106,17 @@ class ContinuousBatchingScheduler:
                 self.queue.popleft()
                 nxt.state = RequestState.PREFILL
                 self.slots[i] = nxt
-                self._on_admit(nxt, i)
+                try:
+                    self._on_admit(nxt, i)
+                except MemoryError:
+                    # Admission gate said yes but the allocator disagreed
+                    # (e.g. evictable pages pinned by a matched prefix).
+                    # Allocation is atomic on failure, so defer the request
+                    # instead of crashing the engine.
+                    self.slots[i] = None
+                    nxt.state = RequestState.QUEUED
+                    self.queue.appendleft(nxt)
+                    break
                 admitted.append((nxt, i))
                 self.stats.admitted += 1
         return admitted

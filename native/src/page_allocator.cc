@@ -102,6 +102,11 @@ void pa_add_ref(Allocator* a, const int32_t* pages, int32_t n) {
   for (int32_t i = 0; i < n; ++i) a->refs[pages[i]] += 1;
 }
 
+void pa_ref_counts(Allocator* a, const int32_t* pages, int32_t n,
+                   int32_t* out) {
+  for (int32_t i = 0; i < n; ++i) out[i] = a->refs[pages[i]];
+}
+
 void pa_release(Allocator* a, const int32_t* pages, int32_t n) {
   for (int32_t i = 0; i < n; ++i) {
     int32_t p = pages[i];

@@ -299,6 +299,30 @@ def test_fwd_small_path_window_segments_softcap():
                                    err_msg=str(kw))
 
 
+def test_heads_per_cell_respects_gqa_multiple():
+    """hb must stay a multiple of q_per_kv (and divisor of Hq) at every
+    budget — a non-multiple (e.g. 6 with q_per_kv=4) makes the kernel index
+    past the kv block."""
+    from flash_attention_dlrs_tpu.ops.fwd_small import _heads_per_cell
+
+    for hq, q_per_kv in [(12, 4), (12, 3), (16, 4), (8, 8), (24, 6), (9, 3)]:
+        for frac in (1.0, 0.25, 0.05, 1e-6):
+            hb = _heads_per_cell(512, 128, hq, q_per_kv, jnp.float32,
+                                 budget_frac=frac)
+            assert hq % hb == 0 and hb % q_per_kv == 0, (hq, q_per_kv, frac, hb)
+
+
+def test_fwd_small_gqa_nonpow2_heads():
+    """Hq=12/Hkv=3 fp32 N=512: the shape class where the old halving search
+    could pick hb=6 with q_per_kv=4 and read past the kv block."""
+    b, hq, hkv, n, d = 1, 12, 3, 512, 128
+    q, _, _ = _make_qkv(jax.random.PRNGKey(57), (b, hq, n, d), (b, hq, n, d))
+    _, k, v = _make_qkv(jax.random.PRNGKey(58), (b, hkv, n, d), (b, hkv, n, d))
+    o = flash_attention(q, k, v, causal=True, sm_scale=1.0)
+    o_ref = reference_attention(q, k, v, causal=True, sm_scale=1.0)
+    np.testing.assert_allclose(o, o_ref, atol=FWD_ATOL, rtol=FWD_RTOL)
+
+
 def test_fwd_small_lse_feeds_general_backward():
     """Grads through the small fwd (residual LSE) + general bwd kernels."""
     from flash_attention_dlrs_tpu.ops import reference_attention_grads

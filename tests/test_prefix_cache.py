@@ -74,6 +74,62 @@ def test_prefix_cache_eviction_under_pressure():
     assert len(out[0]) == 4
 
 
+def test_evictable_counts_only_registry_only_pages():
+    """Pages still referenced by a live sequence don't free on eviction, so
+    they must not count as reclaimable (else admission admits work that
+    allocate_mixed cannot satisfy)."""
+    from flash_attention_dlrs_tpu.runtime.kv_cache import PageAllocator
+    from flash_attention_dlrs_tpu.runtime.prefix_cache import PrefixCache
+
+    alloc = PageAllocator(num_pages=8, page_size=PS)
+    cache = PrefixCache(alloc, PS)
+    prompt = list(range(3 * PS))  # 3 full pages
+    alloc.allocate("live", len(prompt))
+    table = alloc.page_tables["live"]
+    cache.register(prompt, table)  # refcount 2: live seq + registry
+
+    # nothing reclaimable while the sequence is alive
+    assert cache.evictable() == 0
+    assert not cache.can_allocate(6 * PS)  # 6 > 5 free
+    # evict() must report 0 pages freed and keep the entries for later hits
+    freed_before = len(alloc.free_pages)
+    assert cache.evict(3) == 0
+    assert len(alloc.free_pages) == freed_before
+    assert len(cache._entries) == 3
+
+    alloc.free("live")  # registry-only now (refcount 1)
+    assert cache.evictable() == 3
+    assert cache.can_allocate(8 * PS)
+    assert cache.evict(2) == 2  # registry ref was the last one -> pages free
+    assert len(alloc.free_pages) == freed_before + 2
+
+
+def test_scheduler_requeues_on_memory_error():
+    """A MemoryError out of admission defers the request, not crashes."""
+    from flash_attention_dlrs_tpu.runtime.scheduler import (
+        ContinuousBatchingScheduler, Request,
+    )
+
+    fails = {"n": 1}
+
+    def on_admit(req, slot):
+        if fails["n"]:
+            fails["n"] -= 1
+            raise MemoryError("out of pages")
+        req.output_tokens.append(0)
+
+    sched = ContinuousBatchingScheduler(
+        num_slots=1, can_allocate=lambda t: True,
+        on_admit=on_admit, on_retire=lambda r, s: None,
+    )
+    req = Request(request_id=1, prompt_tokens=[1, 2], max_new_tokens=1)
+    sched.submit(req)
+    assert sched.schedule() == []  # first try fails, requeued
+    assert list(sched.queue) == [req] and sched.slots == [None]
+    admitted = sched.schedule()  # second try succeeds
+    assert [r for r, _ in admitted] == [req]
+
+
 def test_prefix_cache_outputs_stable_across_many_admissions():
     cfg = ModelConfig(**CFG)
     params = init_params(jax.random.PRNGKey(0), cfg)

@@ -43,6 +43,18 @@ def test_top_k_restricts_support():
         assert toks[0] in top8
 
 
+def test_top_k_above_cap_clamps_not_disables():
+    """top_k > MAX_TOP_K clamps to MAX_TOP_K (closer to the request than
+    silently sampling the full distribution)."""
+    from flash_attention_dlrs_tpu.runtime.sampling import MAX_TOP_K
+
+    logits = _logits(jax.random.PRNGKey(4), slots=1)
+    top = set(np.argsort(np.asarray(logits[0]))[-MAX_TOP_K:].tolist())
+    for seed in range(20):
+        sp = SamplingParams(10.0, MAX_TOP_K + 36, 1.0, seed)
+        assert _sample(logits, [sp])[0] in top
+
+
 def test_top_p_keeps_at_least_top1_and_restricts():
     # Sharp distribution: top_p=0.5 must reduce to near-greedy
     logits = jnp.asarray([[10.0, 1.0, 0.5, 0.1] + [-5.0] * 60], jnp.float32)

@@ -68,6 +68,127 @@ def test_speculative_smaller_draft_model():
     assert spec == plain
 
 
+def test_speculative_perfect_draft_minimal_rounds():
+    """Draft == target must accept EVERY proposal: rounds == ceil((T-1)/γ).
+
+    Regression for the stale-KV bug: when all γ−1 proposals were accepted the
+    draft never wrote K/V for the final one, so the next round's draft
+    decoded over a stale slot and acceptance silently degraded (extra
+    rounds), even though the output stayed correct.
+    """
+    from flash_attention_dlrs_tpu.models.decoding import make_verify_step
+
+    cfg = ModelConfig(**CFG)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    target = _engine(params, cfg)
+    draft = _engine(params, cfg)
+    gamma, max_new = 4, 13  # 12 post-admit tokens = 3 full rounds
+    calls = []
+    inner = make_verify_step(cfg, gamma, interpret=target.interpret)
+
+    def counting(*a, **k):
+        calls.append(1)
+        return inner(*a, **k)
+
+    target._verify_cache[gamma] = counting
+    spec = target.generate_speculative(
+        [[1, 2, 3, 4, 5]], draft=draft, gamma=gamma, max_new_tokens=max_new
+    )
+    assert len(spec[0]) == max_new
+    assert len(calls) == -(-(max_new - 1) // gamma)  # == 3
+
+
+def test_speculative_verify_preserves_target_distribution():
+    """Rejection sampling: the first committed token's marginal equals the
+    (filtered) target distribution, for an arbitrary (bad) draft."""
+    from flash_attention_dlrs_tpu.runtime.sampling import (
+        filtered_logits, speculative_verify,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab, gamma, trials = 8, 3, 4000
+    t_logits = jnp.asarray(rng.normal(size=(1, gamma, vocab)), jnp.float32)
+    d_logits = jnp.asarray(rng.normal(size=(1, gamma - 1, vocab)), jnp.float32)
+    temp = jnp.ones(trials, jnp.float32)
+    top_k = jnp.zeros(trials, jnp.int32)
+    top_p = jnp.ones(trials, jnp.float32)
+    seeds = jnp.arange(trials, dtype=jnp.int32)
+    base = jnp.zeros(trials, jnp.int32)
+
+    # Proposals drawn from the draft distribution q_0 (as the engine does).
+    q0 = np.asarray(jax.nn.softmax(d_logits[0, 0]))
+    d1 = rng.choice(vocab, size=trials, p=q0)
+    proposals = jnp.asarray(
+        np.stack([np.zeros(trials), d1, rng.integers(0, vocab, trials)], 1),
+        jnp.int32,
+    )
+    tokens, n_committed = speculative_verify(
+        jnp.broadcast_to(t_logits, (trials, gamma, vocab)),
+        jnp.broadcast_to(d_logits, (trials, gamma - 1, vocab)),
+        proposals, temp, top_k, top_p, seeds, base,
+    )
+    first = np.asarray(tokens[:, 0])
+    assert np.all(np.asarray(n_committed) >= 1)
+
+    expected = np.asarray(
+        jax.nn.softmax(filtered_logits(
+            t_logits[:, 0], temp[:1], top_k[:1], top_p[:1]))[0]
+    )
+    counts = np.bincount(first, minlength=vocab)
+    # chi-square: sum (obs-exp)^2/exp ~ chi2(V-1); 99.9% quantile(7) ~ 24.3
+    chi2 = float(np.sum((counts - trials * expected) ** 2
+                        / (trials * expected)))
+    assert chi2 < 24.3, (chi2, counts.tolist(), (trials * expected).tolist())
+
+
+def test_speculative_verify_greedy_rule():
+    """temperature=0 degenerates to the argmax-match rule."""
+    from flash_attention_dlrs_tpu.runtime.sampling import speculative_verify
+
+    vocab, gamma = 8, 3
+    t_logits = np.zeros((2, gamma, vocab), np.float32)
+    # slot 0: greedy tokens are [3, 5, 1]; proposals match d1=3, d2=5
+    for j, g in enumerate([3, 5, 1]):
+        t_logits[0, j, g] = 5.0
+    # slot 1: greedy [2, 6, 4]; proposal d1=7 mismatches immediately
+    for j, g in enumerate([2, 6, 4]):
+        t_logits[1, j, g] = 5.0
+    d_logits = np.zeros((2, gamma - 1, vocab), np.float32)
+    proposals = jnp.asarray([[0, 3, 5], [0, 7, 6]], jnp.int32)
+    zeros = jnp.zeros(2, jnp.int32)
+    tokens, n_committed = speculative_verify(
+        jnp.asarray(t_logits), jnp.asarray(d_logits), proposals,
+        jnp.zeros(2, jnp.float32), zeros, jnp.ones(2, jnp.float32),
+        zeros, zeros,
+    )
+    assert np.asarray(n_committed).tolist() == [3, 1]
+    assert np.asarray(tokens)[0].tolist() == [3, 5, 1]  # d1 d2 + bonus
+    assert np.asarray(tokens)[1, 0] == 2  # correction = greedy[0]
+
+
+def test_speculative_sampling_engine_end_to_end():
+    """temperature>0 through the engine: deterministic per seed, varies
+    across seeds, and respects max_new_tokens."""
+    from flash_attention_dlrs_tpu.runtime.sampling import SamplingParams
+
+    cfg = ModelConfig(**CFG)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    draft_params = init_params(jax.random.PRNGKey(123), cfg)
+
+    def run(seed):
+        target = _engine(params, cfg)
+        draft = _engine(draft_params, cfg)
+        return target.generate_speculative(
+            PROMPTS, draft=draft, gamma=3, max_new_tokens=10,
+            sampling=SamplingParams(temperature=1.0, seed=seed),
+        )
+
+    a, b, c = run(5), run(5), run(11)
+    assert a == b
+    assert all(len(o) == 10 for o in a)
+    assert a != c  # overwhelmingly likely with 20 sampled tokens
+
+
 def test_speculative_with_quantized_kv():
     """Speculative loop over int8-KV pools (verify step writes quantized)."""
     cfg = ModelConfig(**CFG)
