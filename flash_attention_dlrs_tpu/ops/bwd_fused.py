@@ -1,0 +1,349 @@
+"""Fused single-sweep backward kernel: dQ, dK, dV in ONE pass.
+
+The split backward (bwd_kernel.py) runs two sweeps over the (jkv, iq) block
+space — dK/dV then dQ — recomputing P and dP in each, i.e. 7 MXU matmuls per
+block pair.  This kernel recomputes them ONCE and emits all three gradients:
+5 matmuls per pair (P, dV+=PᵀdO, dP=dOVᵀ, dK+=dSᵀQ, dQ+=dS·K), a structural
+1.4× FLOP cut plus one fewer read of every operand.
+
+This is the shape of the reference's tutorial backward — one kernel, no
+atomics (reference: src/flash_attention_openai_tutorial.py:309-435) — but the
+dQ cross-program reduction that Triton cannot express without locks
+(src/flash_attention_kernels.py:305-320) maps to a TPU-native mechanism: the
+dQ output block's index map is CONSTANT over the whole (batch, head) pane, so
+Pallas keeps one [Nq, d] fp32 buffer VMEM-resident across every grid step of
+the pane and flushes it to HBM exactly once.  Accumulation order is the
+sequential grid order — deterministic by construction.
+
+The VMEM cost of that resident buffer (Nq·d·4 bytes) bounds the sequence
+length this kernel serves; the dispatcher falls back to the two-sweep kernels
+beyond it (32K @ d=128 on a 128MiB-VMEM part is the practical ceiling).
+
+Same numerics contract as bwd_kernel.py: base-2 softmax with sm_scale·log2e
+folded into Q, fp32 accumulators, recompute-from-lse
+(≙ src/flash_attention_kernels.py:283-293).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import geometry as geo
+from .bwd_kernel import _mask_split, _recompute_p, _tri_decode_upper
+from .fwd_kernel import LN2, LOG2E, mxu_dot
+
+
+def _bwd_fused_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    do_ref,
+    lse_ref,
+    dpre_ref,
+    qseg_ref,  # [1, block_q, LANES] int32 or None
+    kvseg_ref,  # [1, SUBLANES, block_kv] int32 or None
+    dq_ref,  # [1, 1, n_q, d] fp32 — pane-resident accumulator
+    dk_ref,  # [1, 1, block_kv, d] fp32
+    dv_ref,
+    dk_acc,
+    dv_acc,
+    *,
+    sm_scale,
+    causal,
+    kv_len,
+    block_q,
+    block_kv,
+    num_q_blocks,
+    num_kv_blocks,
+    tri=False,
+    window=0,
+    band_w=0,
+    softcap=0.0,
+):
+    if band_w:
+        # Transposed band (see bwd_kernel): kv block jkv walks the q rows
+        # iq = jkv … jkv+W−1 whose window reaches back into it.
+        jkv = pl.program_id(2)
+        j = pl.program_id(3)
+        iq = jkv + j
+        row_start = j == 0  # iq == jkv, always valid
+        pane_start = jnp.logical_and(jkv == 0, j == 0)
+        pane_end = jnp.logical_and(jkv == num_kv_blocks - 1, j == band_w - 1)
+        should_run = jnp.logical_and(
+            iq <= num_q_blocks - 1,
+            (jkv + 1) * block_kv - 1 >= iq * block_q - window + 1,
+        )
+    elif tri:
+        p_id = pl.program_id(2)
+        jkv, iq = _tri_decode_upper(p_id, num_q_blocks)
+        row_start = iq == jkv
+        pane_start = p_id == 0
+        pane_end = p_id == num_q_blocks * (num_q_blocks + 1) // 2 - 1
+        should_run = True
+    else:
+        jkv = pl.program_id(2)
+        iq = pl.program_id(3)
+        row_start = iq == 0
+        pane_start = jnp.logical_and(jkv == 0, iq == 0)
+        pane_end = jnp.logical_and(
+            jkv == num_kv_blocks - 1, iq == num_q_blocks - 1
+        )
+        if causal:
+            should_run = (iq + 1) * block_q - 1 >= jkv * block_kv
+            if window:
+                should_run = jnp.logical_and(
+                    should_run,
+                    (jkv + 1) * block_kv - 1 >= iq * block_q - window + 1,
+                )
+        else:
+            should_run = True
+
+    @pl.when(row_start)
+    def _init_row():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    @pl.when(pane_start)
+    def _init_pane():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    def _compute(apply_mask):
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, :1]  # [block_q, 1]
+        dpre = dpre_ref[0, 0][:, :1]
+
+        p, grad_cap = _recompute_p(
+            q, k, lse, iq, jkv,
+            causal=causal, kv_len=kv_len,
+            block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
+            window=window, softcap=softcap,
+            qseg=None if qseg_ref is None else qseg_ref[0],
+            kvseg=None if kvseg_ref is None else kvseg_ref[0],
+        )
+        # dV += Pᵀ dO  (≙ src/flash_attention_kernels.py:287)
+        dv_acc[...] += mxu_dot(p.astype(do.dtype), do, (((0,), (0,)), ((), ())))
+        # dP = dO Vᵀ   (≙ :289) — computed ONCE, reused for dK and dQ.
+        dp = mxu_dot(do, v, (((1,), (1,)), ((), ())))
+        # dS = P ∘ (dP − D)  (≙ :291); scale conventions as in bwd_kernel.
+        ds = p * (dp - dpre)
+        if grad_cap is not None:  # soft-cap chain rule
+            ds = ds * grad_cap
+        # dK += dSᵀ (c·Q)  (≙ :293) — ln2 applied at the row flush.
+        dk_acc[...] += mxu_dot(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())))
+        # dQ_iq += dS K — the reduction the reference serialized with a
+        # spinlock (src/flash_attention_kernels.py:305-320); here it is a
+        # read-modify-write of the pane-resident output buffer.
+        dsk = mxu_dot(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())))
+        sl = pl.ds(iq * block_q, block_q)
+        dq_ref[0, 0, sl, :] += dsk
+
+    _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run,
+                _compute, segmented=qseg_ref is not None, window=window)
+
+    # Banded rows can end on a skipped step, so flush on every active step
+    # (final content wins when the output block index advances).
+    dkv_store = should_run if band_w else (iq == num_q_blocks - 1)
+
+    @pl.when(dkv_store)
+    def _store_dkv():
+        dk_ref[0, 0] = (dk_acc[...] * LN2).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+    # True scale applied once per pane: O(Nq·d), off the hot loop.
+    @pl.when(pane_end)
+    def _scale_dq():
+        dq_ref[...] = dq_ref[...] * sm_scale
+
+
+# Preference order measured on v5e (B=8 H=16 d=128 bf16 causal, N=4096,
+# bwd-only): (512,1024) 113.3 TF/s > (1024,512) 111.7 > (512,512) 108.4 >
+# (256,1024) 102.6; (1024,1024) exceeds scoped VMEM.  The timed autotuner
+# (tune=True) refines this per shape.
+_FUSED_BLOCK_PREFS = (
+    (512, 1024), (1024, 512), (512, 512), (256, 512), (256, 256),
+    (128, 256), (128, 128),
+)
+
+
+def pick_fused_blocks(n_q: int, n_kv: int, head_dim: int, dtype):
+    """Best measured VMEM-feasible (block_q, block_kv) for the fused
+    backward, or None if no candidate fits (→ two-sweep fallback)."""
+    for bq, bkv in _FUSED_BLOCK_PREFS:
+        if bq > max(n_q, geo.MIN_BLOCK) or bkv > max(n_kv, geo.MIN_BLOCK):
+            continue
+        n_q_pad = -(-n_q // bq) * bq
+        if fused_bwd_fits_vmem(n_q_pad, head_dim, bq, bkv, dtype):
+            return bq, bkv
+    return None
+
+
+def fused_bwd_fits_vmem(n_q: int, head_dim: int, block_q: int,
+                        block_kv: int, dtype) -> bool:
+    """Feasibility gate: the pane-resident dQ buffer plus the usual working
+    set must fit the scoped-VMEM budget."""
+    isz = jnp.dtype(dtype).itemsize
+    dq_buf = n_q * head_dim * 4
+    blocks = 2 * (  # double-buffered streamed inputs
+        2 * block_q * head_dim * isz  # q, do
+        + 2 * block_kv * head_dim * isz  # k, v
+        + 2 * block_q * geo.NUM_LANES * 4  # lse, dpre
+    )
+    scratch = 2 * block_kv * head_dim * 4  # dk/dv accumulators
+    outs = 2 * block_kv * head_dim * 4  # dk/dv output blocks
+    score = 3 * block_q * block_kv * 4  # p, dp, ds temporaries
+    need = dq_buf + blocks + scratch + outs + score
+    return geo.fits_vmem(need, geo.current_geometry())
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale", "causal", "block_q", "block_kv", "kv_len", "window",
+        "softcap", "interpret"
+    ),
+)
+def bwd_fused_pallas(
+    q, k, v, do, lse, dpre, q_seg=None, kv_seg=None, *,
+    sm_scale, causal, block_q, block_kv, kv_len, window=0, softcap=0.0,
+    interpret=False,
+):
+    """(dQ, dK, dV) in one sweep; dK/dV are per *query* head fp32 (the
+    caller group-sums GQA heads, same contract as bwd_dkv_pallas)."""
+    batch, num_q_heads, n_q, head_dim = q.shape
+    _, num_kv_heads, n_kv, _ = k.shape
+    q_per_kv = num_q_heads // num_kv_heads
+
+    # Base-2 convention (see fwd_kernel): fold sm_scale·log2e into Q once.
+    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
+
+    num_q_blocks = n_q // block_q
+    num_kv_blocks = n_kv // block_kv
+    banded = causal and window > 0 and n_q == n_kv and block_q == block_kv
+    band_w = 0
+    if banded:
+        band_w = min((block_kv + window - 2) // block_q + 1, num_q_blocks)
+    tri = causal and window == 0 and n_q == n_kv and block_q == block_kv
+    kernel = functools.partial(
+        _bwd_fused_kernel,
+        sm_scale=sm_scale, causal=causal, kv_len=kv_len,
+        block_q=block_q, block_kv=block_kv,
+        num_q_blocks=num_q_blocks, num_kv_blocks=num_kv_blocks,
+        tri=tri, window=window, band_w=band_w, softcap=float(softcap),
+    )
+    if banded:
+        grid = (batch, num_q_heads, num_kv_blocks, band_w)
+
+        def q_index(b, h, jkv, j):
+            iq = jnp.minimum(jkv + j, num_q_blocks - 1)
+            return (b, h, iq, 0)
+
+        def kv_index(b, h, jkv, j):
+            return (b, h // q_per_kv, jkv, 0)
+
+        def dkv_index(b, h, jkv, j):
+            return (b, h, jkv, 0)
+
+        def dq_index(b, h, jkv, j):
+            return (b, h, 0, 0)
+
+        dimension_semantics = ("parallel", "parallel", "arbitrary", "arbitrary")
+    elif tri:
+        grid = (batch, num_q_heads, num_q_blocks * (num_q_blocks + 1) // 2)
+
+        def q_index(b, h, p):
+            return (b, h, _tri_decode_upper(p, num_q_blocks)[1], 0)
+
+        def kv_index(b, h, p):
+            return (b, h // q_per_kv, _tri_decode_upper(p, num_q_blocks)[0], 0)
+
+        def dkv_index(b, h, p):
+            return (b, h, _tri_decode_upper(p, num_q_blocks)[0], 0)
+
+        def dq_index(b, h, p):
+            return (b, h, 0, 0)
+
+        dimension_semantics = ("parallel", "parallel", "arbitrary")
+    else:
+        if causal:
+            # Skipped above-diagonal Q blocks: clamp so the pipeline doesn't
+            # prefetch them (see bwd_kernel).
+            def iq_c(jkv, iq):
+                return jnp.maximum(iq, (jkv * block_kv) // block_q)
+        else:
+            def iq_c(jkv, iq):
+                return iq
+
+        grid = (batch, num_q_heads, num_kv_blocks, num_q_blocks)
+
+        def q_index(b, h, jkv, iq):
+            return (b, h, iq_c(jkv, iq), 0)
+
+        def kv_index(b, h, jkv, iq):
+            return (b, h // q_per_kv, jkv, 0)
+
+        def dkv_index(b, h, jkv, iq):
+            return (b, h, jkv, 0)
+
+        def dq_index(b, h, jkv, iq):
+            return (b, h, 0, 0)
+
+        dimension_semantics = ("parallel", "parallel", "arbitrary", "arbitrary")
+
+    q_spec = pl.BlockSpec((1, 1, block_q, head_dim), q_index)
+    kv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), kv_index)
+    stat_spec = pl.BlockSpec((1, 1, block_q, geo.NUM_LANES), q_index)
+    dkv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), dkv_index)
+    dq_spec = pl.BlockSpec((1, 1, n_q, head_dim), dq_index)
+    in_specs = [q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec]
+    inputs = [q, k, v, do, lse, dpre]
+    if q_seg is not None:
+        qseg_rep = jnp.broadcast_to(
+            q_seg.astype(jnp.int32)[:, :, None], (batch, n_q, geo.NUM_LANES)
+        )
+        kvseg_rep = jnp.broadcast_to(
+            kv_seg.astype(jnp.int32)[:, None, :],
+            (batch, geo.NUM_SUBLANES, n_kv),
+        )
+        in_specs.append(pl.BlockSpec(
+            (1, block_q, geo.NUM_LANES),
+            lambda *idx: (idx[0], q_index(*idx)[2], 0),
+        ))
+        in_specs.append(pl.BlockSpec(
+            (1, geo.NUM_SUBLANES, block_kv),
+            lambda *idx: (idx[0], 0, kv_index(*idx)[2]),
+        ))
+        inputs += [qseg_rep, kvseg_rep]
+    else:
+        seg_kernel = kernel
+
+        def kernel(q_r, k_r, v_r, do_r, l_r, d_r, dq_r, dk_r, dv_r, a1, a2):  # noqa: F811
+            return seg_kernel(q_r, k_r, v_r, do_r, l_r, d_r, None, None,
+                              dq_r, dk_r, dv_r, a1, a2)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[dq_spec, dkv_spec, dkv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, num_q_heads, n_q, head_dim), jnp.float32),
+            jax.ShapeDtypeStruct((batch, num_q_heads, n_kv, head_dim), jnp.float32),
+            jax.ShapeDtypeStruct((batch, num_q_heads, n_kv, head_dim), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, head_dim), jnp.float32),
+            pltpu.VMEM((block_kv, head_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=dimension_semantics,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return dq, dk, dv

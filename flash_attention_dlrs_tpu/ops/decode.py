@@ -351,6 +351,59 @@ def _default_pages_per_block(page_size, head_dim, dtype, pages_per_seq):
     return int(max(1, min(ppb, pages_per_seq)))
 
 
+def tuned_pages_per_block(
+    q,
+    k_pages,
+    v_pages,
+    lengths,
+    page_indices,
+    *,
+    sm_scale=None,
+) -> int:
+    """Timed search over ``pages_per_block`` for this decode workload,
+    cached on the (q shape, pool shape, pages_per_seq, dtype) key — the
+    decode-kernel analogue of the fwd/bwd block tuners (the reference
+    autotunes every kernel it ships, src/flash_attention_kernels.py:11-15).
+
+    Candidates: powers of two up to pages_per_seq whose double-buffered
+    handoff scratch fits a conservative VMEM share.  Concrete arrays only.
+    """
+    from .. import tuning
+
+    k_vals = k_pages.values if isinstance(k_pages, QuantizedTensor) else k_pages
+    _, _, page_size, d_pool = k_vals.shape
+    pages_per_seq = page_indices.shape[1]
+    isz = jnp.dtype(k_vals.dtype).itemsize
+    cands = []
+    ppb = 1
+    while ppb <= pages_per_seq:
+        # 3 handoff slots × (K + V) payload per block (decode kernel scratch)
+        if 3 * 2 * ppb * page_size * d_pool * isz <= 8 * 1024 * 1024:
+            cands.append(ppb)
+        ppb *= 2
+    if not cands:
+        cands = [1]
+
+    def build(ppb_):
+        def fn(q_, k_, v_, lengths_, idx_):
+            return jnp.sum(
+                paged_decode_attention(
+                    q_, k_, v_, lengths_, idx_,
+                    sm_scale=sm_scale, pages_per_block=ppb_,
+                ).astype(jnp.float32)
+            )
+
+        return jax.jit(fn)
+
+    return int(tuning.tune_decode_pages_per_block(
+        build,
+        cands,
+        [list(q.shape), list(k_vals.shape), pages_per_seq,
+         str(k_vals.dtype), isinstance(k_pages, QuantizedTensor)],
+        (q, k_pages, v_pages, lengths, page_indices),
+    ))
+
+
 def paged_decode_attention(
     q,  # [B, Hq, d]
     k_pages,  # [Hkv, P, page_size, d] array or QuantizedTensor

@@ -29,6 +29,7 @@ import numpy as np
 from .. import geometry as geo
 from .. import tuning
 from ..utils import default_interpret, pad_axis_to
+from . import bwd_fused
 from . import bwd_kernel as bwd
 from . import fwd_kernel as fwd
 from . import fwd_small
@@ -128,7 +129,15 @@ def _use_small(q, k, block_sizes) -> bool:
 
 def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, bs, small,
                   interpret, save_residuals):
-    """Shared forward dispatch: one-shot small kernel or the general one."""
+    """Shared forward dispatch: one-shot small kernel or the general one.
+
+    ``bs`` may be None (caller didn't pin blocks): resolved here so the
+    backward can make its own (fused-path) block choice downstream."""
+    if bs is None:
+        bs = tuning.default_block_sizes(
+            q.shape[2], k.shape[2],
+            geo.current_geometry().round_up(q.shape[-1]), q.dtype,
+        )
     if small:
         n_pad = geo.current_geometry().round_up(
             max(q.shape[2], k.shape[2]), geo.NUM_LANES
@@ -232,9 +241,27 @@ def flash_attention_backward(
     _validate(q, k, v)
     window = _normalize_window(window, causal, k.shape[2])
     seg = _normalize_segments(segment_ids, q, k)
+    user_blocks = block_sizes is not None
     sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
     num_kv_heads = k.shape[1]
-    bq, bkv = bs.block_q_bwd, bs.block_kv_bwd
+    d_est = geo.current_geometry().round_up(q.shape[-1])
+    # Block choice: the fused single-sweep kernel has its own sweet spot
+    # (smaller than the split kernels' — its dQ pane buffer eats VMEM).
+    # Pinned blocks are honored (fused if they fit, split otherwise).
+    if user_blocks:
+        bq, bkv = bs.block_q_bwd, bs.block_kv_bwd
+        n_q_pad = -(-q.shape[2] // bq) * bq
+        use_fused = bwd_fused.fused_bwd_fits_vmem(
+            n_q_pad, d_est, bq, bkv, q.dtype
+        )
+    else:
+        fused_blocks = bwd_fused.pick_fused_blocks(
+            q.shape[2], k.shape[2], d_est, q.dtype
+        )
+        use_fused = fused_blocks is not None
+        bq, bkv = fused_blocks if use_fused else (
+            bs.block_q_bwd, bs.block_kv_bwd
+        )
     qp, kp, vp, q_len, kv_len, d = _pad_inputs(q, k, v, bq, bkv)
     qseg_p, kvseg_p = _pad_segments(seg, bq, bkv)
     op, _ = pad_axis_to(o, 2, bq)
@@ -249,18 +276,29 @@ def flash_attention_backward(
 
     dpre = bwd.bwd_d_pallas(op, dop, block_q=bq, interpret=interpret)
 
-    dk, dv = bwd.bwd_dkv_pallas(
-        qp, kp, vp, dop, lse_rep, dpre, qseg_p, kvseg_p,
-        sm_scale=sm_scale, causal=causal, window=window,
-        softcap=float(logit_softcap),
-        block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
-    )
-    dq = bwd.bwd_dq_pallas(
-        qp, kp, vp, dop, lse_rep, dpre, qseg_p, kvseg_p,
-        sm_scale=sm_scale, causal=causal, window=window,
-        softcap=float(logit_softcap),
-        block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
-    )
+    # Fused single-sweep backward (5 matmuls per block pair) whenever the
+    # pane-resident dQ buffer fits VMEM; two-sweep kernels (7 matmuls)
+    # otherwise — see bwd_fused.py.
+    if use_fused:
+        dq, dk, dv = bwd_fused.bwd_fused_pallas(
+            qp, kp, vp, dop, lse_rep, dpre, qseg_p, kvseg_p,
+            sm_scale=sm_scale, causal=causal, window=window,
+            softcap=float(logit_softcap),
+            block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
+        )
+    else:
+        dk, dv = bwd.bwd_dkv_pallas(
+            qp, kp, vp, dop, lse_rep, dpre, qseg_p, kvseg_p,
+            sm_scale=sm_scale, causal=causal, window=window,
+            softcap=float(logit_softcap),
+            block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
+        )
+        dq = bwd.bwd_dq_pallas(
+            qp, kp, vp, dop, lse_rep, dpre, qseg_p, kvseg_p,
+            sm_scale=sm_scale, causal=causal, window=window,
+            softcap=float(logit_softcap),
+            block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
+        )
     # GQA: group-sum per-q-head dK/dV into per-kv-head grads.
     batch, num_q_heads = q.shape[0], q.shape[1]
     if num_q_heads != num_kv_heads:
@@ -395,18 +433,25 @@ def flash_attention(
     if logit_softcap < 0:
         raise ValueError(f"logit_softcap must be >= 0, got {logit_softcap}")
     small = _use_small(q, k, block_sizes)
-    sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
+    sm_scale, _, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
+    # Pass the RAW block_sizes (None when unpinned) through the vjp: the
+    # backward picks fused-path blocks itself when the caller didn't pin.
     return _flash_attention(q, k, v, seg, causal, sm_scale, window,
-                            float(logit_softcap), bs, small, interpret)
+                            float(logit_softcap), block_sizes, small,
+                            interpret)
 
 
 def tuned_block_sizes(
     q, k, v, *, causal: bool = False, sm_scale: Optional[float] = None
 ) -> tuning.BlockSizes:
-    """Timed block-shape search for this workload (concrete arrays only)."""
+    """Timed block-shape search for this workload (concrete arrays only).
+
+    Tunes BOTH directions — the reference autotunes every kernel
+    (src/flash_attention_kernels.py:11-15,169-173,337-341); round 1 of this
+    build only timed the forward, leaving the backward on the heuristic."""
     sm_scale_r, bs0, interpret = _resolve(q, k, sm_scale, None, None)
 
-    def build(bq, bkv):
+    def build_fwd(bq, bkv):
         bs = tuning.BlockSizes(
             block_q=bq, block_kv=bkv,
             block_q_bwd=bs0.block_q_bwd, block_kv_bwd=bs0.block_kv_bwd,
@@ -420,8 +465,33 @@ def tuned_block_sizes(
 
         return fn
 
-    bq, bkv = tuning.tune_fwd_blocks(build, q, k, v)
+    bq, bkv = tuning.tune_fwd_blocks(build_fwd, q, k, v, key_extra=causal)
+
+    def build_bwd(bqb, bkvb):
+        bs = tuning.BlockSizes(
+            block_q=bq, block_kv=bkv, block_q_bwd=bqb, block_kv_bwd=bkvb
+        )
+
+        def fn(q_, k_, v_, do_):
+            _, vjp = jax.vjp(
+                lambda a, b, c: _flash_attention(
+                    a, b, c, None, causal, sm_scale_r, 0, 0.0, bs, False,
+                    interpret
+                ),
+                q_, k_, v_,
+            )
+            g = vjp(do_)
+            # consume ALL grads (returning one lets XLA DCE the others)
+            return (g[0].astype(jnp.float32).sum()
+                    + g[1].astype(jnp.float32).sum()
+                    + g[2].astype(jnp.float32).sum())
+
+        return jax.jit(fn)
+
+    do = jax.random.normal(jax.random.PRNGKey(0), q.shape, q.dtype)
+    bqb, bkvb = tuning.tune_bwd_blocks(
+        build_bwd, q, k, v, do, key_extra=causal
+    )
     return tuning.BlockSizes(
-        block_q=bq, block_kv=bkv,
-        block_q_bwd=bs0.block_q_bwd, block_kv_bwd=bs0.block_kv_bwd,
+        block_q=bq, block_kv=bkv, block_q_bwd=bqb, block_kv_bwd=bkvb
     )

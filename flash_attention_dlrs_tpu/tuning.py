@@ -136,6 +136,29 @@ def _time_call(fn, *args, warmup: int = 2, reps: int = 5) -> float:
     return times[len(times) // 2]
 
 
+def _tune_cached(key_parts, candidates, build_fn, args):
+    """Shared timed search: time build_fn(*cand)(*args) for each candidate,
+    cache the winner on the JSON key (in-process + on disk)."""
+    key = json.dumps([geo.current_geometry().device_kind, *key_parts])
+    if not _TUNE_CACHE:
+        _TUNE_CACHE.update(_load_disk_cache())
+    if key in _TUNE_CACHE:
+        v = _TUNE_CACHE[key]
+        return tuple(v) if isinstance(v, list) else v
+    best, best_t = candidates[0], float("inf")
+    for cand in candidates:
+        try:
+            fn = build_fn(*cand) if isinstance(cand, tuple) else build_fn(cand)
+            t = _time_call(fn, *args)
+        except Exception:
+            continue  # config failed to compile / OOM — skip, like NaN-on-OOM
+        if t < best_t:
+            best, best_t = cand, t
+    _TUNE_CACHE[key] = list(best) if isinstance(best, tuple) else best
+    _save_disk_cache(_TUNE_CACHE)
+    return best
+
+
 def tune_fwd_blocks(
     build_fn,
     q,
@@ -143,6 +166,7 @@ def tune_fwd_blocks(
     v,
     *,
     max_candidates: int = 8,
+    key_extra=None,
 ) -> tuple:
     """Time VMEM-feasible (block_q, block_kv) candidates for the forward
     kernel and cache the winner on the (B, H, Nq, Nkv, d, dtype) key.
@@ -150,31 +174,77 @@ def tune_fwd_blocks(
     ``build_fn(block_q, block_kv)`` must return a jitted callable taking
     (q, k, v).
     """
-    key = json.dumps(
-        [
-            "fwd",
-            geo.current_geometry().device_kind,
-            list(q.shape),
-            list(k.shape),
-            str(q.dtype),
-        ]
-    )
-    if not _TUNE_CACHE:
-        _TUNE_CACHE.update(_load_disk_cache())
-    if key in _TUNE_CACHE:
-        return tuple(_TUNE_CACHE[key])
-
     n_q, n_kv, d = q.shape[-2], k.shape[-2], q.shape[-1]
     cands = candidate_fwd_configs(n_q, n_kv, d, q.dtype)[:max_candidates]
-    best, best_t = cands[0], float("inf")
-    for bq, bkv in cands:
-        try:
-            fn = build_fn(bq, bkv)
-            t = _time_call(fn, q, k, v)
-        except Exception:
-            continue  # config failed to compile / OOM — skip, like NaN-on-OOM
-        if t < best_t:
-            best, best_t = (bq, bkv), t
-    _TUNE_CACHE[key] = list(best)
-    _save_disk_cache(_TUNE_CACHE)
-    return best
+    return _tune_cached(
+        ["fwd", list(q.shape), list(k.shape), str(q.dtype), key_extra],
+        cands, build_fn, (q, k, v),
+    )
+
+
+def candidate_bwd_configs(n_q: int, n_kv: int, head_dim: int, dtype) -> list:
+    """(block_q, block_kv) candidates for the backward: every pair where
+    EITHER the fused single-sweep kernel fits VMEM (the dispatcher will use
+    it) or the two-sweep kernels do (the fallback) — pruned like the
+    reference's bwd_conf_prune (src/autotune_configs.py:204-225), against
+    the VMEM model instead of the GA102 SRAM model."""
+    from .ops import bwd_fused  # local import: ops imports tuning
+
+    g = geo.current_geometry()
+    out = []
+    for bq in _CANDIDATE_EDGES:
+        if bq > max(n_q, geo.MIN_BLOCK):
+            continue
+        for bkv in _CANDIDATE_EDGES:
+            if bkv > max(n_kv, geo.MIN_BLOCK):
+                continue
+            n_q_pad = -(-n_q // bq) * bq
+            fused_ok = bwd_fused.fused_bwd_fits_vmem(
+                n_q_pad, head_dim, bq, bkv, dtype
+            )
+            split_ok = geo.fits_vmem(
+                geo.attention_bwd_vmem_bytes(bq, bkv, head_dim, dtype), g
+            )
+            if fused_ok or split_ok:
+                out.append((bq, bkv))
+    return out or [(geo.MIN_BLOCK, geo.MIN_BLOCK)]
+
+
+def tune_bwd_blocks(
+    build_fn,
+    q,
+    k,
+    v,
+    do,
+    *,
+    max_candidates: int = 10,
+    key_extra=None,
+) -> tuple:
+    """Time backward (block_q_bwd, block_kv_bwd) candidates and cache the
+    winner — the reference autotunes its backward kernels the same way
+    (src/flash_attention_kernels.py:169-173,337-341); the round-1 build only
+    tuned the forward.
+
+    ``build_fn(bq, bkv)`` must return a jitted callable taking (q, k, v, do)
+    that executes the backward (and consumes all three grads).
+    """
+    n_q, n_kv, d = q.shape[-2], k.shape[-2], q.shape[-1]
+    cands = candidate_bwd_configs(n_q, n_kv, d, q.dtype)[:max_candidates]
+    return _tune_cached(
+        ["bwd", list(q.shape), list(k.shape), str(q.dtype), key_extra],
+        cands, build_fn, (q, k, v, do),
+    )
+
+
+def tune_decode_pages_per_block(
+    build_fn,
+    candidates,
+    key_parts,
+    args,
+):
+    """Time paged-decode ``pages_per_block`` candidates (the decode kernel's
+    only block knob) and cache the winner on the given shape key.
+
+    ``build_fn(ppb)`` must return a jitted callable taking ``args``."""
+    return _tune_cached(["decode", *key_parts], list(candidates),
+                        build_fn, args)

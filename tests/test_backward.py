@@ -66,6 +66,46 @@ def test_bwd_functional_wrapper():
     np.testing.assert_allclose(dv, dv_r, atol=DV_ATOL, rtol=RTOL)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_bwd_two_sweep_fallback_matches(causal, monkeypatch):
+    """The two-sweep (dKV + dQ) kernels stay correct: force the dispatcher
+    past the fused path (used when the pane dQ buffer would not fit VMEM)."""
+    from flash_attention_dlrs_tpu.ops import bwd_fused
+
+    monkeypatch.setattr(
+        bwd_fused, "fused_bwd_fits_vmem", lambda *a, **k: False
+    )
+    b, h, n, d = 1, 2, 640, 128
+    q, k, v, do = _setup(21, (b, h, n, d), (b, h, n, d))
+    dq, dk, dv = _grads_via_vjp(q, k, v, do, causal=causal, sm_scale=1.0)
+    dq_r, dk_r, dv_r = reference_attention_grads(
+        q, k, v, do, causal=causal, sm_scale=1.0
+    )
+    np.testing.assert_allclose(dq, dq_r, atol=DQ_ATOL, rtol=RTOL)
+    np.testing.assert_allclose(dk, dk_r, atol=DK_ATOL, rtol=RTOL)
+    np.testing.assert_allclose(dv, dv_r, atol=DV_ATOL, rtol=RTOL)
+
+
+def test_bwd_fused_matches_two_sweep_bitwise_inputs():
+    """Fused and two-sweep paths agree to fp32 tolerance on the same
+    (lse-honoring) contract, including GQA + window."""
+    from flash_attention_dlrs_tpu.ops import bwd_fused
+
+    b, hq, hkv, n, d = 1, 4, 2, 384, 64
+    q, k, v, do = _setup(31, (b, hq, n, d), (b, hkv, n, d))
+    o, lse = flash_attention_forward(q, k, v, causal=True, window=100,
+                                     sm_scale=1.0)
+    args = (q, k, v, o, do, lse)
+    kw = dict(causal=True, window=100, sm_scale=1.0)
+    g_fused = flash_attention_backward(*args, **kw)
+    import unittest.mock as mock
+    with mock.patch.object(bwd_fused, "fused_bwd_fits_vmem",
+                           lambda *a, **k_: False):
+        g_split = flash_attention_backward(*args, **kw)
+    for a, b_ in zip(g_fused, g_split):
+        np.testing.assert_allclose(a, b_, atol=2e-5, rtol=1e-5)
+
+
 def test_bwd_gqa():
     b, hq, hkv, n, d = 1, 4, 2, 128, 64
     q, _, _, do = _setup(8, (b, hq, n, d), (b, hq, n, d))

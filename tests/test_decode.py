@@ -39,6 +39,30 @@ def test_paged_decode_fp32(pages_per_block):
     np.testing.assert_allclose(o, o_ref, atol=2e-4, rtol=1e-4)
 
 
+def test_tuned_pages_per_block_caches_and_runs(tmp_path, monkeypatch):
+    """Decode block tuner: picks a feasible candidate, caches on the shape
+    key, and the pick produces correct output."""
+    import flash_attention_dlrs_tpu.tuning as tuning
+    from flash_attention_dlrs_tpu.ops.decode import tuned_pages_per_block
+
+    monkeypatch.setattr(tuning, "_CACHE_PATH", str(tmp_path / "cache.json"))
+    tuning._TUNE_CACHE.clear()
+    q, kp, vp, lengths, pidx = _setup(3, pages_per_seq=4)
+    ppb = tuned_pages_per_block(q, kp, vp, lengths, pidx)
+    assert ppb in (1, 2, 4)
+    assert any('"decode"' in key for key in tuning._TUNE_CACHE)
+    # cache hit on the second call — no re-timing
+    timed = []
+    monkeypatch.setattr(tuning, "_time_call",
+                        lambda *a, **k_: timed.append(1) or 0.0)
+    assert tuned_pages_per_block(q, kp, vp, lengths, pidx) == ppb
+    assert not timed
+    o = paged_decode_attention(q, kp, vp, lengths, pidx, pages_per_block=ppb)
+    o_ref = paged_reference_attention(q, kp, vp, lengths, pidx)
+    np.testing.assert_allclose(o, o_ref, atol=2e-4, rtol=1e-4)
+    tuning._TUNE_CACHE.clear()
+
+
 def test_paged_decode_gqa_group_sizes():
     for hq, hkv in [(2, 2), (16, 2), (4, 1)]:
         q, kp, vp, lengths, pidx = _setup(1, hq=hq, hkv=hkv, batch=2)

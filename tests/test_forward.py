@@ -144,13 +144,51 @@ def test_tune_picks_and_caches(tmp_path, monkeypatch):
     o = flash_attention(q, k, v, sm_scale=1.0, tune=True)
     o_ref = reference_attention(q, k, v, sm_scale=1.0)
     np.testing.assert_allclose(o, o_ref, atol=FWD_ATOL, rtol=FWD_RTOL)
-    assert len(tuning._TUNE_CACHE) == 1
-    # second call hits the cache (no new keys)
+    # BOTH directions are tuned (fwd + bwd keys), unlike round 1's fwd-only
+    assert len(tuning._TUNE_CACHE) == 2
+    assert any('"fwd"' in key for key in tuning._TUNE_CACHE)
+    assert any('"bwd"' in key for key in tuning._TUNE_CACHE)
+    # second call hits the cache (no new keys, and no re-timing)
+    timed = []
+    orig_time = tuning._time_call
+    monkeypatch.setattr(
+        tuning, "_time_call", lambda *a, **k_: timed.append(1) or orig_time(*a, **k_)
+    )
     flash_attention(q, k, v, sm_scale=1.0, tune=True)
-    assert len(tuning._TUNE_CACHE) == 1
+    assert len(tuning._TUNE_CACHE) == 2 and not timed
     # tracers are rejected with a clear error
     with pytest.raises(ValueError, match="concrete"):
         jax.jit(lambda a, b_, c: flash_attention(a, b_, c, tune=True))(q, k, v)
+    tuning._TUNE_CACHE.clear()
+
+
+def test_tuned_bwd_blocks_are_valid_and_dispatchable(tmp_path, monkeypatch):
+    """tune=True returns measured backward blocks that the backward
+    dispatcher accepts; grads through the tuned op stay golden."""
+    import flash_attention_dlrs_tpu.tuning as tuning
+    from flash_attention_dlrs_tpu.ops import reference_attention_grads
+    from flash_attention_dlrs_tpu.ops.flash_attention import tuned_block_sizes
+
+    monkeypatch.setattr(tuning, "_CACHE_PATH", str(tmp_path / "cache.json"))
+    tuning._TUNE_CACHE.clear()
+    b, h, n, d = 1, 1, 256, 64
+    q, k, v = _make_qkv(jax.random.PRNGKey(10), (b, h, n, d), (b, h, n, d))
+    bs = tuned_block_sizes(q, k, v, causal=True, sm_scale=1.0)
+    cands = tuning.candidate_bwd_configs(n, n, d, q.dtype)
+    assert (bs.block_q_bwd, bs.block_kv_bwd) in cands
+    do = jax.random.normal(jax.random.PRNGKey(11), (b, h, n, d))
+    _, vjp = jax.vjp(
+        lambda a, b_, c: flash_attention(
+            a, b_, c, causal=True, sm_scale=1.0, block_sizes=bs
+        ), q, k, v,
+    )
+    dq, dk, dv = vjp(do)
+    dq_r, dk_r, dv_r = reference_attention_grads(
+        q, k, v, do, causal=True, sm_scale=1.0
+    )
+    np.testing.assert_allclose(dq, dq_r, atol=9e-4, rtol=1e-5)
+    np.testing.assert_allclose(dk, dk_r, atol=7e-4, rtol=1e-5)
+    np.testing.assert_allclose(dv, dv_r, atol=7e-5, rtol=1e-5)
     tuning._TUNE_CACHE.clear()
 
 
