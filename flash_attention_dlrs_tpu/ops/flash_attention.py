@@ -31,7 +31,9 @@ from .. import tuning
 from ..utils import default_interpret, pad_axis_to
 from . import bwd_fused
 from . import bwd_kernel as bwd
+from . import bwd_mid
 from . import fwd_kernel as fwd
+from . import fwd_mid
 from . import fwd_small
 
 
@@ -133,11 +135,41 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, bs, small,
 
     ``bs`` may be None (caller didn't pin blocks): resolved here so the
     backward can make its own (fused-path) block choice downstream."""
+    unpinned = bs is None
     if bs is None:
         bs = tuning.default_block_sizes(
             q.shape[2], k.shape[2],
             geo.current_geometry().round_up(q.shape[-1]), q.dtype,
         )
+    # Mid-length causal path: in-kernel sub-blocking kills the diagonal-
+    # block waste that makes 512 < N <= 2048 the general kernel's valley
+    # (see fwd_mid.py).  Only when the caller didn't pin blocks.
+    use_mid = (
+        unpinned
+        and not small
+        and causal
+        and seg is None
+        and q.shape[2] == k.shape[2]
+        and q.shape[2] <= fwd_mid.MAX_MID_N
+        and fwd_mid.mid_path_fits(
+            geo.current_geometry().round_up(q.shape[2], fwd_mid.SUB),
+            geo.current_geometry().round_up(q.shape[-1]),
+            q.dtype,
+        )
+    )
+    if use_mid:
+        qp, kp, vp, q_len, kv_len, d = _pad_inputs(
+            q, k, v, fwd_mid.SUB, fwd_mid.SUB
+        )
+        o, lse = fwd_mid.fwd_mid_pallas(
+            qp, kp, vp,
+            sm_scale=sm_scale, kv_len=kv_len, window=window,
+            softcap=float(softcap), save_residuals=save_residuals,
+            interpret=interpret,
+        )
+        if save_residuals:
+            return o[:, :, :q_len, :d], lse[:, :, :q_len, 0]
+        return o[:, :, :q_len, :d], None
     if small:
         n_pad = geo.current_geometry().round_up(
             max(q.shape[2], k.shape[2]), geo.NUM_LANES
@@ -245,6 +277,48 @@ def flash_attention_backward(
     sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
     num_kv_heads = k.shape[1]
     d_est = geo.current_geometry().round_up(q.shape[-1])
+    # Mid-length causal path: pane-resident in-kernel sub-blocking (see
+    # bwd_mid.py), the backward twin of the forward's fwd_mid route.
+    use_mid = (
+        not user_blocks
+        and causal
+        and seg is None
+        and q.shape[2] == k.shape[2]
+        and q.shape[2] <= bwd_mid.MAX_MID_BWD_N
+        and bwd_mid.bwd_mid_fits(
+            geo.current_geometry().round_up(q.shape[2], bwd_mid.SUB),
+            d_est, q.dtype,
+        )
+    )
+    if use_mid:
+        qp, kp, vp, q_len, kv_len, d = _pad_inputs(
+            q, k, v, bwd_mid.SUB, bwd_mid.SUB
+        )
+        op, _ = pad_axis_to(o, 2, bwd_mid.SUB)
+        dop, _ = pad_axis_to(do, 2, bwd_mid.SUB)
+        if qp.shape[-1] != d:
+            op, _ = pad_axis_to(op, 3, qp.shape[-1])
+            dop, _ = pad_axis_to(dop, 3, qp.shape[-1])
+        lse_p, _ = pad_axis_to(lse.astype(jnp.float32), 2, bwd_mid.SUB)
+        lse_rep = jnp.broadcast_to(
+            lse_p[..., None], (*lse_p.shape, geo.NUM_LANES)
+        )
+        dpre = bwd.bwd_d_pallas(op, dop, block_q=bwd_mid.SUB,
+                                interpret=interpret)
+        dq, dk, dv = bwd_mid.bwd_mid_pallas(
+            qp, kp, vp, dop, lse_rep, dpre,
+            sm_scale=sm_scale, kv_len=kv_len, window=window,
+            softcap=float(logit_softcap), interpret=interpret,
+        )
+        batch, num_q_heads = q.shape[0], q.shape[1]
+        if num_q_heads != num_kv_heads:
+            grp = num_q_heads // num_kv_heads
+            dk = dk.reshape(batch, num_kv_heads, grp, *dk.shape[2:]).sum(axis=2)
+            dv = dv.reshape(batch, num_kv_heads, grp, *dv.shape[2:]).sum(axis=2)
+        dq = dq[:, :, :q_len, :d].astype(q.dtype)
+        dk = dk[:, :, :kv_len, :d].astype(k.dtype)
+        dv = dv[:, :, :kv_len, :d].astype(v.dtype)
+        return dq, dk, dv
     # Block choice: the fused single-sweep kernel has its own sweet spot
     # (smaller than the split kernels' — its dQ pane buffer eats VMEM).
     # Pinned blocks are honored (fused if they fit, split otherwise).

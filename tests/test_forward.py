@@ -361,6 +361,51 @@ def test_fwd_small_gqa_nonpow2_heads():
     np.testing.assert_allclose(o, o_ref, atol=FWD_ATOL, rtol=FWD_RTOL)
 
 
+# ---------------------------------------------------------------------------
+# Mid-length causal path (in-kernel sub-blocking, 512 < N <= 2048)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [640, 1024, 1500])
+def test_fwd_mid_path(n):
+    b, hq, hkv, d = 1, 4, 2, 128
+    q, _, _ = _make_qkv(jax.random.PRNGKey(61), (b, hq, n, d), (b, hq, n, d))
+    _, k, v = _make_qkv(jax.random.PRNGKey(62), (b, hkv, n, d), (b, hkv, n, d))
+    o = flash_attention(q, k, v, causal=True, sm_scale=1.0)  # mid path
+    o_ref = reference_attention(q, k, v, causal=True, sm_scale=1.0)
+    np.testing.assert_allclose(o, o_ref, atol=FWD_ATOL, rtol=FWD_RTOL)
+
+
+def test_fwd_mid_window_softcap():
+    b, h, n, d = 1, 2, 1024, 128
+    q, k, v = _make_qkv(jax.random.PRNGKey(63), (b, h, n, d), (b, h, n, d))
+    for kw in (dict(window=300), dict(logit_softcap=20.0),
+               dict(window=700, logit_softcap=15.0)):
+        o = flash_attention(q, k, v, causal=True, sm_scale=1.0, **kw)
+        o_ref = reference_attention(q, k, v, causal=True, sm_scale=1.0, **kw)
+        np.testing.assert_allclose(o, o_ref, atol=FWD_ATOL, rtol=FWD_RTOL,
+                                   err_msg=str(kw))
+
+
+def test_fwd_mid_lse_feeds_backward():
+    from flash_attention_dlrs_tpu.ops import reference_attention_grads
+
+    b, h, n, d = 1, 2, 768, 64
+    q, k, v = _make_qkv(jax.random.PRNGKey(64), (b, h, n, d), (b, h, n, d))
+    do = jax.random.normal(jax.random.PRNGKey(65), (b, h, n, d))
+    _, vjp = jax.vjp(
+        lambda a, b_, c: flash_attention(a, b_, c, causal=True, sm_scale=1.0),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(do)
+    dq_r, dk_r, dv_r = reference_attention_grads(
+        q, k, v, do, causal=True, sm_scale=1.0
+    )
+    np.testing.assert_allclose(dq, dq_r, atol=9e-4, rtol=1e-5)
+    np.testing.assert_allclose(dk, dk_r, atol=7e-4, rtol=1e-5)
+    np.testing.assert_allclose(dv, dv_r, atol=7e-5, rtol=1e-5)
+
+
 def test_fwd_small_lse_feeds_general_backward():
     """Grads through the small fwd (residual LSE) + general bwd kernels."""
     from flash_attention_dlrs_tpu.ops import reference_attention_grads
