@@ -179,10 +179,53 @@ def _provider_jax_flash(causal):
     return fwd
 
 
+def _provider_splash(causal):
+    """jax's splash-attention Pallas kernel — the strongest public TPU
+    attention, restoring the reference's independent-implementation
+    cross-check role (≙ flash_attn in src/bench.py:38-42)."""
+    try:
+        from jax.experimental.pallas.ops.tpu.splash_attention import (
+            splash_attention_kernel as sk,
+            splash_attention_mask as sm,
+        )
+    except ImportError:
+        return None
+
+    def fwd(q, k, v):
+        b, h, n, d = q.shape
+        mask = sm.CausalMask((n, n)) if causal else sm.FullMask((n, n))
+        kernel = sk.make_splash_mha_single_device(
+            sm.MultiHeadMask([mask] * h)
+        )
+        scale = jnp.asarray(d ** -0.5, q.dtype)
+        return jax.vmap(kernel)(q * scale, k, v)
+
+    return fwd
+
+
+def _provider_dpa(causal):
+    """jax.nn.dot_product_attention (XLA's fused SDPA) — ≙ the torch SDPA
+    backends in the reference bench (src/bench.py:76-85).  Takes BNHD, so
+    the layout transposes are part of its measured cost."""
+
+    def fwd(q, k, v):
+        o = jax.nn.dot_product_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            is_causal=causal,
+        )
+        return o.transpose(0, 2, 1, 3)
+
+    return fwd
+
+
 PROVIDERS = {
     "ours": _provider_ours,
     "xla": _provider_xla,
     "jax-flash": _provider_jax_flash,
+    "splash": _provider_splash,
+    "dpa": _provider_dpa,
 }
 
 
@@ -192,8 +235,8 @@ def run_bench(
     heads: int = 16,
     head_dim: int = 128,
     seq_lens=tuple(2**i for i in range(7, 16)),
-    providers=("ours", "xla", "jax-flash"),
-    modes=("fwd", "bwd"),
+    providers=("ours", "xla", "jax-flash", "splash", "dpa"),
+    modes=("fwd", "bwd", "fwd+bwd"),
     causal: bool = True,
     dtype=jnp.bfloat16,
     out_dir: str = "bench_out",
@@ -232,6 +275,13 @@ def run_bench(
                             return g[0] + g[1] + g[2]
                     try:
                         sec = time_fn(fn, q, k, v, iters=iters)
+                        if mode == "bwd":
+                            # grad-of-scalar executes fwd+bwd; subtract the
+                            # separately-timed forward so the row reports the
+                            # backward alone (≙ the reference's
+                            # O.backward(retain_graph=True), src/bench.py:91-94)
+                            sec_f = time_fn(fwd, q, k, v, iters=iters)
+                            sec = max(sec - sec_f, 1e-9)
                         ms = sec * 1e3
                     except Exception as e:  # OOM / compile failure → NaN
                         print(f"[bench] {name} {mode} N={n}: {type(e).__name__}")

@@ -94,6 +94,21 @@ def current_geometry() -> TpuGeometry:
     return TpuGeometry(device_kind=kind, vmem_bytes=vmem)
 
 
+def supports_fast_fp8(geom: TpuGeometry | None = None) -> bool:
+    """Whether fp8 payloads are worth using on this part.
+
+    v4/v5-class TPUs have no fp8 datapath: fp8 tensors are CAST-bound
+    (measured on v5e: fp8 KV decode 69 GB/s vs int8's 691 — a 10× trap, see
+    bench_out/decode_8k.json).  v6-class and later handle fp8 natively.
+    Non-TPU backends (CPU interpret mode) return True — there is no
+    bandwidth trap to guard there.
+    """
+    kind = (geom or current_geometry()).device_kind.lower()
+    if "v5" in kind or "v4" in kind or "v3" in kind or "v2" in kind:
+        return False
+    return True
+
+
 def attention_fwd_vmem_bytes(
     block_q: int, block_kv: int, head_dim: int, dtype
 ) -> int:

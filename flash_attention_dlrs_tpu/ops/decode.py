@@ -574,9 +574,28 @@ def paged_verify_attention(
 
 
 def quantize_kv_pages(pages: jax.Array, dtype=jnp.int8) -> QuantizedTensor:
-    """Per-token symmetric quantization of [Hkv, P, page_size, d] KV pages."""
+    """Per-token symmetric quantization of [Hkv, P, page_size, d] KV pages.
+
+    Warns (but proceeds) for fp8 payloads on parts without an fp8 datapath —
+    on v5e fp8 decode is cast-bound at ~69 GB/s vs int8's 691 (10×); the
+    DecodeEngine auto-falls-back to int8, this low-level op only warns.
+    """
+    import warnings
+
+    from .. import geometry as geo
     from .quantization import quantize
 
+    if (
+        jnp.dtype(dtype).itemsize == 1
+        and jnp.dtype(dtype) != jnp.dtype(jnp.int8)
+        and not geo.supports_fast_fp8()
+    ):
+        warnings.warn(
+            f"fp8 KV pages are cast-bound on "
+            f"{geo.current_geometry().device_kind} (~10x slower than int8 "
+            "on v5e); use int8 unless targeting a v6-class part",
+            stacklevel=2,
+        )
     return quantize(pages, dtype=dtype, axis=-1)
 
 

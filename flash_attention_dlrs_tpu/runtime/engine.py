@@ -14,11 +14,14 @@ batch never changes shape.
 
 from __future__ import annotations
 
+import warnings
 from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from .. import geometry as geo
 
 from ..models.decoding import (
     init_kv_pools,
@@ -74,6 +77,27 @@ class DecodeEngine:
         self.num_slots = num_slots
         self.eos_token = eos_token
         self.interpret = interpret
+
+        # fp8 gate: on parts without an fp8 datapath (v5e and earlier) fp8
+        # KV pages are CAST-bound — measured 69 GB/s vs int8's 691 on v5e —
+        # so a silent fp8 request would be a 10× slowdown, not a feature.
+        # Fall back to int8 (same payload width, faster, and within 0.0 ppl
+        # in the eval gate) with a warning.
+        if (
+            quantized_kv
+            and jnp.dtype(kv_dtype).itemsize == 1
+            and jnp.dtype(kv_dtype) != jnp.dtype(jnp.int8)
+            and not geo.supports_fast_fp8()
+        ):
+            warnings.warn(
+                f"kv_dtype={jnp.dtype(kv_dtype).name} is cast-bound on "
+                f"{geo.current_geometry().device_kind} (no fp8 datapath; "
+                "~10x slower than int8 on v5e) — falling back to int8 KV. "
+                "Pass kv_dtype=jnp.int8 explicitly to silence this.",
+                stacklevel=2,
+            )
+            kv_dtype = jnp.int8
+        self.kv_dtype = kv_dtype
 
         self.pools = init_kv_pools(
             cfg, num_pages=num_pages, page_size=page_size,

@@ -108,3 +108,43 @@ def test_chunked_prefill_matches_dense_prefill():
     for chunk in (16, 64):
         chunked = run(prefill_chunk=chunk)
         assert chunked == dense, (chunk, chunked, dense)
+
+
+def test_fp8_kv_gated_to_int8_on_slow_parts(params, monkeypatch):
+    """On parts without an fp8 datapath (v5e), requesting fp8 KV warns and
+    falls back to int8 — no silent 10x-slower decode path."""
+    import flash_attention_dlrs_tpu.geometry as geo
+    from flash_attention_dlrs_tpu.ops.decode import quantize_kv_pages
+
+    monkeypatch.setattr(geo, "supports_fast_fp8", lambda *a: False)
+    with pytest.warns(UserWarning, match="cast-bound"):
+        eng = DecodeEngine(
+            params, CFG, num_pages=16, num_slots=1, pages_per_seq=4,
+            quantized_kv=True, kv_dtype=jnp.float8_e4m3fn,
+        )
+    assert jnp.dtype(eng.kv_dtype) == jnp.dtype(jnp.int8)
+    assert eng.pools.k[0].dtype == jnp.int8
+    out = eng.generate([[1, 2, 3]], max_new_tokens=3)
+    assert len(out[0]) == 3
+
+    # the low-level op warns but proceeds (callers may target v6 exports)
+    with pytest.warns(UserWarning, match="cast-bound"):
+        qt = quantize_kv_pages(
+            jnp.ones((1, 2, 8, 128), jnp.float32), jnp.float8_e5m2
+        )
+    assert qt.values.dtype == jnp.float8_e5m2
+
+
+def test_fp8_kv_allowed_on_fast_parts(params, monkeypatch):
+    import warnings as _w
+
+    import flash_attention_dlrs_tpu.geometry as geo
+
+    monkeypatch.setattr(geo, "supports_fast_fp8", lambda *a: True)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        eng = DecodeEngine(
+            params, CFG, num_pages=16, num_slots=1, pages_per_seq=4,
+            quantized_kv=True, kv_dtype=jnp.float8_e4m3fn,
+        )
+    assert jnp.dtype(eng.kv_dtype) == jnp.dtype(jnp.float8_e4m3fn)

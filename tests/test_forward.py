@@ -361,6 +361,32 @@ def test_fwd_small_gqa_nonpow2_heads():
     np.testing.assert_allclose(o, o_ref, atol=FWD_ATOL, rtol=FWD_RTOL)
 
 
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16])
+def test_fwd_bwd_half_precision_dtypes(dtype):
+    """Sub-fp32 dtype surface: bf16 (TPU default) and fp16 (the reference's
+    bench dtype, src/bench.py:24-25; mapped by convert_triton_dtype,
+    src/flash_attention_torch.py:7-18).  Half-precision tolerances."""
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = _make_qkv(jax.random.PRNGKey(71), (b, h, n, d), (b, h, n, d),
+                        dtype=dtype)
+    o = flash_attention(q, k, v, causal=True, sm_scale=1.0)
+    assert o.dtype == dtype
+    o_ref = reference_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        causal=True, sm_scale=1.0,
+    )
+    # unscaled scores (sm_scale=1) make softmax sharp; half-precision
+    # rounding near zero blows up RELATIVE error, so gate on absolute only
+    np.testing.assert_allclose(o.astype(jnp.float32), o_ref, atol=8e-2)
+    # grads exist and come back in the input dtype
+    g = jax.grad(
+        lambda q_: flash_attention(q_, k, v, causal=True, sm_scale=1.0)
+        .astype(jnp.float32).sum()
+    )(q)
+    assert g.dtype == dtype and bool(jnp.all(jnp.isfinite(
+        g.astype(jnp.float32))))
+
+
 # ---------------------------------------------------------------------------
 # Mid-length causal path (in-kernel sub-blocking, 512 < N <= 2048)
 # ---------------------------------------------------------------------------
