@@ -213,12 +213,22 @@ def context_parallel_attention(
     ring for short per-chip shards where N-1 small kernels would be
     launch-bound; communication is O(d) per query instead of O(Nkv·d).
 
-    Requires Q replicated over the context axis (decode / short-q case);
-    the causal variant needs global positions, so only causal=False here.
+    Requires Q replicated over the context axis (decode / short-q case).
+
+    Causal story: this path targets decode, where every query token is
+    globally LATER than every resident KV token — the causal mask is
+    vacuously satisfied, so callers pass ``causal=False`` and get causally
+    correct results (the same argument as flash-decoding's split-KV).  A
+    true intra-shard causal mask would need global q positions against each
+    shard's global KV offset, which only arises when q is itself a sharded
+    training-length sequence — exactly the case ``ring_attention`` serves.
+    Hence causal=True is rejected here rather than half-supported.
     """
     if causal:
         raise NotImplementedError(
-            "combine-based CP is non-causal (use ring_attention for causal)"
+            "combine-based CP is decode-shaped: q tokens are globally later "
+            "than all resident KV, so causal masking is vacuous — pass "
+            "causal=False; for sharded-q causal training use ring_attention"
         )
     o_l, lse_l = flash_attention_forward(
         q, k, v, causal=False, sm_scale=sm_scale, interpret=interpret

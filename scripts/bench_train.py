@@ -69,7 +69,9 @@ def main():
         )
         return loss + anchor * 1e-30
 
-    sec = time_fn(one_step, tokens, params, opt_state)
+    # ~1.4s/step: pin a short chain (auto-calibration's 36-iter probe alone
+    # would run ~50s); dispatch overhead is negligible at this step size.
+    sec = time_fn(one_step, tokens, params, opt_state, iters=4, reps=3)
     toks = args.batch * args.seq / sec
     fpt = model_flops_per_token(cfg, args.seq)
     device_kind = jax.devices()[0].device_kind

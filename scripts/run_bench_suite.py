@@ -20,7 +20,7 @@ def main():
     from flash_attention_dlrs_tpu.bench.suite import run_bench
 
     seq_lens = tuple(2**i for i in range(7, 13 if args.quick else 16))
-    modes = ("fwd",) if args.quick else ("fwd", "bwd")
+    modes = ("fwd",) if args.quick else ("fwd", "bwd", "fwd+bwd")
     run_bench(seq_lens=seq_lens, modes=modes)
 
     if not args.no_plots:
