@@ -37,6 +37,14 @@ class ModelConfig:
     rope_theta: float = 10000.0
     dtype: Any = jnp.bfloat16
     remat: bool = True  # jax.checkpoint each block (HBM ⇄ FLOPs trade)
+    # remat policy: "block" recomputes everything in the block (max HBM
+    # savings); "save_flash" pins the flash kernel's named outputs (o, lse)
+    # so the backward recompute skips the attention kernel itself — the
+    # qkv/rope recompute rebuilds the q/k/v residuals it needs.  Costs
+    # ~130MB/layer at the bench shape (saving q/k/v too would skip the
+    # projections as well but measured 612MB past HBM there).  Ignored when
+    # remat=False.
+    remat_policy: str = "block"
 
     @classmethod
     def tiny(cls, **kw):
@@ -181,7 +189,13 @@ def forward(
         return mlp_block(layer, x)
 
     if cfg.remat:
-        block = jax.checkpoint(block, static_argnums=())
+        if cfg.remat_policy == "save_flash":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "flash_o", "flash_lse"
+            )
+            block = jax.checkpoint(block, policy=policy)
+        else:
+            block = jax.checkpoint(block, static_argnums=())
     for layer in params["layers"]:
         x = block(x, layer)
     x = rms_norm(x, params["final_norm"])

@@ -445,7 +445,18 @@ def _flash_attention_fwd(q, k, v, seg, causal, sm_scale, window, softcap,
         interpret, save_residuals=True,
     )
     # Residuals (Q, K, V, O, L) ≙ ctx.save_for_backward
-    # (src/flash_attention_torch.py:77).
+    # (src/flash_attention_torch.py:77).  The outputs are checkpoint-NAMED
+    # so a remat policy can pin them: with
+    # save_only_these_names("flash_o", "flash_lse", ...) the rematerialized
+    # backward reuses the saved residuals and the forward kernel is NOT
+    # re-executed inside jax.checkpoint blocks (see models.transformer
+    # remat_policy="save_flash").  The primal returns the same named value,
+    # so the data path and the residual are one var and recompute can DCE
+    # the kernel entirely.
+    from jax.ad_checkpoint import checkpoint_name
+
+    o = checkpoint_name(o, "flash_o")
+    lse = checkpoint_name(lse, "flash_lse")
     return o, (q, k, v, o, lse, seg)
 
 

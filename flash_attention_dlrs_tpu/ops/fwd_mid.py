@@ -55,27 +55,54 @@ def pick_sub(n: int) -> int:
     return 256
 
 
-def mid_path_fits(n_pad: int, head_dim: int, dtype) -> bool:
+def mid_path_fits(n_pad: int, head_dim: int, dtype, hb: int = 1,
+                  margin: float = 1.0) -> bool:
     """VMEM feasibility: q/k/v/o panes (double-buffered) + lse + score/acc
-    temporaries must fit the scoped budget."""
+    temporaries must fit the scoped budget.  ``margin`` scales the estimate
+    — Mosaic's real stack allocation runs ~1.5× this model (measured: hb=2
+    n=2048 bf16 21.09M actual vs 13.8M modeled; fp32 n=1024 hb=2 also
+    over), so optional paths pass margin=1.5."""
     isz = jnp.dtype(dtype).itemsize
-    panes = 2 * (4 * n_pad * head_dim * isz + n_pad * geo.NUM_LANES * 4)
+    panes = 2 * hb * (4 * n_pad * head_dim * isz + n_pad * geo.NUM_LANES * 4)
     temps = 3 * SUB * SUB * 4 + n_pad * head_dim * 4
-    return geo.fits_vmem(panes + temps, geo.current_geometry())
+    return geo.fits_vmem(
+        int((panes + temps) * margin), geo.current_geometry()
+    )
+
+
+def pick_hb(n_pad: int, head_dim: int, dtype, num_q_heads: int,
+            q_per_kv: int) -> int:
+    """Heads per grid cell: 2 when the pane set still fits VMEM (halves the
+    per-cell fixed cost), else 1.  Validity: hb must divide Hq and nest with
+    the GQA group (share one kv head or own whole groups).
+
+    Gated with the measured 1.5× Mosaic stack margin (hb=2 at n=2048 bf16
+    and n=1024 fp32 both compile-OOM without it); measured +10% at
+    N=1024 bf16 on v5e (86.6 → 95.4 TF/s)."""
+    hb = 2
+    if (
+        num_q_heads % hb == 0
+        and (hb % q_per_kv == 0 or q_per_kv % hb == 0)
+        and mid_path_fits(n_pad, head_dim, dtype, hb=hb, margin=1.5)
+    ):
+        return hb
+    return 1
 
 
 def _mid_kernel(
-    q_ref,  # [1, 1, n, d] — pre-scaled by sm_scale·log2e
-    k_ref,  # [1, 1, n, d]
+    q_ref,  # [1, hb, n, d] — pre-scaled by sm_scale·log2e
+    k_ref,  # [1, hb_kv, n, d]
     v_ref,
     o_ref,
-    lse_ref,  # [1, 1, n, LANES] f32 or None
+    lse_ref,  # [1, hb, n, LANES] f32 or None
     *,
     n: int,
     kv_len: int,
     window: int,
     softcap: float,
     sub: int,
+    hb: int,
+    q_per_kv: int,
 ):
     SUB = sub
     T = n // SUB
@@ -83,8 +110,9 @@ def _mid_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
     diag_mask = row >= col  # static, shared by every diagonal sub-pair
 
-    for iq in range(T):
-        qi = q_ref[0, 0, iq * SUB:(iq + 1) * SUB, :]
+    for j, iq in [(j_, iq_) for j_ in range(hb) for iq_ in range(T)]:
+        jkv_h = j // q_per_kv if hb > q_per_kv else 0
+        qi = q_ref[0, j, iq * SUB:(iq + 1) * SUB, :]
         m = None
         l = None
         acc = None
@@ -93,7 +121,7 @@ def _mid_kernel(
             # first kv sub-block the row block's window can reach
             jk_lo = max(0, (iq * SUB - window + 1) // SUB)
         for jk in range(jk_lo, iq + 1):
-            kj = k_ref[0, 0, jk * SUB:(jk + 1) * SUB, :]
+            kj = k_ref[0, jkv_h, jk * SUB:(jk + 1) * SUB, :]
             s = mxu_dot(qi, kj, (((1,), (1,)), ((), ())))
             if softcap:
                 c2 = softcap * LOG2E
@@ -117,7 +145,7 @@ def _mid_kernel(
                 l = jnp.sum(p, axis=-1, keepdims=True)
                 acc = mxu_dot(
                     p.astype(v_ref.dtype),
-                    v_ref[0, 0, jk * SUB:(jk + 1) * SUB, :],
+                    v_ref[0, jkv_h, jk * SUB:(jk + 1) * SUB, :],
                     (((1,), (0,)), ((), ())),
                 )
             else:
@@ -127,19 +155,19 @@ def _mid_kernel(
                 l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
                 acc = acc * alpha + mxu_dot(
                     p.astype(v_ref.dtype),
-                    v_ref[0, 0, jk * SUB:(jk + 1) * SUB, :],
+                    v_ref[0, jkv_h, jk * SUB:(jk + 1) * SUB, :],
                     (((1,), (0,)), ((), ())),
                 )
                 m = m_new
             del s
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0, 0, iq * SUB:(iq + 1) * SUB, :] = (acc * l_inv).astype(
+        o_ref[0, j, iq * SUB:(iq + 1) * SUB, :] = (acc * l_inv).astype(
             o_ref.dtype
         )
         if lse_ref is not None:
             lse = LN2 * m + jnp.log(jnp.where(l == 0.0, 1.0, l))
             lse = jnp.where(l == 0.0, DEFAULT_MASK_VALUE, lse)
-            lse_ref[0, 0, iq * SUB:(iq + 1) * SUB, :] = jnp.broadcast_to(
+            lse_ref[0, j, iq * SUB:(iq + 1) * SUB, :] = jnp.broadcast_to(
                 lse, (SUB, geo.NUM_LANES)
             )
 
@@ -179,9 +207,12 @@ def fwd_mid_pallas(
     if sub is None:
         sub = pick_sub(n)
     assert n % sub == 0, (n, sub)
+    hb = pick_hb(n, head_dim, q.dtype, num_q_heads, q_per_kv)
+    hb_kv = hb // q_per_kv if hb % q_per_kv == 0 else 1
     kernel = functools.partial(
         _mid_kernel,
         n=n, kv_len=kv_len, window=window, softcap=float(softcap), sub=sub,
+        hb=hb, q_per_kv=q_per_kv,
     )
     if not save_residuals:
         inner = kernel
@@ -189,16 +220,18 @@ def fwd_mid_pallas(
         def kernel(q_r, k_r, v_r, o_r):  # noqa: F811
             return inner(q_r, k_r, v_r, o_r, None)
 
-    grid = (batch, num_q_heads)
-    q_spec = pl.BlockSpec((1, 1, n, head_dim), lambda b, h: (b, h, 0, 0))
-    kv_spec = pl.BlockSpec(
-        (1, 1, n, head_dim), lambda b, h: (b, h // q_per_kv, 0, 0)
-    )
+    grid = (batch, num_q_heads // hb)
+    q_spec = pl.BlockSpec((1, hb, n, head_dim), lambda b, h: (b, h, 0, 0))
+    if hb % q_per_kv == 0:
+        kv_index = lambda b, h: (b, h, 0, 0)  # cell owns whole kv groups
+    else:
+        kv_index = lambda b, h: (b, (h * hb) // q_per_kv, 0, 0)
+    kv_spec = pl.BlockSpec((1, hb_kv, n, head_dim), kv_index)
     out_specs = [q_spec]
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
     if save_residuals:
         out_specs.append(
-            pl.BlockSpec((1, 1, n, geo.NUM_LANES), lambda b, h: (b, h, 0, 0))
+            pl.BlockSpec((1, hb, n, geo.NUM_LANES), lambda b, h: (b, h, 0, 0))
         )
         out_shape.append(
             jax.ShapeDtypeStruct(

@@ -119,7 +119,10 @@ def main():
         "verify_gamma%d_us" % g: t_verify * 1e6,
         "batch": b, "ctx": args.ctx,
     }
-    round_cost = t_verify + (g - 1) * t_draft
+    # γ draft steps per round: γ−1 proposals + one K/V-fill insert of the
+    # final proposal (keeps the draft cache exact on full acceptance —
+    # see runtime.engine.generate_speculative).
+    round_cost = t_verify + g * t_draft
     for a in (0.5, 0.7, 0.9, 1.0):
         # expected committed tokens/round under per-token acceptance a
         exp_tokens = sum(a**j for j in range(1, g)) + 1

@@ -106,3 +106,23 @@ def test_encoder_bidirectional():
     )(params)
     assert np.isfinite(float(loss))
     assert np.isfinite(float(jnp.sum(grads["embed"])))
+
+
+def test_remat_save_flash_policy_matches_block_remat():
+    """remat_policy='save_flash' (pin attention residuals, recompute the
+    rest) produces the same loss and grads as full block remat."""
+    import dataclasses
+
+    from flash_attention_dlrs_tpu.models import ModelConfig, init_params
+    from flash_attention_dlrs_tpu.models.transformer import loss_fn
+
+    cfg_a = ModelConfig.tiny(dtype=jnp.float32, remat=True)
+    cfg_b = dataclasses.replace(cfg_a, remat_policy="save_flash")
+    params = init_params(jax.random.PRNGKey(0), cfg_a)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 65), 0,
+                                cfg_a.vocab_size)
+    la, ga = jax.value_and_grad(lambda p: loss_fn(p, tokens, cfg_a))(params)
+    lb, gb = jax.value_and_grad(lambda p: loss_fn(p, tokens, cfg_b))(params)
+    np.testing.assert_allclose(la, lb, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
