@@ -65,7 +65,12 @@ def _chained(fn: Callable, iters: int):
         def body(i, c):
             first = a[0] + c.astype(a[0].dtype)
             o = fn(first, *a[1:])
-            return jnp.real(jnp.ravel(o)[0]).astype(jnp.float32) * 1e-30
+            # Consume EVERY output element: a single-element anchor lets
+            # XLA slice pure-XLA providers down to computing one row
+            # (measured: jax.nn.dot_product_attention "reached" 262 TF/s at
+            # N=128 — past hardware peak).  Pallas custom calls are opaque
+            # and never affected; the O(out) sum costs <1% at any N here.
+            return jnp.real(jnp.sum(o.astype(jnp.float32))) * 1e-30
 
         return jax.lax.fori_loop(
             0, iters, body, jnp.float32(0.0)
@@ -193,6 +198,10 @@ def _provider_splash(causal):
 
     def fwd(q, k, v):
         b, h, n, d = q.shape
+        if n >= 32768:
+            # measured: splash at N=32K hard-crashes the TPU worker process
+            # (kernel fault), poisoning every later row — record NaN instead
+            raise NotImplementedError("splash provider capped below N=32768")
         mask = sm.CausalMask((n, n)) if causal else sm.FullMask((n, n))
         kernel = sk.make_splash_mha_single_device(
             sm.MultiHeadMask([mask] * h)
