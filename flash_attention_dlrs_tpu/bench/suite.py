@@ -151,6 +151,11 @@ def _provider_xla(causal):
     from ..ops.reference import reference_attention
 
     def fwd(q, k, v):
+        if q.shape[2] >= 8192:
+            # Materialized scores need B·H·N²·4 bytes (34GB at N=8192):
+            # the fwd attempt OOMs quickly but the BACKWARD's grad compile
+            # hangs the remote compiler for tens of minutes — don't try.
+            raise NotImplementedError("naive XLA attention capped below 8K")
         return reference_attention(q, k, v, causal=causal, sm_scale=q.shape[-1] ** -0.5)
 
     return fwd
@@ -198,10 +203,11 @@ def _provider_splash(causal):
 
     def fwd(q, k, v):
         b, h, n, d = q.shape
-        if n >= 32768:
-            # measured: splash at N=32K hard-crashes the TPU worker process
-            # (kernel fault), poisoning every later row — record NaN instead
-            raise NotImplementedError("splash provider capped below N=32768")
+        if n >= 16384:
+            # measured: splash hard-crashes the TPU worker process (kernel
+            # fault) at N=32K fwd and N=16K bwd, poisoning every later row —
+            # record NaN without dispatching
+            raise NotImplementedError("splash provider capped below N=16384")
         mask = sm.CausalMask((n, n)) if causal else sm.FullMask((n, n))
         kernel = sk.make_splash_mha_single_device(
             sm.MultiHeadMask([mask] * h)
@@ -218,6 +224,9 @@ def _provider_dpa(causal):
     the layout transposes are part of its measured cost."""
 
     def fwd(q, k, v):
+        if q.shape[2] >= 8192:
+            raise NotImplementedError("XLA SDPA capped below 8K (OOM; the "
+                                      "grad compile can hang the compiler)")
         o = jax.nn.dot_product_attention(
             q.transpose(0, 2, 1, 3),
             k.transpose(0, 2, 1, 3),
@@ -258,8 +267,8 @@ def run_bench(
     for mode in modes:
         rows = []
         for n in seq_lens:
-            keys = jax.random.split(jax.random.PRNGKey(0), 3)
             try:
+                keys = jax.random.split(jax.random.PRNGKey(0), 3)
                 q = jax.random.normal(keys[0], (batch, heads, n, head_dim), dtype)
                 k = jax.random.normal(keys[1], (batch, heads, n, head_dim), dtype)
                 v = jax.random.normal(keys[2], (batch, heads, n, head_dim), dtype)

@@ -463,7 +463,11 @@ def _flash_attention_fwd(q, k, v, seg, causal, sm_scale, window, softcap,
 def _flash_attention_bwd(causal, sm_scale, window, softcap, block_sizes,
                          small, interpret, res, do):
     q, k, v, o, lse, seg = res
-    if small:
+    # The one-shot inline-softmax backward is the numerics champion (no lse
+    # round-trip — it is what lets the 200-seed gate pass unscaled on TPU)
+    # but computes the full n² score block; past ~320 tokens the sub-blocked
+    # bwd_mid path (via flash_attention_backward) wastes less work.
+    if small and max(q.shape[2], k.shape[2]) <= 320:
         dq, dk, dv = _backward_small(
             q, k, v, do, seg, causal, sm_scale, window, softcap, interpret
         )
