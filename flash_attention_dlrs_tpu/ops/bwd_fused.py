@@ -173,9 +173,18 @@ _FUSED_BLOCK_PREFS = (
 )
 
 
+# Measured envelope for the pane-resident dQ buffer: 4MiB (N=8192 at d=128)
+# compiles and runs at 126-135 TF/s; 8MiB (N=16384) passes the VMEM model
+# at (512, 512) blocks but Mosaic's real stack allocation rejects it —
+# beyond this the two-sweep kernels take over.
+_MAX_DQ_PANE_BYTES = 4 * 1024 * 1024
+
+
 def pick_fused_blocks(n_q: int, n_kv: int, head_dim: int, dtype):
     """Best measured VMEM-feasible (block_q, block_kv) for the fused
     backward, or None if no candidate fits (→ two-sweep fallback)."""
+    if n_q * head_dim * 4 > _MAX_DQ_PANE_BYTES:
+        return None
     for bq, bkv in _FUSED_BLOCK_PREFS:
         if bq > max(n_q, geo.MIN_BLOCK) or bkv > max(n_kv, geo.MIN_BLOCK):
             continue

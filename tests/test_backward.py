@@ -245,3 +245,12 @@ def test_bwd_logit_softcap():
     np.testing.assert_allclose(dq, dq_r, atol=DQ_ATOL, rtol=RTOL)
     np.testing.assert_allclose(dk, dk_r, atol=DK_ATOL, rtol=RTOL)
     np.testing.assert_allclose(dv, dv_r, atol=DV_ATOL, rtol=RTOL)
+
+
+def test_fused_bwd_dq_pane_envelope():
+    """The fused backward only dispatches within its measured dQ-pane
+    envelope (4MiB); longer sequences take the two-sweep kernels."""
+    from flash_attention_dlrs_tpu.ops import bwd_fused
+
+    assert bwd_fused.pick_fused_blocks(8192, 8192, 128, jnp.bfloat16)
+    assert bwd_fused.pick_fused_blocks(16384, 16384, 128, jnp.bfloat16) is None
