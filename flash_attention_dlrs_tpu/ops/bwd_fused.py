@@ -64,6 +64,7 @@ def _bwd_fused_kernel(
     window=0,
     band_w=0,
     softcap=0.0,
+    q_off=0,
 ):
     if band_w:
         # Transposed band (see bwd_kernel): kv block jkv walks the q rows
@@ -94,11 +95,12 @@ def _bwd_fused_kernel(
             jkv == num_kv_blocks - 1, iq == num_q_blocks - 1
         )
         if causal:
-            should_run = (iq + 1) * block_q - 1 >= jkv * block_kv
+            should_run = (iq + 1) * block_q - 1 + q_off >= jkv * block_kv
             if window:
                 should_run = jnp.logical_and(
                     should_run,
-                    (jkv + 1) * block_kv - 1 >= iq * block_q - window + 1,
+                    (jkv + 1) * block_kv - 1 >= iq * block_q + q_off
+                    - window + 1,
                 )
         else:
             should_run = True
@@ -127,6 +129,7 @@ def _bwd_fused_kernel(
             window=window, softcap=softcap,
             qseg=None if qseg_ref is None else qseg_ref[0],
             kvseg=None if kvseg_ref is None else kvseg_ref[0],
+            q_off=q_off,
         )
         # dV += Pᵀ dO  (≙ src/flash_attention_kernels.py:287)
         dv_acc[...] += mxu_dot(p.astype(do.dtype), do, (((0,), (0,)), ((), ())))
@@ -146,7 +149,8 @@ def _bwd_fused_kernel(
         dq_ref[0, 0, sl, :] += dsk
 
     _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run,
-                _compute, segmented=qseg_ref is not None, window=window)
+                _compute, segmented=qseg_ref is not None, window=window,
+                q_off=q_off)
 
     # Banded rows can end on a skipped step, so flush on every active step
     # (final content wins when the output block index advances).
@@ -216,13 +220,13 @@ def fused_bwd_fits_vmem(n_q: int, head_dim: int, block_q: int,
     jax.jit,
     static_argnames=(
         "sm_scale", "causal", "block_q", "block_kv", "kv_len", "window",
-        "softcap", "interpret"
+        "softcap", "interpret", "q_off"
     ),
 )
 def bwd_fused_pallas(
     q, k, v, do, lse, dpre, q_seg=None, kv_seg=None, *,
     sm_scale, causal, block_q, block_kv, kv_len, window=0, softcap=0.0,
-    interpret=False,
+    interpret=False, q_off=0,
 ):
     """(dQ, dK, dV) in one sweep; dK/dV are per *query* head fp32 (the
     caller group-sums GQA heads, same contract as bwd_dkv_pallas)."""
@@ -235,17 +239,20 @@ def bwd_fused_pallas(
 
     num_q_blocks = n_q // block_q
     num_kv_blocks = n_kv // block_kv
-    banded = causal and window > 0 and n_q == n_kv and block_q == block_kv
+    banded = (causal and window > 0 and n_q == n_kv and block_q == block_kv
+              and q_off == 0)
     band_w = 0
     if banded:
         band_w = min((block_kv + window - 2) // block_q + 1, num_q_blocks)
-    tri = causal and window == 0 and n_q == n_kv and block_q == block_kv
+    tri = (causal and window == 0 and n_q == n_kv and block_q == block_kv
+           and q_off == 0)
     kernel = functools.partial(
         _bwd_fused_kernel,
         sm_scale=sm_scale, causal=causal, kv_len=kv_len,
         block_q=block_q, block_kv=block_kv,
         num_q_blocks=num_q_blocks, num_kv_blocks=num_kv_blocks,
         tri=tri, window=window, band_w=band_w, softcap=float(softcap),
+        q_off=q_off,
     )
     if banded:
         grid = (batch, num_q_heads, num_kv_blocks, band_w)
@@ -285,7 +292,10 @@ def bwd_fused_pallas(
             # Skipped above-diagonal Q blocks: clamp so the pipeline doesn't
             # prefetch them (see bwd_kernel).
             def iq_c(jkv, iq):
-                return jnp.maximum(iq, (jkv * block_kv) // block_q)
+                lo = jnp.clip(
+                    (jkv * block_kv - q_off) // block_q, 0, num_q_blocks - 1
+                )
+                return jnp.maximum(iq, lo)
         else:
             def iq_c(jkv, iq):
                 return iq

@@ -88,7 +88,7 @@ def bwd_d_pallas(o, do, *, block_q: int, interpret: bool = False):
 
 def _recompute_p(q, k, lse, iq, jkv, *, causal, kv_len, block_q,
                  block_kv, apply_mask, window=0, softcap=0.0,
-                 qseg=None, kvseg=None):
+                 qseg=None, kvseg=None, q_off=0):
     """P = exp2((c·Q)Kᵀ − log2e·L) with causal/length masking, where
     c = sm_scale·log2e was folded into Q by the caller.
 
@@ -109,9 +109,11 @@ def _recompute_p(q, k, lse, iq, jkv, *, causal, kv_len, block_q,
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-            mask = (row + iq * block_q) >= (col + jkv * block_kv)
+            # Bottom-right alignment (q_off = kv_len - q_len, see fwd_kernel)
+            mask = (row + iq * block_q + q_off) >= (col + jkv * block_kv)
             if window:
-                wm = (row + iq * block_q) - (col + jkv * block_kv) < window
+                wm = (row + iq * block_q + q_off) - (
+                    col + jkv * block_kv) < window
                 mask = jnp.logical_and(mask, wm)
         if kv_len % block_kv != 0:
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
@@ -121,11 +123,15 @@ def _recompute_p(q, k, lse, iq, jkv, *, causal, kv_len, block_q,
             seg = qseg[:, :1] == kvseg[:1, :]  # [block_q, block_kv]
             mask = seg if mask is None else jnp.logical_and(mask, seg)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        # Fully-masked rows carry the lse SENTINEL (DEFAULT_MASK_VALUE in
+        # natural units → −inf after the ×log2e below): exp2(s − (−inf))
+        # would be +inf.  Their p must be exactly 0 — mask it.
+        return jnp.where(mask, jnp.exp2(s - lse), 0.0), grad_cap
     return jnp.exp2(s - lse), grad_cap
 
 
 def _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run, body,
-                segmented=False, window=0):
+                segmented=False, window=0, q_off=0):
     """Run `body(apply_mask)` under pl.when, masking only diagonal-crossing
     and KV-tail blocks (interior blocks skip the iota/select work).  Packed
     segments have data-dependent boundaries, so every block masks."""
@@ -137,9 +143,9 @@ def _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run, body,
         return
     needs = None
     if causal:
-        needs = (jkv + 1) * block_kv - 1 > iq * block_q
+        needs = (jkv + 1) * block_kv - 1 > iq * block_q + q_off
         if window:
-            edge = jkv * block_kv < (iq + 1) * block_q - window
+            edge = jkv * block_kv < (iq + 1) * block_q + q_off - window
             needs = jnp.logical_or(needs, edge)
     if kv_len % block_kv != 0:
         tail = (jkv + 1) * block_kv > kv_len
@@ -181,6 +187,7 @@ def _bwd_dkv_kernel(
     window=0,
     band_w=0,
     softcap=0.0,
+    q_off=0,
 ):
     if band_w:
         # Transposed band: for kv block jkv, walk q rows iq = jkv … jkv+W−1
@@ -202,11 +209,12 @@ def _bwd_dkv_kernel(
         iq = pl.program_id(3)
         is_first = iq == 0
         if causal:
-            should_run = (iq + 1) * block_q - 1 >= jkv * block_kv
+            should_run = (iq + 1) * block_q - 1 + q_off >= jkv * block_kv
             if window:
                 should_run = jnp.logical_and(
                     should_run,
-                    (jkv + 1) * block_kv - 1 >= iq * block_q - window + 1,
+                    (jkv + 1) * block_kv - 1 >= iq * block_q + q_off
+                    - window + 1,
                 )
         else:
             should_run = True
@@ -231,6 +239,7 @@ def _bwd_dkv_kernel(
             window=window, softcap=softcap,
             qseg=None if qseg_ref is None else qseg_ref[0],
             kvseg=None if kvseg_ref is None else kvseg_ref[0],
+            q_off=q_off,
         )
         # dV += Pᵀ dO  (≙ src/flash_attention_kernels.py:287)
         dv_acc[...] += mxu_dot(p.astype(do.dtype), do, (((0,), (0,)), ((), ())))
@@ -246,7 +255,8 @@ def _bwd_dkv_kernel(
         dk_acc[...] += mxu_dot(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())))
 
     _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run,
-                _compute, segmented=qseg_ref is not None, window=window)
+                _compute, segmented=qseg_ref is not None, window=window,
+                q_off=q_off)
 
     # Banded mode: the last steps of a row can be skipped (window ran out or
     # iq fell off the grid), so write the running accumulators on every
@@ -264,13 +274,13 @@ def _bwd_dkv_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "causal", "block_q", "block_kv", "kv_len", "window",
-        "softcap", "interpret"
+        "softcap", "interpret", "q_off"
     ),
 )
 def bwd_dkv_pallas(
     q, k, v, do, lse, dpre, q_seg=None, kv_seg=None, *,
     sm_scale, causal, block_q, block_kv, kv_len, window=0, softcap=0.0,
-    interpret=False,
+    interpret=False, q_off=0,
 ):
     """dK, dV per *query* head: [B, Hq, Nkv_pad, d] fp32.
 
@@ -287,17 +297,19 @@ def bwd_dkv_pallas(
     q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
 
     num_q_blocks = n_q // block_q
-    banded = causal and window > 0 and n_q == n_kv and block_q == block_kv
+    banded = (causal and window > 0 and n_q == n_kv and block_q == block_kv
+              and q_off == 0)
     band_w = 0
     if banded:
         band_w = min((block_kv + window - 2) // block_q + 1, num_q_blocks)
-    tri = causal and window == 0 and n_q == n_kv and block_q == block_kv
+    tri = (causal and window == 0 and n_q == n_kv and block_q == block_kv
+           and q_off == 0)
     kernel = functools.partial(
         _bwd_dkv_kernel,
         causal=causal, kv_len=kv_len,
         block_q=block_q, block_kv=block_kv,
         num_q_blocks=num_q_blocks, tri=tri, window=window, band_w=band_w,
-        softcap=float(softcap),
+        softcap=float(softcap), q_off=q_off,
     )
     if banded:
         grid = (batch, num_q_heads, n_kv // block_kv, band_w)
@@ -333,7 +345,10 @@ def bwd_dkv_pallas(
             # Early (above-diagonal) Q blocks are skipped; clamp their index
             # so the pipeline doesn't fetch them (see fwd_kernel.py kv_index).
             def iq_c(jkv, iq):
-                return jnp.maximum(iq, (jkv * block_kv) // block_q)
+                lo = jnp.clip(
+                    (jkv * block_kv - q_off) // block_q, 0, num_q_blocks - 1
+                )
+                return jnp.maximum(iq, lo)
         else:
             def iq_c(jkv, iq):
                 return iq
@@ -426,6 +441,7 @@ def _bwd_dq_kernel(
     window=0,
     band_w=0,
     softcap=0.0,
+    q_off=0,
 ):
     if band_w:
         # Banded sliding-window grid: axis 3 walks the ≤ band_w kv blocks a
@@ -447,11 +463,12 @@ def _bwd_dq_kernel(
         jkv = pl.program_id(3)
         is_last = jkv == num_kv_blocks - 1
         if causal:
-            should_run = (iq + 1) * block_q - 1 >= jkv * block_kv
+            should_run = (iq + 1) * block_q - 1 + q_off >= jkv * block_kv
             if window:
                 should_run = jnp.logical_and(
                     should_run,
-                    (jkv + 1) * block_kv - 1 >= iq * block_q - window + 1,
+                    (jkv + 1) * block_kv - 1 >= iq * block_q + q_off
+                    - window + 1,
                 )
         else:
             should_run = True
@@ -475,6 +492,7 @@ def _bwd_dq_kernel(
             window=window, softcap=softcap,
             qseg=None if qseg_ref is None else qseg_ref[0],
             kvseg=None if kvseg_ref is None else kvseg_ref[0],
+            q_off=q_off,
         )
         dp = mxu_dot(do, v, (((1,), (1,)), ((), ())))
         # No per-element sm_scale multiply: k is unscaled here, so the true
@@ -488,7 +506,8 @@ def _bwd_dq_kernel(
         dq_acc[...] += mxu_dot(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())))
 
     _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run,
-                _compute, segmented=qseg_ref is not None, window=window)
+                _compute, segmented=qseg_ref is not None, window=window,
+                q_off=q_off)
 
     @pl.when(is_last)
     def _store():
@@ -499,13 +518,13 @@ def _bwd_dq_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "causal", "block_q", "block_kv", "kv_len", "window",
-        "softcap", "interpret"
+        "softcap", "interpret", "q_off"
     ),
 )
 def bwd_dq_pallas(
     q, k, v, do, lse, dpre, q_seg=None, kv_seg=None, *,
     sm_scale, causal, block_q, block_kv, kv_len, window=0, softcap=0.0,
-    interpret=False,
+    interpret=False, q_off=0,
 ):
     """dQ: [B, Hq, Nq_pad, d] fp32."""
     batch, num_q_heads, n_q, head_dim = q.shape
@@ -517,17 +536,19 @@ def bwd_dq_pallas(
     q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
 
     num_kv_blocks = n_kv // block_kv
-    banded = causal and window > 0 and n_q == n_kv and block_q == block_kv
+    banded = (causal and window > 0 and n_q == n_kv and block_q == block_kv
+              and q_off == 0)
     band_w = 0
     if banded:
         band_w = min((block_q + window - 2) // block_kv + 1, num_kv_blocks)
-    tri = causal and window == 0 and n_q == n_kv and block_q == block_kv
+    tri = (causal and window == 0 and n_q == n_kv and block_q == block_kv
+           and q_off == 0)
     kernel = functools.partial(
         _bwd_dq_kernel,
         sm_scale=sm_scale, causal=causal, kv_len=kv_len,
         block_q=block_q, block_kv=block_kv,
         num_kv_blocks=num_kv_blocks, tri=tri, window=window, band_w=band_w,
-        softcap=float(softcap),
+        softcap=float(softcap), q_off=q_off,
     )
     if banded:
         num_q_blocks = n_q // block_q
@@ -556,7 +577,11 @@ def bwd_dq_pallas(
     else:
         if causal:
             def jkv_c(iq, jkv):
-                return jnp.minimum(jkv, ((iq + 1) * block_q - 1) // block_kv)
+                hi = jnp.clip(
+                    ((iq + 1) * block_q - 1 + q_off) // block_kv,
+                    0, num_kv_blocks - 1,
+                )
+                return jnp.minimum(jkv, hi)
         else:
             def jkv_c(iq, jkv):
                 return jkv

@@ -129,12 +129,122 @@ def _use_small(q, k, block_sizes) -> bool:
     )
 
 
+# Tiny sequences, low-precision inputs: whole-fused XLA attention beats any
+# Pallas tiling.  At N <= XLA_SMALL_MAX_N the scores tensor is small enough
+# that flash blocking saves nothing, while XLA fuses the (B·H)-batched
+# attention into large MXU GEMMs with none of the per-grid-cell kernel
+# overhead (measured 1x v5e, B=8 H=16 d=128 bf16 causal: Pallas one-shot
+# 17.4 / 27.8 / 25.1 TF/s fwd+bwd at N=128/256/384 vs 89-96 for the XLA
+# paths; at N=512 XLA collapses to 27 and the kernels win — the same
+# size-based dispatch jax.nn.dot_product_attention itself performs).
+# Low-precision dtypes only: the fp32 200-seed golden gate (N=256) must
+# keep exercising the Pallas kernels, and fp32 XLA matmuls multipass on
+# the MXU anyway.
+XLA_SMALL_MAX_N = 384
+_XLA_SMALL_DTYPES = (jnp.bfloat16, jnp.float16)
+_XLA_SMALL_PRECISION = jax.lax.Precision.DEFAULT
+
+
+def _use_xla_small(q, k, block_sizes) -> bool:
+    return (
+        block_sizes is None
+        and q.dtype in _XLA_SMALL_DTYPES
+        and max(q.shape[2], k.shape[2]) <= XLA_SMALL_MAX_N
+    )
+
+
+def _xla_small_math(q, k, v, seg, causal, sm_scale, window, softcap,
+                    with_lse=False):
+    """Whole-fused attention math for the tiny-N route, full feature set.
+
+    Differences from the fp32 oracle (reference_attention) are deliberate,
+    measured choices: DEFAULT matmul precision (bf16 single-pass MXU), a
+    finite mask constant + jax.nn.softmax (the -inf/manual-softmax oracle
+    recipe compiles to a backward with NaN-guard selects — 57 vs 92 TF/s
+    fwd+bwd at N=128), and an explicit fully-masked-row fixup preserving
+    the kernels' zero-output convention."""
+    b, hq, n_q, d = q.shape
+    hkv, n_kv = k.shape[1], k.shape[2]
+    if hq != hkv:
+        rep = hq // hkv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k,
+        preferred_element_type=jnp.float32, precision=_XLA_SMALL_PRECISION,
+    ) * sm_scale
+    if softcap:
+        s = softcap * jnp.tanh(s * (1.0 / softcap))
+    mask = None
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_q, n_kv), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_q, n_kv), 1)
+        # bottom-right-aligned causal and window, same as oracle/kernels
+        mask = (row + (n_kv - n_q)) >= col
+        if window:
+            mask = jnp.logical_and(mask, (row + (n_kv - n_q) - col) < window)
+        mask = mask[None, None]
+    if seg is not None:
+        sm = seg.q[:, None, :, None] == seg.kv[:, None, None, :]
+        mask = sm if mask is None else jnp.logical_and(mask, sm)
+    if mask is not None:
+        s = jnp.where(mask, s, fwd.DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    o = jnp.einsum(
+        "bhqk,bhkd->bhqd", p, v,
+        preferred_element_type=jnp.float32, precision=_XLA_SMALL_PRECISION,
+    )
+    if mask is not None:
+        # rows with no visible keys: kernels emit 0 (and DEFAULT_MASK_VALUE
+        # lse), the finite mask constant would emit mean(V)
+        any_visible = jnp.any(mask, axis=-1, keepdims=True)
+        o = jnp.where(any_visible, o, 0.0)
+    o = o.astype(q.dtype)
+    if not with_lse:
+        return o
+    lse = jax.nn.logsumexp(s, axis=-1)
+    if mask is not None:
+        lse = jnp.where(any_visible[..., 0], lse, fwd.DEFAULT_MASK_VALUE)
+    return o, lse.astype(jnp.float32)
+
+
+def _xla_small_fastest(q, k, v, seg, causal, sm_scale, window, softcap):
+    """Fastest no-lse forward for the tiny-N route: XLA's fused SDPA
+    (jax.nn.dot_product_attention — measured 66-68 TF/s fwd at N<=384 vs
+    25-57 for the explicit math) when the feature set allows, the explicit
+    math otherwise.  The backward differentiates through this same choice."""
+    plain = (
+        seg is None and window == 0 and softcap == 0.0
+        and (not causal or q.shape[2] == k.shape[2])
+    )
+    if plain:
+        o = jax.nn.dot_product_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            scale=sm_scale, is_causal=causal,
+        )
+        return o.transpose(0, 2, 1, 3)
+    return _xla_small_math(q, k, v, seg, causal, sm_scale, window, softcap)
+
+
 def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, bs, small,
-                  interpret, save_residuals):
-    """Shared forward dispatch: one-shot small kernel or the general one.
+                  xla_small, interpret, save_residuals):
+    """Shared forward dispatch: XLA-math tiny-N path, one-shot small kernel,
+    mid-length pane kernel, or the general kernel.
 
     ``bs`` may be None (caller didn't pin blocks): resolved here so the
     backward can make its own (fused-path) block choice downstream."""
+    if xla_small:
+        if save_residuals:
+            return _xla_small_math(
+                q, k, v, seg, causal, sm_scale, window, softcap,
+                with_lse=True,
+            )
+        o = _xla_small_fastest(
+            q, k, v, seg, causal, sm_scale, window, softcap
+        )
+        return o, None
     unpinned = bs is None
     if bs is None:
         bs = tuning.default_block_sizes(
@@ -181,6 +291,7 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, bs, small,
             sm_scale=sm_scale, causal=causal, kv_len=kv_len,
             window=window, softcap=float(softcap),
             save_residuals=save_residuals, interpret=interpret,
+            q_off=kv_len - q_len,
         )
     else:
         qp, kp, vp, q_len, kv_len, d = _pad_inputs(
@@ -193,7 +304,7 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, bs, small,
             softcap=float(softcap),
             block_q=bs.block_q, block_kv=bs.block_kv,
             kv_len=kv_len, save_residuals=save_residuals,
-            interpret=interpret,
+            interpret=interpret, q_off=kv_len - q_len,
         )
     if save_residuals:
         return o[:, :, :q_len, :d], lse[:, :, :q_len, 0]
@@ -238,10 +349,11 @@ def flash_attention_forward(
     window = _normalize_window(window, causal, k.shape[2])
     seg = _normalize_segments(segment_ids, q, k)
     small = _use_small(q, k, block_sizes)
+    xla_small = _use_xla_small(q, k, block_sizes)
     sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
     return _forward_impl(
         q, k, v, seg, causal, sm_scale, window, logit_softcap, bs, small,
-        interpret, save_residuals=True,
+        xla_small, interpret, save_residuals=True,
     )
 
 
@@ -359,6 +471,7 @@ def flash_attention_backward(
             sm_scale=sm_scale, causal=causal, window=window,
             softcap=float(logit_softcap),
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
+            q_off=kv_len - q_len,
         )
     else:
         dk, dv = bwd.bwd_dkv_pallas(
@@ -366,12 +479,14 @@ def flash_attention_backward(
             sm_scale=sm_scale, causal=causal, window=window,
             softcap=float(logit_softcap),
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
+            q_off=kv_len - q_len,
         )
         dq = bwd.bwd_dq_pallas(
             qp, kp, vp, dop, lse_rep, dpre, qseg_p, kvseg_p,
             sm_scale=sm_scale, causal=causal, window=window,
             softcap=float(logit_softcap),
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
+            q_off=kv_len - q_len,
         )
     # GQA: group-sum per-q-head dK/dV into per-kv-head grads.
     batch, num_q_heads = q.shape[0], q.shape[1]
@@ -400,6 +515,7 @@ def _backward_small(q, k, v, do, seg, causal, sm_scale, window, softcap,
         qp, kp, vp, dop, qseg_p, kvseg_p,
         sm_scale=sm_scale, causal=causal, kv_len=kv_len,
         window=window, softcap=float(softcap), interpret=interpret,
+        q_off=kv_len - q_len,
     )
     batch, num_q_heads = q.shape[0], q.shape[1]
     num_kv_heads = k.shape[1]
@@ -428,21 +544,33 @@ def _seg_cotangent(seg):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def _flash_attention(q, k, v, seg, causal, sm_scale, window, softcap,
-                     block_sizes, small, interpret):
+                     block_sizes, small, xla_small, interpret):
     o, _ = _forward_impl(
         q, k, v, seg, causal, sm_scale, window, softcap, block_sizes, small,
-        interpret, save_residuals=False,
+        xla_small, interpret, save_residuals=False,
     )
     return o
 
 
 def _flash_attention_fwd(q, k, v, seg, causal, sm_scale, window, softcap,
-                         block_sizes, small, interpret):
+                         block_sizes, small, xla_small, interpret):
+    if xla_small:
+        # The XLA-route backward re-differentiates the whole-fused math and
+        # never reads the lse — skip computing it (keeps the fastest fused
+        # SDPA forward usable under jax.grad).
+        o, _ = _forward_impl(
+            q, k, v, seg, causal, sm_scale, window, softcap, block_sizes,
+            small, xla_small, interpret, save_residuals=False,
+        )
+        from jax.ad_checkpoint import checkpoint_name
+
+        o = checkpoint_name(o, "flash_o")
+        return o, (q, k, v, o, None, seg)
     o, lse = _forward_impl(
         q, k, v, seg, causal, sm_scale, window, softcap, block_sizes, small,
-        interpret, save_residuals=True,
+        xla_small, interpret, save_residuals=True,
     )
     # Residuals (Q, K, V, O, L) ≙ ctx.save_for_backward
     # (src/flash_attention_torch.py:77).  The outputs are checkpoint-NAMED
@@ -461,8 +589,21 @@ def _flash_attention_fwd(q, k, v, seg, causal, sm_scale, window, softcap,
 
 
 def _flash_attention_bwd(causal, sm_scale, window, softcap, block_sizes,
-                         small, interpret, res, do):
+                         small, xla_small, interpret, res, do):
     q, k, v, o, lse, seg = res
+    if xla_small:
+        # Tiny-N XLA route: differentiate the same whole-fused attention
+        # the forward ran (XLA fuses the recompute + grads into batched
+        # GEMMs — measured 96 TF/s fwd+bwd at N=256 vs 28 for the one-shot
+        # kernel).
+        def f(q_, k_, v_):
+            return _xla_small_fastest(
+                q_, k_, v_, seg, causal, sm_scale, window, softcap
+            )
+
+        _, vjp = jax.vjp(f, q, k, v)
+        dq, dk, dv = vjp(do)
+        return dq, dk, dv, _seg_cotangent(seg)
     # The one-shot inline-softmax backward is the numerics champion (no lse
     # round-trip — it is what lets the 200-seed gate pass unscaled on TPU)
     # but computes the full n² score block; past ~320 tokens the sub-blocked
@@ -522,12 +663,13 @@ def flash_attention(
     if logit_softcap < 0:
         raise ValueError(f"logit_softcap must be >= 0, got {logit_softcap}")
     small = _use_small(q, k, block_sizes)
+    xla_small = _use_xla_small(q, k, block_sizes)
     sm_scale, _, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
     # Pass the RAW block_sizes (None when unpinned) through the vjp: the
     # backward picks fused-path blocks itself when the caller didn't pin.
     return _flash_attention(q, k, v, seg, causal, sm_scale, window,
                             float(logit_softcap), block_sizes, small,
-                            interpret)
+                            xla_small, interpret)
 
 
 def tuned_block_sizes(
@@ -549,7 +691,7 @@ def tuned_block_sizes(
         def fn(q_, k_, v_):
             return _flash_attention(
                 q_, k_, v_, None, causal, sm_scale_r, 0, 0.0, bs, False,
-                interpret
+                False, interpret
             )
 
         return fn
@@ -565,7 +707,7 @@ def tuned_block_sizes(
             _, vjp = jax.vjp(
                 lambda a, b, c: _flash_attention(
                     a, b, c, None, causal, sm_scale_r, 0, 0.0, bs, False,
-                    interpret
+                    False, interpret
                 ),
                 q_, k_, v_,
             )

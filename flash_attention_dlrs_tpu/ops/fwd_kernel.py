@@ -103,6 +103,7 @@ def _fwd_kernel(
     window: int = 0,  # 0 = disabled; else attend to cols in (row-window, row]
     band_w: int = 0,  # >0: banded grid, axis 3 = position within the band
     softcap: float = 0.0,  # Gemma-style logit cap (natural units); 0 = off
+    q_off: int = 0,  # kv_len - q_len: bottom-right causal alignment offset
 ):
     if band_w:
         # Banded grid for causal sliding-window attention: each q row only
@@ -142,11 +143,11 @@ def _fwd_kernel(
             (ikv + 1) * block_kv - 1 >= iq * block_q - window + 1,
         )
     elif causal and not tri:
-        should_run = (iq + 1) * block_q - 1 >= ikv * block_kv
+        should_run = (iq + 1) * block_q - 1 + q_off >= ikv * block_kv
         if window:
             should_run = jnp.logical_and(
                 should_run,
-                (ikv + 1) * block_kv - 1 >= iq * block_q - window + 1,
+                (ikv + 1) * block_kv - 1 >= iq * block_q + q_off - window + 1,
             )
     else:
         should_run = True
@@ -171,9 +172,12 @@ def _fwd_kernel(
             if causal:
                 row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
                 col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-                mask = (row + iq * block_q) >= (col + ikv * block_kv)
+                # Bottom-right alignment: q row i sits at kv position
+                # i + q_off (q_off = kv_len - q_len; 0 for self-attention).
+                mask = (row + iq * block_q + q_off) >= (col + ikv * block_kv)
                 if window:
-                    wm = (row + iq * block_q) - (col + ikv * block_kv) < window
+                    wm = (row + iq * block_q + q_off) - (
+                        col + ikv * block_kv) < window
                     mask = jnp.logical_and(mask, wm)
             if kv_len % block_kv != 0:
                 col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
@@ -191,6 +195,13 @@ def _fwd_kernel(
         m_next = jnp.maximum(m_prev, m_curr)  # broadcast over lanes
         alpha = jnp.exp2(m_prev - m_next)
         p = jnp.exp2(s - m_next[:, :1])  # [block_q, block_kv]
+        if apply_mask:
+            # Rows fully masked WITHIN a running block (cross-length causal
+            # with a q block spanning the first visible row; segment ids
+            # matching nothing): their s is the finite mask constant
+            # everywhere, so m == mask-floor and p would be uniform 1 —
+            # zero them so l stays 0 and the epilogue emits O = 0.
+            p = jnp.where(s > 0.5 * DEFAULT_MASK_VALUE, p, 0.0)
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
         m_scratch[...] = m_next
@@ -214,10 +225,10 @@ def _fwd_kernel(
     else:
         needs_mask = None
         if causal:
-            needs_mask = (ikv + 1) * block_kv - 1 > iq * block_q
+            needs_mask = (ikv + 1) * block_kv - 1 > iq * block_q + q_off
             if window:
                 # Blocks the window's lower edge passes through.
-                edge = ikv * block_kv < (iq + 1) * block_q - window
+                edge = ikv * block_kv < (iq + 1) * block_q + q_off - window
                 needs_mask = jnp.logical_or(needs_mask, edge)
         if kv_len % block_kv != 0:
             tail = (ikv + 1) * block_kv > kv_len
@@ -260,6 +271,7 @@ def _fwd_kernel(
         "softcap",
         "save_residuals",
         "interpret",
+        "q_off",
     ),
 )
 def fwd_pallas(
@@ -278,6 +290,7 @@ def fwd_pallas(
     softcap: float = 0.0,
     save_residuals: bool = False,
     interpret: bool = False,
+    q_off: int = 0,
 ):
     """Launch the forward kernel on padded inputs.
 
@@ -308,14 +321,19 @@ def fwd_pallas(
     # T(T+1)/2 lower-triangular blocks.  Measured on v5e (N=4096, d=128,
     # 1024² blocks): 103 vs 90 TF/s.
     softcap = float(softcap)
+    # Compacted grids assume a zero alignment offset (the diagonal block is
+    # the row's last); cross-length causal (q_off != 0, bottom-right aligned)
+    # takes the rectangular grid with offset masks.
     banded = (
         causal and window > 0 and n_q == n_kv and block_q == block_kv
+        and q_off == 0
     )
     band_w = 0
     if banded:
         # kv blocks a window of `window` tokens can touch from one q block.
         band_w = min((block_q + window - 2) // block_kv + 1, num_kv_blocks)
-    tri = causal and not banded and n_q == n_kv and block_q == block_kv
+    tri = (causal and not banded and n_q == n_kv and block_q == block_kv
+           and q_off == 0)
     segmented = q_seg is not None
     base = functools.partial(
         _fwd_kernel,
@@ -328,6 +346,7 @@ def fwd_pallas(
         window=window,
         band_w=band_w,
         softcap=softcap,
+        q_off=q_off,
     )
     # Adapt the positional pallas argument list to the full kernel signature.
     if segmented and save_residuals:
@@ -378,7 +397,10 @@ def fwd_pallas(
             # block as the previous step — the pipeline elides the refetch, so
             # causal saves ~half the K/V HBM traffic, not just the FLOPs.
             def kv_index(b, h, iq, ikv):
-                ikv_c = jnp.minimum(ikv, ((iq + 1) * block_q - 1) // block_kv)
+                ikv_c = jnp.clip(
+                    ikv, 0, ((iq + 1) * block_q - 1 + q_off) // block_kv
+                )
+                ikv_c = jnp.clip(ikv_c, 0, num_kv_blocks - 1)
                 return (b, h // q_per_kv, ikv_c, 0)
         else:
             def kv_index(b, h, iq, ikv):

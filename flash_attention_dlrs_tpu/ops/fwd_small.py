@@ -32,7 +32,8 @@ MAX_SMALL_N = 512
 
 
 def _heads_per_cell(n: int, head_dim: int, num_q_heads: int, q_per_kv: int,
-                    dtype, budget_frac: float = 1.0) -> int:
+                    dtype, budget_frac: float = 1.0,
+                    save_residuals: bool = False) -> int:
     """Largest head block (multiple of q_per_kv, divisor of Hq) whose
     footprint fits the scoped-VMEM budget.
 
@@ -40,6 +41,12 @@ def _heads_per_cell(n: int, head_dim: int, num_q_heads: int, q_per_kv: int,
     holds hb // q_per_kv heads and the kernel indexes k_ref[0, j // q_per_kv]
     for j < hb, so a non-multiple hb (e.g. hb=6 with q_per_kv=4) would read
     past the block — candidates are filtered, never just halved.
+
+    The lse output must be counted when residuals are saved: it is a
+    lane-replicated [hb, n, 128] f32 block, double-buffered like the other
+    outputs.  Omitting it let hb=16 through at n=384 (bench head count) and
+    Mosaic refused the 16.62M scoped stack on the real chip — a crash the
+    power-of-two bench sweep never hit.
     """
     isz = jnp.dtype(dtype).itemsize
     budget = geo.current_geometry().vmem_budget * budget_frac
@@ -50,8 +57,9 @@ def _heads_per_cell(n: int, head_dim: int, num_q_heads: int, q_per_kv: int,
     for hb in candidates:
         q_kv = hb * n * head_dim * isz * 2  # q + out
         kv = 2 * (hb // q_per_kv) * n * head_dim * isz
+        lse = hb * n * geo.NUM_LANES * 4 if save_residuals else 0
         scores = 2 * n * n * 4
-        if (q_kv + kv) * 2 + scores <= budget:
+        if (q_kv + kv + lse) * 2 + scores <= budget:
             return hb
     return q_per_kv
 
@@ -72,14 +80,16 @@ def _small_kernel(
     q_per_kv: int,
     window: int,
     softcap: float,
+    q_off: int,
 ):
     mask = None
     if causal:
+        # Bottom-right alignment (q_off = kv_len - q_len, see fwd_kernel)
         row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        mask = row >= col
+        mask = (row + q_off) >= col
         if window:
-            mask = jnp.logical_and(mask, (row - col) < window)
+            mask = jnp.logical_and(mask, (row + q_off - col) < window)
     if kv_len != n:
         col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         lm = col < kv_len
@@ -100,6 +110,10 @@ def _small_kernel(
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
+        if mask is not None:
+            # fully-masked rows: s == mask-floor everywhere → p would be
+            # uniform 1; zero it so l == 0 → O = 0 + lse sentinel
+            p = jnp.where(s > 0.5 * DEFAULT_MASK_VALUE, p, 0.0)
         l = jnp.sum(p, axis=-1, keepdims=True)
         pv = mxu_dot(p.astype(v.dtype), v, (((1,), (0,)), ((), ())))
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
@@ -114,7 +128,7 @@ def _small_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "causal", "kv_len", "window", "softcap",
-        "save_residuals", "interpret",
+        "save_residuals", "interpret", "q_off",
     ),
 )
 def fwd_small_pallas(
@@ -131,6 +145,7 @@ def fwd_small_pallas(
     softcap: float = 0.0,
     save_residuals: bool = False,
     interpret: bool = False,
+    q_off: int = 0,
 ):
     """One-shot attention for padded [B, H, n, d] with n == padded KV length.
 
@@ -141,13 +156,14 @@ def fwd_small_pallas(
     q_per_kv = num_q_heads // num_kv_heads
 
     q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
-    hb = _heads_per_cell(n, head_dim, num_q_heads, q_per_kv, q.dtype)
+    hb = _heads_per_cell(n, head_dim, num_q_heads, q_per_kv, q.dtype,
+                         save_residuals=save_residuals)
     assert num_q_heads % hb == 0 and hb % q_per_kv == 0, (hb, q_per_kv)
 
     kernel = functools.partial(
         _small_kernel,
         causal=causal, kv_len=kv_len, n=n, hb=hb, q_per_kv=q_per_kv,
-        window=window, softcap=float(softcap),
+        window=window, softcap=float(softcap), q_off=q_off,
     )
     segmented = q_seg is not None
     if segmented and save_residuals:
@@ -230,6 +246,7 @@ def _small_bwd_kernel(
     window: int,
     softcap: float,
     sm_scale: float,
+    q_off: int,
 ):
     """One-shot backward: with the full row resident there is no need for
     the saved logsumexp or the D-preprocess — softmax and D = rowsum(P∘dP)
@@ -237,11 +254,12 @@ def _small_bwd_kernel(
     """
     mask = None
     if causal:
+        # Bottom-right alignment (q_off = kv_len - q_len, see fwd_kernel)
         row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        mask = row >= col
+        mask = (row + q_off) >= col
         if window:
-            mask = jnp.logical_and(mask, (row - col) < window)
+            mask = jnp.logical_and(mask, (row + q_off - col) < window)
     if kv_len != n:
         col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         lm = col < kv_len
@@ -265,6 +283,9 @@ def _small_bwd_kernel(
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp2(s - m)
+        if mask is not None:
+            # fully-masked rows: zero e so l == 0 → p == 0 → zero grads
+            e = jnp.where(s > 0.5 * DEFAULT_MASK_VALUE, e, 0.0)
         l = jnp.sum(e, axis=-1, keepdims=True)
         p = e * jnp.where(l == 0.0, 0.0, 1.0 / l)  # normalized probabilities
         # dV = Pᵀ dO
@@ -291,6 +312,7 @@ def _small_bwd_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "causal", "kv_len", "window", "softcap", "interpret",
+        "q_off",
     ),
 )
 def bwd_small_pallas(
@@ -307,6 +329,7 @@ def bwd_small_pallas(
     window: int = 0,
     softcap: float = 0.0,
     interpret: bool = False,
+    q_off: int = 0,
 ):
     """(dQ, dK, dV) for padded short sequences; dK/dV are per q-head fp32
     (the caller group-sums GQA heads, same as the general path)."""
@@ -326,6 +349,7 @@ def bwd_small_pallas(
         _small_bwd_kernel,
         causal=causal, kv_len=kv_len, n=n, hb=hb, q_per_kv=q_per_kv,
         window=window, softcap=float(softcap), sm_scale=sm_scale,
+        q_off=q_off,
     )
     segmented = q_seg is not None
     if segmented:

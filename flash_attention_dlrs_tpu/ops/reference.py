@@ -27,13 +27,19 @@ def reference_attention(
     window: int = 0,
     logit_softcap: float = 0.0,
     with_lse: bool = False,
+    precision=None,
 ):
     """O = softmax(scale * Q K^T + mask) V with fp32 softmax.
 
     q: [B, Hq, Nq, d]; k, v: [B, Hkv, Nkv, d] (GQA: Hq % Hkv == 0).
     ``segment_ids``: SegmentIds-like with .q [B, Nq] / .kv [B, Nkv], or a
     single [B, N] array — packed-sequence mask (attend within equal ids).
+    ``precision`` defaults to HIGHEST (oracle duty: fp32-exact matmuls);
+    the tiny-N production dispatch passes DEFAULT so bf16 inputs take the
+    single-pass MXU path like the Pallas kernels do.
     """
+    if precision is None:
+        precision = MATMUL_PRECISION
     b, hq, n_q, d = q.shape
     hkv, n_kv = k.shape[1], k.shape[2]
     if hq != hkv:
@@ -43,17 +49,19 @@ def reference_attention(
     s = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k,
         preferred_element_type=jnp.float32,
-        precision=MATMUL_PRECISION,
+        precision=precision,
     )
     s = s * sm_scale
     if logit_softcap:
         s = logit_softcap * jnp.tanh(s / logit_softcap)
     if causal:
+        # Bottom-right aligned (q row i sits at kv position i + n_kv - n_q);
+        # the window band is aligned the same way, hugging the diagonal.
         mask = jnp.tril(jnp.ones((n_q, n_kv), dtype=bool), k=n_kv - n_q)
         if window:
             row = jnp.arange(n_q)[:, None]
             col = jnp.arange(n_kv)[None, :]
-            mask = jnp.logical_and(mask, (row - col) < window)
+            mask = jnp.logical_and(mask, (row + (n_kv - n_q) - col) < window)
         s = jnp.where(mask, s, -jnp.inf)
     if segment_ids is not None:
         qs = getattr(segment_ids, "q", segment_ids)
@@ -71,7 +79,7 @@ def reference_attention(
     o = jnp.einsum(
         "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
-        precision=MATMUL_PRECISION,
+        precision=precision,
     ).astype(q.dtype)
     if with_lse:
         return o, lse.astype(jnp.float32)
