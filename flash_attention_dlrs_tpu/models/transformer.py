@@ -45,6 +45,16 @@ class ModelConfig:
     # projections as well but measured 612MB past HBM there).  Ignored when
     # remat=False.
     remat_policy: str = "block"
+    # Run the last `remat_skip` layers WITHOUT jax.checkpoint: each skipped
+    # layer saves its intermediates (~1.5GB at the bench shape) but drops
+    # its 2·P/L recompute FLOPs from the backward — the HBM freed by
+    # loss_chunk buys back step time.  0 = checkpoint every layer.
+    remat_skip: int = 0
+    # Cross-entropy in sequence chunks of this many tokens: the loss never
+    # materializes the [B, N, vocab] fp32 logits (2.1GB at the bench shape,
+    # ~2x that with the softmax residuals) — each chunk's logits live only
+    # inside a rematerialized scan body.  0 = unchunked.
+    loss_chunk: int = 0
 
     @classmethod
     def tiny(cls, **kw):
@@ -170,7 +180,7 @@ def mlp_block(layer, x):
     return x + _proj(gated, layer["w_down"])
 
 
-def forward(
+def forward_hidden(
     params: Dict,
     tokens: jax.Array,  # [B, N] int32
     cfg: ModelConfig,
@@ -178,7 +188,7 @@ def forward(
     positions: Optional[jax.Array] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Token ids → logits [B, N, vocab]."""
+    """Token ids → final-norm hidden states [B, N, d_model]."""
     b, n = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(n), (b, n))
@@ -188,27 +198,85 @@ def forward(
         x = attention_block(layer, x, positions, cfg, interpret=interpret)
         return mlp_block(layer, x)
 
+    ckpt_block = block
     if cfg.remat:
         if cfg.remat_policy == "save_flash":
             policy = jax.checkpoint_policies.save_only_these_names(
                 "flash_o", "flash_lse"
             )
-            block = jax.checkpoint(block, policy=policy)
+            ckpt_block = jax.checkpoint(block, policy=policy)
         else:
-            block = jax.checkpoint(block, static_argnums=())
-    for layer in params["layers"]:
-        x = block(x, layer)
-    x = rms_norm(x, params["final_norm"])
-    # tied unembedding
+            ckpt_block = jax.checkpoint(block, static_argnums=())
+    n_ckpt = cfg.n_layers - max(0, cfg.remat_skip)
+    for i, layer in enumerate(params["layers"]):
+        x = (ckpt_block if i < n_ckpt else block)(x, layer)
+    return rms_norm(x, params["final_norm"])
+
+
+def forward(
+    params: Dict,
+    tokens: jax.Array,  # [B, N] int32
+    cfg: ModelConfig,
+    *,
+    positions: Optional[jax.Array] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Token ids → logits [B, N, vocab] (tied unembedding)."""
+    x = forward_hidden(
+        params, tokens, cfg, positions=positions, interpret=interpret
+    )
     return jnp.dot(
         x, params["embed"].T, preferred_element_type=jnp.float32
     )
 
 
+def chunked_cross_entropy(
+    x: jax.Array,  # [B, N, d] final hidden states
+    embed: jax.Array,  # [V, d] tied unembedding
+    targets: jax.Array,  # [B, N] int
+    chunk: int,
+) -> jax.Array:
+    """Mean next-token NLL without materializing the full logits tensor.
+
+    Scans the sequence in chunks; each chunk's [B, chunk, V] logits and
+    softmax residuals exist only inside a jax.checkpoint'd scan body, so
+    the backward recomputes them per chunk instead of keeping B·N·V fp32
+    alive (the recompute is one extra unembed matmul — ~3% of step FLOPs
+    at the bench shape vs ~4GB of peak HBM).  N must divide by ``chunk``
+    (callers pick chunk; sequence lengths here are powers of two).
+    """
+    b, n, d = x.shape
+    if n % chunk:
+        raise ValueError(f"seq len {n} not divisible by loss chunk {chunk}")
+
+    @jax.checkpoint
+    def chunk_nll(x_c, t_c):
+        logits = jnp.einsum(
+            "bnd,vd->bnv", x_c, embed, preferred_element_type=jnp.float32
+        )
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        tgt = jnp.take_along_axis(logits, t_c[..., None], axis=-1)[..., 0]
+        return jnp.sum(logz - tgt)
+
+    xs = x.reshape(b, n // chunk, chunk, d).swapaxes(0, 1)
+    ts = targets.reshape(b, n // chunk, chunk).swapaxes(0, 1)
+
+    def body(carry, sl):
+        return carry + chunk_nll(*sl), None
+
+    total, _ = jax.lax.scan(body, jnp.float32(0.0), (xs, ts))
+    return total / (b * n)
+
+
 def loss_fn(params, tokens, cfg: ModelConfig, *, interpret=None):
     """Next-token cross entropy over tokens[:, :-1] → tokens[:, 1:]."""
-    logits = forward(params, tokens[:, :-1], cfg, interpret=interpret)
     targets = tokens[:, 1:]
+    if cfg.loss_chunk:
+        x = forward_hidden(params, tokens[:, :-1], cfg, interpret=interpret)
+        return chunked_cross_entropy(
+            x, params["embed"], targets, cfg.loss_chunk
+        )
+    logits = forward(params, tokens[:, :-1], cfg, interpret=interpret)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     return jnp.mean(nll)

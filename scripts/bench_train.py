@@ -46,6 +46,12 @@ def main():
     # kept as an option for memory-richer parts.
     ap.add_argument("--remat-policy", default="block",
                     choices=["block", "save_flash"])
+    ap.add_argument("--remat-skip", type=int, default=0,
+                    help="run the last K layers without checkpointing")
+    ap.add_argument("--loss-chunk", type=int, default=0,
+                    help="chunked cross-entropy chunk size (0 = unchunked)")
+    ap.add_argument("--no-write", action="store_true",
+                    help="print only; don't update bench_out/train_1chip.json")
     args = ap.parse_args()
 
     from flash_attention_dlrs_tpu.bench.suite import time_fn
@@ -58,6 +64,7 @@ def main():
         vocab_size=32000, d_model=4096, n_layers=args.layers,
         n_q_heads=32, n_kv_heads=8, head_dim=128, d_ff=11008,
         dtype=jnp.bfloat16, remat=True, remat_policy=args.remat_policy,
+        remat_skip=args.remat_skip, loss_chunk=args.loss_chunk,
     )
     params, opt_state, optimizer = make_train_state(jax.random.PRNGKey(0), cfg)
     step = make_train_step(cfg, optimizer)
@@ -86,12 +93,14 @@ def main():
         "tokens_per_s": toks, "ms_per_step": sec * 1e3,
         "model_tflops": fpt * toks / 1e12, "mfu": mfu,
         "batch": args.batch, "seq": args.seq, "layers": args.layers,
-        "remat_policy": args.remat_policy, "device": device_kind,
+        "remat_policy": args.remat_policy, "remat_skip": args.remat_skip,
+        "loss_chunk": args.loss_chunk, "device": device_kind,
     }
     print(json.dumps(out))
-    os.makedirs("bench_out", exist_ok=True)
-    with open("bench_out/train_1chip.json", "w") as f:
-        json.dump(out, f, indent=2)
+    if not args.no_write:
+        os.makedirs("bench_out", exist_ok=True)
+        with open("bench_out/train_1chip.json", "w") as f:
+            json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -126,3 +126,28 @@ def test_remat_save_flash_policy_matches_block_remat():
     np.testing.assert_allclose(la, lb, rtol=1e-6)
     for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_chunked_loss_and_remat_skip_match_baseline():
+    """loss_chunk (scan-rematerialized CE, no [B,N,V] logits tensor) and
+    remat_skip (trailing layers saved, not recomputed) are pure
+    memory/speed reshapes: loss and grads must match the plain path."""
+    import dataclasses
+
+    from flash_attention_dlrs_tpu.models import ModelConfig, init_params
+    from flash_attention_dlrs_tpu.models.transformer import loss_fn
+
+    cfg_a = ModelConfig.tiny(dtype=jnp.float32, remat=True)
+    cfg_b = dataclasses.replace(cfg_a, loss_chunk=16, remat_skip=1)
+    params = init_params(jax.random.PRNGKey(0), cfg_a)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 65), 0,
+                                cfg_a.vocab_size)
+    la, ga = jax.value_and_grad(lambda p: loss_fn(p, tokens, cfg_a))(params)
+    lb, gb = jax.value_and_grad(lambda p: loss_fn(p, tokens, cfg_b))(params)
+    np.testing.assert_allclose(la, lb, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        loss_fn(params, tokens,
+                dataclasses.replace(cfg_a, loss_chunk=30))
