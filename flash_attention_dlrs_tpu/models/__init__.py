@@ -1,3 +1,4 @@
+from .optim import adamw8bit
 from .transformer import (
     ModelConfig,
     forward,
@@ -9,6 +10,7 @@ from .train import make_train_state, make_train_step, param_shardings
 
 __all__ = [
     "ModelConfig",
+    "adamw8bit",
     "init_params",
     "forward",
     "loss_fn",

@@ -55,9 +55,21 @@ def make_train_state(
     mesh: Optional[Mesh] = None,
     *,
     learning_rate: float = 3e-4,
+    optimizer_name: str = "adamw",
 ) -> Tuple[Dict, Any, optax.GradientTransformation]:
-    """(params, opt_state, optimizer) — params placed per the sharding rules."""
-    optimizer = optax.adamw(learning_rate, weight_decay=0.01)
+    """(params, opt_state, optimizer) — params placed per the sharding rules.
+
+    ``optimizer_name``: "adamw" (optax, moments in param dtype) or
+    "adamw8bit" (blockwise-int8 moments, ~half the optimizer HBM —
+    see models/optim.py)."""
+    if optimizer_name == "adamw":
+        optimizer = optax.adamw(learning_rate, weight_decay=0.01)
+    elif optimizer_name == "adamw8bit":
+        from .optim import adamw8bit
+
+        optimizer = adamw8bit(learning_rate, weight_decay=0.01)
+    else:
+        raise ValueError(f"unknown optimizer {optimizer_name!r}")
     params = init_params(key, cfg)
     if mesh is not None:
         shardings = param_shardings(params, mesh)

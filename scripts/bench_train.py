@@ -50,6 +50,10 @@ def main():
                     help="run the last K layers without checkpointing")
     ap.add_argument("--loss-chunk", type=int, default=0,
                     help="chunked cross-entropy chunk size (0 = unchunked)")
+    ap.add_argument("--optimizer", default="adamw",
+                    choices=["adamw", "adamw8bit"],
+                    help="adamw8bit stores moments blockwise-int8 "
+                         "(~3.1GB less HBM at this config)")
     ap.add_argument("--no-write", action="store_true",
                     help="print only; don't update bench_out/train_1chip.json")
     args = ap.parse_args()
@@ -66,7 +70,9 @@ def main():
         dtype=jnp.bfloat16, remat=True, remat_policy=args.remat_policy,
         remat_skip=args.remat_skip, loss_chunk=args.loss_chunk,
     )
-    params, opt_state, optimizer = make_train_state(jax.random.PRNGKey(0), cfg)
+    params, opt_state, optimizer = make_train_state(
+        jax.random.PRNGKey(0), cfg, optimizer_name=args.optimizer
+    )
     step = make_train_step(cfg, optimizer)
     tokens = jax.random.randint(
         jax.random.PRNGKey(1), (args.batch, args.seq + 1), 0, cfg.vocab_size
@@ -94,7 +100,8 @@ def main():
         "model_tflops": fpt * toks / 1e12, "mfu": mfu,
         "batch": args.batch, "seq": args.seq, "layers": args.layers,
         "remat_policy": args.remat_policy, "remat_skip": args.remat_skip,
-        "loss_chunk": args.loss_chunk, "device": device_kind,
+        "loss_chunk": args.loss_chunk, "optimizer": args.optimizer,
+        "device": device_kind,
     }
     print(json.dumps(out))
     if not args.no_write:

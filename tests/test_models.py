@@ -151,3 +151,73 @@ def test_chunked_loss_and_remat_skip_match_baseline():
     with pytest.raises(ValueError, match="not divisible"):
         loss_fn(params, tokens,
                 dataclasses.replace(cfg_a, loss_chunk=30))
+
+
+def test_adamw8bit_tracks_adamw():
+    """Blockwise-int8 AdamW (models/optim.py) must train like exact AdamW:
+    same first step (zero-init moments quantize exactly), closely-tracking
+    loss over 20 steps, and int8 moment leaves."""
+    import optax
+
+    from flash_attention_dlrs_tpu.models.optim import (
+        BLOCK, adamw8bit, moment_bytes,
+    )
+
+    key = jax.random.PRNGKey(0)
+    w = {"a": jax.random.normal(key, (37, 53)),  # non-multiple of BLOCK
+         "b": jax.random.normal(jax.random.PRNGKey(1), (BLOCK * 3,))}
+    x = jax.random.normal(jax.random.PRNGKey(2), (64, 37))
+    y = jax.random.normal(jax.random.PRNGKey(3), (64, 53))
+
+    def loss(p):
+        return jnp.mean((x @ p["a"] - y) ** 2) + 1e-3 * jnp.sum(p["b"] ** 2)
+
+    def run(opt, steps=20):
+        p = jax.tree.map(jnp.copy, w)
+        s = opt.init(p)
+        hist = []
+        step = jax.jit(lambda p, s: _step(p, s))
+
+        def _step(p, s):
+            l, g = jax.value_and_grad(loss)(p)
+            u, s2 = opt.update(g, s, p)
+            return optax.apply_updates(p, u), s2, l
+
+        for _ in range(steps):
+            p, s, l = jax.jit(_step)(p, s)
+            hist.append(float(l))
+        return hist, s
+
+    h_exact, _ = run(optax.adamw(1e-2, weight_decay=0.01))
+    h_q8, s_q8 = run(adamw8bit(1e-2, weight_decay=0.01))
+
+    assert h_q8[-1] < h_q8[0] * 0.7, h_q8  # it trains
+    # loss trajectories track: within 5% relatively at every step
+    for a, b in zip(h_exact, h_q8):
+        assert abs(a - b) <= 0.05 * abs(a) + 1e-3, (a, b)
+    # moments really are int8
+    adam_state = s_q8[0]
+    assert adam_state.mu_q["a"].dtype == jnp.int8
+    assert adam_state.su_q["b"].dtype == jnp.int8
+    full, q8 = moment_bytes(w)
+    assert q8 < 0.55 * full
+
+
+def test_make_train_state_adamw8bit_steps():
+    from flash_attention_dlrs_tpu.models import (
+        ModelConfig, make_train_state, make_train_step,
+    )
+
+    cfg = ModelConfig.tiny(dtype=jnp.float32, remat=False)
+    params, opt_state, optimizer = make_train_state(
+        jax.random.PRNGKey(0), cfg, optimizer_name="adamw8bit"
+    )
+    step = make_train_step(cfg, optimizer)
+    tokens = _tokens(7)
+    losses = []
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, tokens)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        make_train_state(jax.random.PRNGKey(0), cfg, optimizer_name="sgd9")
