@@ -173,10 +173,15 @@ def attention_block(layer, x, positions, cfg: ModelConfig, *, interpret=None):
 
 
 def mlp_block(layer, x):
+    from jax.ad_checkpoint import checkpoint_name
+
     h = rms_norm(x, layer["mlp_norm"])
-    gated = jax.nn.silu(_proj(h, layer["w_gate"]).astype(jnp.float32)).astype(
-        x.dtype
-    ) * _proj(h, layer["w_up"])
+    # Named so remat_policy="save_dots" can pin them: gate+up are 2/3 of
+    # the block's matmul FLOPs — saving them (plus the flash outputs)
+    # drops the backward recompute to just qkv/wo projections + elementwise.
+    gate = checkpoint_name(_proj(h, layer["w_gate"]), "mlp_gate")
+    up = checkpoint_name(_proj(h, layer["w_up"]), "mlp_up")
+    gated = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
     return x + _proj(gated, layer["w_down"])
 
 
@@ -203,6 +208,16 @@ def forward_hidden(
         if cfg.remat_policy == "save_flash":
             policy = jax.checkpoint_policies.save_only_these_names(
                 "flash_o", "flash_lse"
+            )
+            ckpt_block = jax.checkpoint(block, policy=policy)
+        elif cfg.remat_policy == "save_dots":
+            # Pin the expensive block outputs (attention kernel + the two
+            # d_ff projections, ~85% of block matmul FLOPs): the backward
+            # recompute shrinks to qkv/wo + elementwise.  ~850MB/layer at
+            # the bench shape — affordable once the 8-bit optimizer and
+            # chunked CE free their HBM.
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "flash_o", "flash_lse", "mlp_gate", "mlp_up"
             )
             ckpt_block = jax.checkpoint(block, policy=policy)
         else:

@@ -42,9 +42,9 @@ def _bwd_fused_kernel(
     q_ref,
     k_ref,
     v_ref,
+    o_ref,  # forward output — D = rowsum(O ∘ dO) computed inline
     do_ref,
     lse_ref,
-    dpre_ref,
     qseg_ref,  # [1, block_q, LANES] int32 or None
     kvseg_ref,  # [1, SUBLANES, block_kv] int32 or None
     dq_ref,  # [1, 1, n_q, d] fp32 — pane-resident accumulator
@@ -120,7 +120,13 @@ def _bwd_fused_kernel(
         v = v_ref[0, 0]
         do = do_ref[0, 0]
         lse = lse_ref[0, 0][:, :1]  # [block_q, 1]
-        dpre = dpre_ref[0, 0][:, :1]
+        # D inline (≙ src/flash_attention_kernels.py:120-166): one [bq, d]
+        # VPU mul+rowsum per block pair, in exchange for dropping the
+        # separate D kernel and the [Nq, 128] f32 dpre pane's HBM traffic.
+        dpre = jnp.sum(
+            o_ref[0, 0].astype(jnp.float32) * do.astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )
 
         p, grad_cap = _recompute_p(
             q, k, lse, iq, jkv,
@@ -224,12 +230,14 @@ def fused_bwd_fits_vmem(n_q: int, head_dim: int, block_q: int,
     ),
 )
 def bwd_fused_pallas(
-    q, k, v, do, lse, dpre, q_seg=None, kv_seg=None, *,
+    q, k, v, o, do, lse, q_seg=None, kv_seg=None, *,
     sm_scale, causal, block_q, block_kv, kv_len, window=0, softcap=0.0,
     interpret=False, q_off=0,
 ):
     """(dQ, dK, dV) in one sweep; dK/dV are per *query* head fp32 (the
-    caller group-sums GQA heads, same contract as bwd_dkv_pallas)."""
+    caller group-sums GQA heads, same contract as bwd_dkv_pallas).
+    Takes the forward output ``o``; D = rowsum(O∘dO) is computed inline —
+    no separate D-preprocess kernel on this route."""
     batch, num_q_heads, n_q, head_dim = q.shape
     _, num_kv_heads, n_kv, _ = k.shape
     q_per_kv = num_q_heads // num_kv_heads
@@ -321,8 +329,8 @@ def bwd_fused_pallas(
     stat_spec = pl.BlockSpec((1, 1, block_q, geo.NUM_LANES), q_index)
     dkv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), dkv_index)
     dq_spec = pl.BlockSpec((1, 1, n_q, head_dim), dq_index)
-    in_specs = [q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec]
-    inputs = [q, k, v, do, lse, dpre]
+    in_specs = [q_spec, kv_spec, kv_spec, q_spec, q_spec, stat_spec]
+    inputs = [q, k, v, o, do, lse]
     if q_seg is not None:
         qseg_rep = jnp.broadcast_to(
             q_seg.astype(jnp.int32)[:, :, None], (batch, n_q, geo.NUM_LANES)
@@ -343,8 +351,8 @@ def bwd_fused_pallas(
     else:
         seg_kernel = kernel
 
-        def kernel(q_r, k_r, v_r, do_r, l_r, d_r, dq_r, dk_r, dv_r, a1, a2):  # noqa: F811
-            return seg_kernel(q_r, k_r, v_r, do_r, l_r, d_r, None, None,
+        def kernel(q_r, k_r, v_r, o_r, do_r, l_r, dq_r, dk_r, dv_r, a1, a2):  # noqa: F811
+            return seg_kernel(q_r, k_r, v_r, o_r, do_r, l_r, None, None,
                               dq_r, dk_r, dv_r, a1, a2)
     dq, dk, dv = pl.pallas_call(
         kernel,

@@ -37,24 +37,45 @@ SUB = 256
 MAX_MID_BWD_N = 2048
 
 
-def bwd_mid_fits(n_pad: int, head_dim: int, dtype) -> bool:
+def bwd_mid_fits(n_pad: int, head_dim: int, dtype, hb: int = 1,
+                 margin: float = 1.0) -> bool:
     """VMEM feasibility with a 2× margin on temporaries (Mosaic's stack
     allocation runs well past the naive estimate — measured on fwd_mid)."""
     isz = jnp.dtype(dtype).itemsize
-    in_panes = 2 * (4 * n_pad * head_dim * isz + 2 * n_pad * geo.NUM_LANES * 4)
-    out_panes = 3 * n_pad * head_dim * 4
+    in_panes = 2 * hb * (
+        5 * n_pad * head_dim * isz + n_pad * geo.NUM_LANES * 4
+    )
+    out_panes = 3 * hb * n_pad * head_dim * 4
     temps = 2 * (3 * SUB * SUB * 4)
-    return geo.fits_vmem(in_panes + out_panes + temps, geo.current_geometry())
+    return geo.fits_vmem(
+        int((in_panes + out_panes + temps) * margin), geo.current_geometry()
+    )
+
+
+def pick_hb_bwd(n_pad: int, head_dim: int, dtype, num_q_heads: int,
+                q_per_kv: int) -> int:
+    """Heads per grid cell for the backward pane kernel.
+
+    Measured null result (v5e, B=8 H=16 d=128 bf16 causal, backward
+    alone): hb=2 vs hb=1 is within noise at every pane length — 78.2/78.5
+    @768, 89.1/88.4 @1024, 95.9/96.1 @1536, 102.9/103.2 @2048 TF/s.
+    Unlike the forward (where hb=2 bought +10% @1024), the backward's 5
+    matmuls per sub-pair already amortize the per-cell fixed cost, so the
+    extra VMEM pressure buys nothing — stay at 1.  The kernel keeps the
+    general hb structure (exercised in tests) should a future part shift
+    the balance."""
+    del n_pad, head_dim, dtype, num_q_heads, q_per_kv
+    return 1
 
 
 def _bwd_mid_kernel(
-    q_ref,  # [1, 1, n, d] — pre-scaled by sm_scale·log2e
-    k_ref,
+    q_ref,  # [1, hb, n, d] — pre-scaled by sm_scale·log2e
+    k_ref,  # [1, hb_kv, n, d]
     v_ref,
+    o_ref,  # [1, hb, n, d] — forward output (D computed inline)
     do_ref,
-    lse_ref,  # [1, 1, n, LANES] f32 (natural-base logsumexp)
-    dpre_ref,  # [1, 1, n, LANES] f32 (D = rowsum(O ∘ dO))
-    dq_ref,  # [1, 1, n, d] f32
+    lse_ref,  # [1, hb, n, LANES] f32 (natural-base logsumexp)
+    dq_ref,  # [1, hb, n, d] f32
     dk_ref,
     dv_ref,
     *,
@@ -63,6 +84,8 @@ def _bwd_mid_kernel(
     window: int,
     softcap: float,
     sm_scale: float,
+    hb: int,
+    q_per_kv: int,
 ):
     T = n // SUB
     row = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
@@ -77,9 +100,10 @@ def _bwd_mid_kernel(
     # bwd_fused.  A row-major variant with all three grads RMW'd measured
     # ~2× slower (37 vs 68 TF/s @N=1024): three 128KB pane round-trips per
     # sub-pair swamp the VPU.
-    for jk in range(T):
-        kj = k_ref[0, 0, jk * SUB:(jk + 1) * SUB, :]
-        vj = v_ref[0, 0, jk * SUB:(jk + 1) * SUB, :]
+    for jh, jk in [(jh_, jk_) for jh_ in range(hb) for jk_ in range(T)]:
+        jkv_h = jh // q_per_kv if hb > q_per_kv else 0
+        kj = k_ref[0, jkv_h, jk * SUB:(jk + 1) * SUB, :]
+        vj = v_ref[0, jkv_h, jk * SUB:(jk + 1) * SUB, :]
         dk_acc = None
         dv_acc = None
         iq_hi = T
@@ -88,12 +112,19 @@ def _bwd_mid_kernel(
                 # rows whose window cannot reach back into kv block jk
                 if iq * SUB - window + 1 > (jk + 1) * SUB - 1:
                     break
-            qi = q_ref[0, 0, iq * SUB:(iq + 1) * SUB, :]
+            qi = q_ref[0, jh, iq * SUB:(iq + 1) * SUB, :]
             # do stays in its native dtype: upcasting would force fp32 MXU
             # matmuls (multipass — measured ~2× whole-kernel cost on v5e)
-            do = do_ref[0, 0, iq * SUB:(iq + 1) * SUB, :]
-            lse2 = lse_ref[0, 0, iq * SUB:(iq + 1) * SUB, :1] * LOG2E
-            dpre = dpre_ref[0, 0, iq * SUB:(iq + 1) * SUB, :1]
+            do = do_ref[0, jh, iq * SUB:(iq + 1) * SUB, :]
+            lse2 = lse_ref[0, jh, iq * SUB:(iq + 1) * SUB, :1] * LOG2E
+            # D = rowsum(O ∘ dO) inline (≙ the reference's separate
+            # bwd_D_kernel, src/flash_attention_kernels.py:120-166): a
+            # [SUB, d] VPU mul+rowsum per pair — 0.1% of the pair's MXU
+            # FLOPs — in exchange for dropping an entire kernel launch
+            # plus the [n, 128] f32 dpre pane's HBM write+read.
+            oi = o_ref[0, jh, iq * SUB:(iq + 1) * SUB, :].astype(jnp.float32)
+            dpre = jnp.sum(oi * do.astype(jnp.float32), axis=-1,
+                           keepdims=True)
             s = mxu_dot(qi, kj, (((1,), (1,)), ((), ())))
             grad_cap = None
             if softcap:
@@ -126,12 +157,12 @@ def _bwd_mid_kernel(
             dk_acc = dk_term if dk_acc is None else dk_acc + dk_term
             # dQ_i += dS K_j — the one RMW per pair; sm_scale at pane end
             sl_q = pl.ds(iq * SUB, SUB)
-            dq_ref[0, 0, sl_q, :] += mxu_dot(
+            dq_ref[0, jh, sl_q, :] += mxu_dot(
                 ds.astype(kj.dtype), kj, (((1,), (0,)), ((), ()))
             )
         sl_kv = pl.ds(jk * SUB, SUB)
-        dk_ref[0, 0, sl_kv, :] = dk_acc * LN2
-        dv_ref[0, 0, sl_kv, :] = dv_acc
+        dk_ref[0, jh, sl_kv, :] = dk_acc * LN2
+        dv_ref[0, jh, sl_kv, :] = dv_acc
 
     dq_ref[...] = dq_ref[...] * sm_scale
 
@@ -143,13 +174,15 @@ def _bwd_mid_kernel(
     ),
 )
 def bwd_mid_pallas(
-    q, k, v, do, lse, dpre, *,
+    q, k, v, o, do, lse, *,
     sm_scale, kv_len, window=0, softcap=0.0, interpret=False,
 ):
     """(dQ, dK, dV) for padded causal [B, H, n, d], 512 < n ≤ MAX_MID_BWD_N.
 
-    dK/dV are per *query* head fp32 (caller group-sums GQA heads) — same
-    contract as bwd_fused_pallas.  Honors the passed lse (ring-safe).
+    Takes the forward output ``o`` and computes D = rowsum(O∘dO) inline —
+    no separate D-preprocess kernel on this route.  dK/dV are per *query*
+    head fp32 (caller group-sums GQA heads) — same contract as
+    bwd_fused_pallas.  Honors the passed lse (ring-safe).
     """
     batch, num_q_heads, n, head_dim = q.shape
     num_kv_heads = k.shape[1]
@@ -158,29 +191,35 @@ def bwd_mid_pallas(
 
     q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
 
+    hb = pick_hb_bwd(n, head_dim, q.dtype, num_q_heads, q_per_kv)
+    hb_kv = hb // q_per_kv if hb % q_per_kv == 0 else 1
     kernel = functools.partial(
         _bwd_mid_kernel,
         n=n, kv_len=kv_len, window=window, softcap=float(softcap),
-        sm_scale=sm_scale,
+        sm_scale=sm_scale, hb=hb, q_per_kv=q_per_kv,
     )
-    grid = (batch, num_q_heads)
-    q_spec = pl.BlockSpec((1, 1, n, head_dim), lambda b, h: (b, h, 0, 0))
-    kv_spec = pl.BlockSpec(
-        (1, 1, n, head_dim), lambda b, h: (b, h // q_per_kv, 0, 0)
+    grid = (batch, num_q_heads // hb)
+    q_spec = pl.BlockSpec((1, hb, n, head_dim), lambda b, h: (b, h, 0, 0))
+    if hb % q_per_kv == 0:
+        kv_index = lambda b, h: (b, h, 0, 0)  # cell owns whole kv groups
+    else:
+        kv_index = lambda b, h: (b, (h * hb) // q_per_kv, 0, 0)
+    kv_spec = pl.BlockSpec((1, hb_kv, n, head_dim), kv_index)
+    stat_spec = pl.BlockSpec(
+        (1, hb, n, geo.NUM_LANES), lambda b, h: (b, h, 0, 0)
     )
-    stat_spec = pl.BlockSpec((1, 1, n, geo.NUM_LANES), lambda b, h: (b, h, 0, 0))
     g_shape = jax.ShapeDtypeStruct(
         (batch, num_q_heads, n, head_dim), jnp.float32
     )
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec],
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, q_spec, stat_spec],
         out_specs=[q_spec, q_spec, q_spec],
         out_shape=[g_shape, g_shape, g_shape],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(q, k, v, do, lse, dpre)
+    )(q, k, v, o, do, lse)
     return dq, dk, dv

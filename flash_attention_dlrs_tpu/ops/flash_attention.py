@@ -415,10 +415,8 @@ def flash_attention_backward(
         lse_rep = jnp.broadcast_to(
             lse_p[..., None], (*lse_p.shape, geo.NUM_LANES)
         )
-        dpre = bwd.bwd_d_pallas(op, dop, block_q=bwd_mid.SUB,
-                                interpret=interpret)
         dq, dk, dv = bwd_mid.bwd_mid_pallas(
-            qp, kp, vp, dop, lse_rep, dpre,
+            qp, kp, vp, op, dop, lse_rep,
             sm_scale=sm_scale, kv_len=kv_len, window=window,
             softcap=float(logit_softcap), interpret=interpret,
         )
@@ -460,20 +458,19 @@ def flash_attention_backward(
     lse_p, _ = pad_axis_to(lse.astype(jnp.float32), 2, bq)
     lse_rep = jnp.broadcast_to(lse_p[..., None], (*lse_p.shape, geo.NUM_LANES))
 
-    dpre = bwd.bwd_d_pallas(op, dop, block_q=bq, interpret=interpret)
-
-    # Fused single-sweep backward (5 matmuls per block pair) whenever the
-    # pane-resident dQ buffer fits VMEM; two-sweep kernels (7 matmuls)
-    # otherwise — see bwd_fused.py.
+    # Fused single-sweep backward (5 matmuls per block pair, D inline)
+    # whenever the pane-resident dQ buffer fits VMEM; two-sweep kernels
+    # (7 matmuls, separate D-preprocess) otherwise — see bwd_fused.py.
     if use_fused:
         dq, dk, dv = bwd_fused.bwd_fused_pallas(
-            qp, kp, vp, dop, lse_rep, dpre, qseg_p, kvseg_p,
+            qp, kp, vp, op, dop, lse_rep, qseg_p, kvseg_p,
             sm_scale=sm_scale, causal=causal, window=window,
             softcap=float(logit_softcap),
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
             q_off=kv_len - q_len,
         )
     else:
+        dpre = bwd.bwd_d_pallas(op, dop, block_q=bq, interpret=interpret)
         dk, dv = bwd.bwd_dkv_pallas(
             qp, kp, vp, dop, lse_rep, dpre, qseg_p, kvseg_p,
             sm_scale=sm_scale, causal=causal, window=window,

@@ -34,8 +34,8 @@ sm = float(d) ** -0.5
 
 
 def fn(q_, k_, v_, do_, o_, lse_):
-    dpre = bwdk.bwd_d_pallas(o_, do_, block_q=bq)
     if split:
+        dpre = bwdk.bwd_d_pallas(o_, do_, block_q=bq)
         dk, dv = bwdk.bwd_dkv_pallas(
             q_, k_, v_, do_, lse_, dpre,
             sm_scale=sm, causal=True, block_q=bq, block_kv=bkv, kv_len=n)
@@ -44,7 +44,7 @@ def fn(q_, k_, v_, do_, o_, lse_):
             sm_scale=sm, causal=True, block_q=bq, block_kv=bkv, kv_len=n)
     else:
         dq, dk, dv = bwd_fused.bwd_fused_pallas(
-            q_, k_, v_, do_, lse_, dpre,
+            q_, k_, v_, o_, do_, lse_,
             sm_scale=sm, causal=True, block_q=bq, block_kv=bkv, kv_len=n)
     return dq.sum() + dk.sum() + dv.sum()
 

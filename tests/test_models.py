@@ -108,16 +108,18 @@ def test_encoder_bidirectional():
     assert np.isfinite(float(jnp.sum(grads["embed"])))
 
 
-def test_remat_save_flash_policy_matches_block_remat():
-    """remat_policy='save_flash' (pin attention residuals, recompute the
-    rest) produces the same loss and grads as full block remat."""
+@pytest.mark.parametrize("policy", ["save_flash", "save_dots"])
+def test_remat_policies_match_block_remat(policy):
+    """Selective remat policies (pin attention residuals / the big dot
+    outputs, recompute the rest) produce the same loss and grads as full
+    block remat."""
     import dataclasses
 
     from flash_attention_dlrs_tpu.models import ModelConfig, init_params
     from flash_attention_dlrs_tpu.models.transformer import loss_fn
 
     cfg_a = ModelConfig.tiny(dtype=jnp.float32, remat=True)
-    cfg_b = dataclasses.replace(cfg_a, remat_policy="save_flash")
+    cfg_b = dataclasses.replace(cfg_a, remat_policy=policy)
     params = init_params(jax.random.PRNGKey(0), cfg_a)
     tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 65), 0,
                                 cfg_a.vocab_size)
