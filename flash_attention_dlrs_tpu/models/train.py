@@ -96,7 +96,15 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    # params and opt_state are donated: the updated state aliases the old
+    # buffers instead of doubling the largest allocations in HBM (at the
+    # 1-chip bench config that second copy is ~6GB — the difference between
+    # the save_dots remat policy fitting and OOMing).  Callers follow the
+    # standard rebind pattern `params, opt_state, loss = step(...)`.
     if mesh is None:
-        return jax.jit(step)
+        return jax.jit(step, donate_argnums=(0, 1))
     token_sharding = NamedSharding(mesh, P(data_axis, None))
-    return jax.jit(step, in_shardings=(None, None, token_sharding))
+    return jax.jit(
+        step, in_shardings=(None, None, token_sharding),
+        donate_argnums=(0, 1),
+    )

@@ -58,7 +58,9 @@ def main():
                     help="print only; don't update bench_out/train_1chip.json")
     args = ap.parse_args()
 
-    from flash_attention_dlrs_tpu.bench.suite import time_fn
+    import functools
+    import time
+
     from flash_attention_dlrs_tpu.models import (
         ModelConfig, make_train_state, make_train_step,
     )
@@ -78,18 +80,41 @@ def main():
         jax.random.PRNGKey(1), (args.batch, args.seq + 1), 0, cfg.vocab_size
     )
 
-    def one_step(tokens_, params_, opt_state_):
-        p, o, loss = step(params_, opt_state_, tokens_)
-        # Anchor on the loss AND the updated params: consuming only the loss
-        # lets XLA dead-code-eliminate the whole backward + optimizer.
-        anchor = sum(
-            jnp.ravel(x)[0].astype(jnp.float32) for x in jax.tree.leaves(p)
-        )
-        return loss + anchor * 1e-30
+    # Loop-carried, state-donating chain: each iteration steps the REAL
+    # evolving state (exactly what a training loop does), and donation lets
+    # the updated params/opt_state alias the old buffers — the previous
+    # harness pinned a second ~6GB copy of the state as non-donated
+    # arguments, which is what pushed the save_dots remat policy out of
+    # HBM.  Returning the final state consumes the whole backward +
+    # optimizer (no DCE anchor needed); timing is the slope between two
+    # chain lengths so dispatch overhead cancels.
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
+    def chain(iters, params_, opt_, tokens_):
+        def body(_, c):
+            p, o, _l = c
+            p2, o2, loss = step(p, o, tokens_)
+            return (p2, o2, loss.astype(jnp.float32))
 
-    # ~1.4s/step: pin a short chain (auto-calibration's 36-iter probe alone
-    # would run ~50s); dispatch overhead is negligible at this step size.
-    sec = time_fn(one_step, tokens, params, opt_state, iters=4, reps=3)
+        return jax.lax.fori_loop(
+            0, iters, body, (params_, opt_, jnp.float32(0.0))
+        )
+
+    def run(n, p, o):
+        t0 = time.perf_counter()
+        p, o, loss = chain(n, p, o, tokens)
+        jax.device_get(loss)
+        return time.perf_counter() - t0, p, o
+
+    n1, n2 = 2, 6
+    _, params, opt_state = run(n1, params, opt_state)  # compile n1
+    _, params, opt_state = run(n2, params, opt_state)  # compile n2
+    slopes = []
+    for _ in range(3):
+        t1, params, opt_state = run(n1, params, opt_state)
+        t2, params, opt_state = run(n2, params, opt_state)
+        slopes.append((t2 - t1) / (n2 - n1))
+    slopes.sort()
+    sec = slopes[len(slopes) // 2]
     toks = args.batch * args.seq / sec
     fpt = model_flops_per_token(cfg, args.seq)
     device_kind = jax.devices()[0].device_kind
