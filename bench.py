@@ -35,9 +35,12 @@ def main() -> None:
     k = jax.random.normal(keys[1], (b, h, n, d), jnp.bfloat16)
     v = jax.random.normal(keys[2], (b, h, n, d), jnp.bfloat16)
 
+    # anchor="elem": the timed fn ends in an opaque Pallas custom call, so
+    # the single-element anchor is DCE-safe and doesn't charge the kernel
+    # an extra full-output HBM read (~3% at this size).
     sec_ours = time_fn(
         lambda q_, k_, v_: flash_attention(q_, k_, v_, causal=causal),
-        q, k, v,
+        q, k, v, anchor="elem",
     )
     fl = attention_flops(b, h, n, n, d, causal=causal, mode="fwd")
     tflops_ours = fl / sec_ours / 1e12

@@ -55,21 +55,26 @@ def attention_flops(b, h, n_q, n_kv, d, *, causal: bool, mode: str) -> float:
     return fl
 
 
-def _chained(fn: Callable, iters: int):
+def _chained(fn: Callable, iters: int, anchor: str = "sum"):
     """One jit executing `iters` data-dependent calls of fn, returning a
     scalar anchor — a single dispatch + single tiny fetch regardless of
-    iters."""
+    iters.
+
+    anchor="sum" consumes EVERY output element: a single-element anchor
+    lets XLA slice pure-XLA providers down to computing one row (measured:
+    jax.nn.dot_product_attention "reached" 262 TF/s at N=128 — past
+    hardware peak).  anchor="elem" reads one element — valid ONLY when the
+    timed fn ends in an opaque Pallas custom call (XLA cannot see through
+    it to DCE), and avoids charging the kernel an extra full-output HBM
+    read (~3% on a 5.7 ms kernel at B8·H16·N4096·d128 bf16)."""
 
     @functools.partial(jax.jit, static_argnames=())
     def chained(*a):
         def body(i, c):
             first = a[0] + c.astype(a[0].dtype)
             o = fn(first, *a[1:])
-            # Consume EVERY output element: a single-element anchor lets
-            # XLA slice pure-XLA providers down to computing one row
-            # (measured: jax.nn.dot_product_attention "reached" 262 TF/s at
-            # N=128 — past hardware peak).  Pallas custom calls are opaque
-            # and never affected; the O(out) sum costs <1% at any N here.
+            if anchor == "elem":
+                return jnp.real(jnp.ravel(o)[0]).astype(jnp.float32) * 1e-30
             return jnp.real(jnp.sum(o.astype(jnp.float32))) * 1e-30
 
         return jax.lax.fori_loop(
@@ -85,6 +90,7 @@ def time_fn(
     iters: int | None = None,
     reps: int = 5,
     min_window: float = 0.08,
+    anchor: str = "sum",
 ) -> float:
     """Median seconds per call of fn(*args).
 
@@ -109,7 +115,7 @@ def time_fn(
         # Per-call estimate from the DIFFERENCE of two probe lengths — a
         # single probe would fold the ~ms tunnel dispatch overhead into the
         # estimate and keep the chain far too short for sub-ms ops.
-        p1, p2 = _chained(fn, 4), _chained(fn, 36)
+        p1, p2 = _chained(fn, 4, anchor), _chained(fn, 36, anchor)
         jax.device_get(p1(*args))  # compile + warm
         jax.device_get(p2(*args))
         d1 = min(run(p1), run(p1))
@@ -121,7 +127,7 @@ def time_fn(
     else:
         n2 = iters
     n1 = max(2, n2 // 4)
-    c1, c2 = _chained(fn, n1), _chained(fn, n2)
+    c1, c2 = _chained(fn, n1, anchor), _chained(fn, n2, anchor)
     jax.device_get(c1(*args))  # compile + warm
     jax.device_get(c2(*args))
 
@@ -291,14 +297,25 @@ def run_bench(
                             # consume ALL grads: returning only dq lets XLA
                             # dead-code-eliminate the dK/dV kernel entirely
                             return g[0] + g[1] + g[2]
+                    # Pallas-backed providers end in opaque custom calls, so
+                    # the cheap single-element anchor is DCE-safe and avoids
+                    # charging them a full-output HBM read ("ours" routes
+                    # tiny N to pure-XLA paths — keep the sum anchor there).
+                    from ..ops.flash_attention import XLA_SMALL_MAX_N
+
+                    pallas_backed = name in ("jax-flash", "splash") or (
+                        name == "ours" and n > XLA_SMALL_MAX_N
+                    )
+                    anchor = "elem" if pallas_backed else "sum"
                     try:
-                        sec = time_fn(fn, q, k, v, iters=iters)
+                        sec = time_fn(fn, q, k, v, iters=iters, anchor=anchor)
                         if mode == "bwd":
                             # grad-of-scalar executes fwd+bwd; subtract the
                             # separately-timed forward so the row reports the
                             # backward alone (≙ the reference's
                             # O.backward(retain_graph=True), src/bench.py:91-94)
-                            sec_f = time_fn(fwd, q, k, v, iters=iters)
+                            sec_f = time_fn(fwd, q, k, v, iters=iters,
+                                            anchor=anchor)
                             sec = max(sec - sec_f, 1e-9)
                         ms = sec * 1e3
                     except Exception as e:  # OOM / compile failure → NaN

@@ -195,12 +195,16 @@ def _fwd_kernel(
         m_next = jnp.maximum(m_prev, m_curr)  # broadcast over lanes
         alpha = jnp.exp2(m_prev - m_next)
         p = jnp.exp2(s - m_next[:, :1])  # [block_q, block_kv]
-        if apply_mask:
+        if apply_mask and (q_off or qseg_ref is not None):
             # Rows fully masked WITHIN a running block (cross-length causal
             # with a q block spanning the first visible row; segment ids
             # matching nothing): their s is the finite mask constant
             # everywhere, so m == mask-floor and p would be uniform 1 —
-            # zero them so l stays 0 and the epilogue emits O = 0.
+            # zero them so l stays 0 and the epilogue emits O = 0.  With
+            # q_off == 0 and no segments a running block's rows always keep
+            # at least their own diagonal column visible, so the select over
+            # [block_q, block_kv] would be pure VPU overhead on every
+            # diagonal/tail block — skip it.
             p = jnp.where(s > 0.5 * DEFAULT_MASK_VALUE, p, 0.0)
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
