@@ -170,12 +170,13 @@ def _bwd_mid_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "kv_len", "window", "softcap", "interpret",
+        "sm_scale", "kv_len", "window", "softcap", "interpret", "hb",
     ),
 )
 def bwd_mid_pallas(
     q, k, v, o, do, lse, *,
     sm_scale, kv_len, window=0, softcap=0.0, interpret=False,
+    hb=None,
 ):
     """(dQ, dK, dV) for padded causal [B, H, n, d], 512 < n ≤ MAX_MID_BWD_N.
 
@@ -191,7 +192,8 @@ def bwd_mid_pallas(
 
     q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
 
-    hb = pick_hb_bwd(n, head_dim, q.dtype, num_q_heads, q_per_kv)
+    if hb is None:
+        hb = pick_hb_bwd(n, head_dim, q.dtype, num_q_heads, q_per_kv)
     hb_kv = hb // q_per_kv if hb % q_per_kv == 0 else 1
     kernel = functools.partial(
         _bwd_mid_kernel,

@@ -176,7 +176,7 @@ def _mid_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "kv_len", "window", "softcap", "save_residuals",
-        "interpret", "sub",
+        "interpret", "sub", "hb",
     ),
 )
 def fwd_mid_pallas(
@@ -191,6 +191,7 @@ def fwd_mid_pallas(
     save_residuals: bool = False,
     interpret: bool = False,
     sub: int | None = None,
+    hb: int | None = None,
 ):
     """Causal attention for padded [B, H, n, d], 512 < n ≤ MAX_MID_N.
 
@@ -207,7 +208,8 @@ def fwd_mid_pallas(
     if sub is None:
         sub = pick_sub(n)
     assert n % sub == 0, (n, sub)
-    hb = pick_hb(n, head_dim, q.dtype, num_q_heads, q_per_kv)
+    if hb is None:
+        hb = pick_hb(n, head_dim, q.dtype, num_q_heads, q_per_kv)
     hb_kv = hb // q_per_kv if hb % q_per_kv == 0 else 1
     kernel = functools.partial(
         _mid_kernel,
