@@ -123,10 +123,15 @@ def _recompute_p(q, k, lse, iq, jkv, *, causal, kv_len, block_q,
             seg = qseg[:, :1] == kvseg[:1, :]  # [block_q, block_kv]
             mask = seg if mask is None else jnp.logical_and(mask, seg)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-        # Fully-masked rows carry the lse SENTINEL (DEFAULT_MASK_VALUE in
-        # natural units → −inf after the ×log2e below): exp2(s − (−inf))
-        # would be +inf.  Their p must be exactly 0 — mask it.
-        return jnp.where(mask, jnp.exp2(s - lse), 0.0), grad_cap
+        if q_off or qseg is not None:
+            # Fully-masked rows carry the lse SENTINEL (DEFAULT_MASK_VALUE
+            # in natural units → −inf after the ×log2e below): exp2(s −
+            # (−inf)) would be +inf.  Their p must be exactly 0 — mask it.
+            # Only cross-length causal (q_off != 0) and segment ids can
+            # produce such rows; plain self-attention always keeps the
+            # diagonal column visible, so skip the extra select there.
+            return jnp.where(mask, jnp.exp2(s - lse), 0.0), grad_cap
+        return jnp.exp2(s - lse), grad_cap
     return jnp.exp2(s - lse), grad_cap
 
 

@@ -110,9 +110,11 @@ def _small_kernel(
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
-        if mask is not None:
+        if mask is not None and (q_off or qseg_ref is not None):
             # fully-masked rows: s == mask-floor everywhere → p would be
-            # uniform 1; zero it so l == 0 → O = 0 + lse sentinel
+            # uniform 1; zero it so l == 0 → O = 0 + lse sentinel.  Such
+            # rows only exist for cross-length causal or segment ids —
+            # plain rows always keep their diagonal column visible.
             p = jnp.where(s > 0.5 * DEFAULT_MASK_VALUE, p, 0.0)
         l = jnp.sum(p, axis=-1, keepdims=True)
         pv = mxu_dot(p.astype(v.dtype), v, (((1,), (0,)), ((), ())))
@@ -283,8 +285,9 @@ def _small_bwd_kernel(
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp2(s - m)
-        if mask is not None:
+        if mask is not None and (q_off or qseg_ref is not None):
             # fully-masked rows: zero e so l == 0 → p == 0 → zero grads
+            # (cross-length causal / segment ids only, as in the forward)
             e = jnp.where(s > 0.5 * DEFAULT_MASK_VALUE, e, 0.0)
         l = jnp.sum(e, axis=-1, keepdims=True)
         p = e * jnp.where(l == 0.0, 0.0, 1.0 / l)  # normalized probabilities
