@@ -253,14 +253,17 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, bs, small,
         )
     # Mid-length causal path: in-kernel sub-blocking kills the diagonal-
     # block waste that makes 512 < N <= 2048 the general kernel's valley
-    # (see fwd_mid.py).  Only when the caller didn't pin blocks.
+    # (see fwd_mid.py).  Only when the caller didn't pin blocks.  Taken in
+    # PREFERENCE to the one-shot small kernel above 384: fwd_small computes
+    # the full padded N×N score block (≥50% causal waste at N=512), the
+    # mid kernel's strips only the visible ~75% — the backward made the
+    # same call (bwd_mid for 384 < N ≤ 512, measured 38.9 → 49.1 TF/s).
     use_mid = (
         unpinned
-        and not small
         and causal
         and seg is None
         and q.shape[2] == k.shape[2]
-        and q.shape[2] <= fwd_mid.MAX_MID_N
+        and XLA_SMALL_MAX_N < q.shape[2] <= fwd_mid.MAX_MID_N
         and fwd_mid.mid_path_fits(
             geo.current_geometry().round_up(q.shape[2], fwd_mid.SUB),
             geo.current_geometry().round_up(q.shape[-1]),

@@ -217,6 +217,53 @@ def _fwd_kernel(
         pv = mxu_dot(p.astype(v.dtype), v, (((1,), (0,)), ((), ())))
         acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
 
+    # Diagonal blocks of the compacted triangular grid waste ~half their
+    # matmul FLOPs on masked scores (the cost that made N=1024-2048 the
+    # general kernel's valley, see fwd_mid.py).  Process them as row strips
+    # instead: strip i's scores only cover its (i+1)·sub_d visible columns,
+    # so the wasted fraction drops from 0.5 to ~sub_d/(2·block_q) (12% at
+    # 1024-wide blocks).  Tri mode only: there the masked block class is
+    # exactly {diagonal} (the KV tail block is the diagonal of the last
+    # row), windows ride the banded grid, and q_off == 0.
+    sub_d = 256  # Mosaic compile time blows up below 256 (see fwd_mid)
+    use_diag_sub = (
+        tri and qseg_ref is None
+        and block_q == block_kv and block_q % sub_d == 0 and block_q > sub_d
+    )
+
+    def _compute_diag():
+        nsub = block_q // sub_d
+        q_all = q_ref[0, 0]
+        k_all = k_ref[0, 0]
+        v_all = v_ref[0, 0]
+        has_tail = kv_len % block_kv != 0
+        for i in range(nsub):
+            w = (i + 1) * sub_d
+            sl = slice(i * sub_d, (i + 1) * sub_d)
+            s = mxu_dot(q_all[sl, :], k_all[:w, :], (((1,), (1,)), ((), ())))
+            if softcap:
+                c2 = softcap * LOG2E
+                s = c2 * jnp.tanh(s * (1.0 / c2))
+            row = jax.lax.broadcasted_iota(jnp.int32, (sub_d, w), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (sub_d, w), 1)
+            mask = (row + i * sub_d) >= col
+            if has_tail:
+                mask = jnp.logical_and(mask, (col + ikv * block_kv) < kv_len)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+            m_prev = m_scratch[sl, :]
+            l_prev = l_scratch[sl, :]
+            m_curr = jnp.max(s, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next[:, :1])
+            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            m_scratch[sl, :] = m_next
+            l_scratch[sl, :] = l_next
+            pv = mxu_dot(
+                p.astype(v_all.dtype), v_all[:w, :], (((1,), (0,)), ((), ()))
+            )
+            acc_scratch[sl, :] = acc_scratch[sl, :] * alpha[:, :1] + pv
+
     # Interior blocks (fully below the causal diagonal, fully inside the KV
     # length) skip the iota/compare/select entirely — the element mask only
     # runs on diagonal-crossing and tail blocks.  With packed segments the
@@ -242,6 +289,11 @@ def _fwd_kernel(
 
         if needs_mask is None:
             pl.when(should_run)(lambda: _compute(False))
+        elif use_diag_sub:
+            # tri: should_run is statically True; masked blocks are exactly
+            # the diagonal ones → route them to the strip path.
+            pl.when(needs_mask)(_compute_diag)
+            pl.when(jnp.logical_not(needs_mask))(lambda: _compute(False))
         else:
             pl.when(jnp.logical_and(should_run, needs_mask))(lambda: _compute(True))
             pl.when(jnp.logical_and(should_run, jnp.logical_not(needs_mask)))(
