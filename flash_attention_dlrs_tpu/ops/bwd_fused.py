@@ -190,6 +190,13 @@ _FUSED_BLOCK_PREFS = (
 _MAX_DQ_PANE_BYTES = 4 * 1024 * 1024
 
 
+def max_fused_n(head_dim: int) -> int:
+    """Largest q length whose pane-resident dQ buffer fits the measured
+    envelope (8192 at d=128) — the per-segment size for the segmented
+    fused backward above it."""
+    return (_MAX_DQ_PANE_BYTES // (head_dim * 4)) // geo.MIN_BLOCK * geo.MIN_BLOCK
+
+
 def pick_fused_blocks(n_q: int, n_kv: int, head_dim: int, dtype):
     """Best measured VMEM-feasible (block_q, block_kv) for the fused
     backward, or None if no candidate fits (→ two-sweep fallback)."""

@@ -432,6 +432,32 @@ def flash_attention_backward(
         dk = dk[:, :, :kv_len, :d].astype(k.dtype)
         dv = dv[:, :, :kv_len, :d].astype(v.dtype)
         return dq, dk, dv
+    # Segmented fused backward for long causal sequences: the fused kernel's
+    # pane-resident dQ buffer caps it at max_fused_n (8K at d=128); beyond
+    # that the round-1 build fell back to the two-sweep kernels (7 matmuls
+    # per block pair vs the fused 5 — measured 114 vs 132 TF/s at 16K/8K).
+    # Instead, split Q into fused-size row segments and run the fused kernel
+    # once per segment against the causal KV prefix it can see (segment s
+    # is just a cross-length causal call with q_off = s0).  dQ rows are
+    # disjoint; partial per-segment dK/dV are XLA-summed — two extra HBM
+    # passes over dK/dV per extra segment, ~3% of the kernel time at 16K.
+    seg_n = bwd_fused.max_fused_n(d_est)
+    use_seg_fused = (
+        not user_blocks
+        and causal
+        and window == 0
+        and seg is None
+        and q.shape[2] == k.shape[2]
+        and q.shape[2] > seg_n
+        and bwd_fused.pick_fused_blocks(seg_n, k.shape[2], d_est, q.dtype)
+        is not None
+    )
+    if use_seg_fused:
+        return _backward_fused_segmented(
+            q, k, v, o, do, lse, seg_n,
+            sm_scale=sm_scale, softcap=float(logit_softcap),
+            num_kv_heads=num_kv_heads, d_est=d_est, interpret=interpret,
+        )
     # Block choice: the fused single-sweep kernel has its own sweet spot
     # (smaller than the split kernels' — its dQ pane buffer eats VMEM).
     # Pinned blocks are honored (fused if they fit, split otherwise).
@@ -498,6 +524,55 @@ def flash_attention_backward(
     dk = dk[:, :, :kv_len, :d].astype(k.dtype)
     dv = dv[:, :, :kv_len, :d].astype(v.dtype)
     return dq, dk, dv
+
+
+def _backward_fused_segmented(q, k, v, o, do, lse, seg_n, *, sm_scale,
+                              softcap, num_kv_heads, d_est, interpret):
+    """Fused single-sweep backward run per Q row segment (plain causal
+    self-attention only).  Each segment sees the KV prefix [0, s1) with
+    q_off = s0 — exactly the cross-length causal contract — so dQ comes out
+    exact per segment and per-segment partial dK/dV sum to the total."""
+    batch, num_q_heads, n, d_full = q.shape
+    dq_parts = []
+    dk_tot = jnp.zeros((batch, num_q_heads, n, d_full), jnp.float32)
+    dv_tot = jnp.zeros_like(dk_tot)
+    s0 = 0
+    while s0 < n:
+        s1 = min(s0 + seg_n, n)
+        q_s, o_s, do_s = (t[:, :, s0:s1] for t in (q, o, do))
+        lse_s = lse[:, :, s0:s1]
+        k_s, v_s = k[:, :, :s1], v[:, :, :s1]
+        blocks = bwd_fused.pick_fused_blocks(
+            s1 - s0, s1, d_est, q.dtype
+        ) or (geo.MIN_BLOCK, geo.MIN_BLOCK)
+        bq, bkv = blocks
+        qp, kp, vp, q_len, kv_len, d = _pad_inputs(q_s, k_s, v_s, bq, bkv)
+        op, _ = pad_axis_to(o_s, 2, bq)
+        dop, _ = pad_axis_to(do_s, 2, bq)
+        if qp.shape[-1] != d:
+            op, _ = pad_axis_to(op, 3, qp.shape[-1])
+            dop, _ = pad_axis_to(dop, 3, qp.shape[-1])
+        lse_p, _ = pad_axis_to(lse_s.astype(jnp.float32), 2, bq)
+        lse_rep = jnp.broadcast_to(
+            lse_p[..., None], (*lse_p.shape, geo.NUM_LANES)
+        )
+        dq_s, dk_p, dv_p = bwd_fused.bwd_fused_pallas(
+            qp, kp, vp, op, dop, lse_rep,
+            sm_scale=sm_scale, causal=True, window=0, softcap=softcap,
+            block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
+            q_off=kv_len - q_len,
+        )
+        dq_parts.append(dq_s[:, :, :q_len, :d_full])
+        dk_tot = dk_tot.at[:, :, :kv_len, :].add(dk_p[:, :, :kv_len, :d_full])
+        dv_tot = dv_tot.at[:, :, :kv_len, :].add(dv_p[:, :, :kv_len, :d_full])
+        s0 = s1
+    dq = jnp.concatenate(dq_parts, axis=2)
+    dk, dv = dk_tot, dv_tot
+    if num_q_heads != num_kv_heads:
+        grp = num_q_heads // num_kv_heads
+        dk = dk.reshape(batch, num_kv_heads, grp, *dk.shape[2:]).sum(axis=2)
+        dv = dv.reshape(batch, num_kv_heads, grp, *dv.shape[2:]).sum(axis=2)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 def _backward_small(q, k, v, do, seg, causal, sm_scale, window, softcap,

@@ -254,3 +254,38 @@ def test_fused_bwd_dq_pane_envelope():
 
     assert bwd_fused.pick_fused_blocks(8192, 8192, 128, jnp.bfloat16)
     assert bwd_fused.pick_fused_blocks(16384, 16384, 128, jnp.bfloat16) is None
+
+
+def test_bwd_fused_segmented_matches_oracle():
+    """Long causal sequences (beyond the fused dQ-pane envelope) run the
+    fused kernel once per Q row segment with partial dK/dV summed; segment
+    boundaries (incl. a non-dividing final segment) must be invisible."""
+    import importlib
+
+    fam = importlib.import_module(
+        "flash_attention_dlrs_tpu.ops.flash_attention"
+    )
+    b, hq, hkv, n, d = 1, 4, 2, 1024, 128
+    q, k, v, do = _setup(57, (b, hq, n, d), (b, hkv, n, d))
+    o, lse = flash_attention_forward(q, k, v, causal=True, sm_scale=1.0)
+    dq_r, dk_r, dv_r = reference_attention_grads(
+        q, k, v, do, causal=True, sm_scale=1.0
+    )
+    for seg_n in (512, 768):
+        dq, dk, dv = fam._backward_fused_segmented(
+            q, k, v, o, do, lse, seg_n,
+            sm_scale=1.0, softcap=0.0, num_kv_heads=hkv, d_est=d,
+            interpret=True,
+        )
+        np.testing.assert_allclose(dq, dq_r, atol=DQ_ATOL, rtol=RTOL)
+        np.testing.assert_allclose(dk, dk_r, atol=DK_ATOL, rtol=RTOL)
+        np.testing.assert_allclose(dv, dv_r, atol=DV_ATOL, rtol=RTOL)
+
+
+def test_bwd_segmented_dispatch_gate():
+    """The segmented route only fires above max_fused_n and leaves the
+    within-envelope dispatch untouched."""
+    from flash_attention_dlrs_tpu.ops import bwd_fused
+
+    assert bwd_fused.max_fused_n(128) == 8192
+    assert bwd_fused.max_fused_n(256) == 4096
