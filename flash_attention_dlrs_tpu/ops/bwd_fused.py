@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import geometry as geo
+from . import layout
 from .bwd_kernel import _mask_split, _recompute_p, _tri_decode_upper
 from .fwd_kernel import LN2, LOG2E, mxu_dot
 
@@ -119,7 +120,8 @@ def _bwd_fused_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0][:, :1]  # [block_q, 1]
+        # Packed stat layout (layout.py): [block_q/128, 128] -> [block_q, 1].
+        lse = layout.lanes_to_column(lse_ref[0, 0])
         # D inline (≙ src/flash_attention_kernels.py:120-166): one [bq, d]
         # VPU mul+rowsum per block pair, in exchange for dropping the
         # separate D kernel and the [Nq, 128] f32 dpre pane's HBM traffic.
@@ -220,7 +222,10 @@ def fused_bwd_fits_vmem(n_q: int, head_dim: int, block_q: int,
     blocks = 2 * (  # double-buffered streamed inputs
         2 * block_q * head_dim * isz  # q, do
         + 2 * block_kv * head_dim * isz  # k, v
-        + 2 * block_q * geo.NUM_LANES * 4  # lse, dpre
+        + 2 * block_q * geo.NUM_LANES * 4  # stat slack (calibrated; the
+        # packed-lse move, layout.py, shrank the real stat term 128x but
+        # this model's headroom was measured against Mosaic's actual stack
+        # allocator — loosen only with a compile probe on hardware)
     )
     scratch = 2 * block_kv * head_dim * 4  # dk/dv accumulators
     outs = 2 * block_kv * head_dim * 4  # dk/dv output blocks
@@ -333,7 +338,9 @@ def bwd_fused_pallas(
 
     q_spec = pl.BlockSpec((1, 1, block_q, head_dim), q_index)
     kv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), kv_index)
-    stat_spec = pl.BlockSpec((1, 1, block_q, geo.NUM_LANES), q_index)
+    stat_spec = pl.BlockSpec(
+        (1, 1, block_q // geo.NUM_LANES, geo.NUM_LANES), q_index
+    )
     dkv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), dkv_index)
     dq_spec = pl.BlockSpec((1, 1, n_q, head_dim), dq_index)
     in_specs = [q_spec, kv_spec, kv_spec, q_spec, q_spec, stat_spec]

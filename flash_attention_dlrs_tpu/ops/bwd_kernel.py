@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import geometry as geo
+from . import layout
 from .fwd_kernel import DEFAULT_MASK_VALUE, LN2, LOG2E, _tri_decode, mxu_dot
 
 
@@ -55,12 +56,12 @@ def _bwd_d_kernel(o_ref, do_ref, d_ref):
     o = o_ref[0, 0].astype(jnp.float32)
     do = do_ref[0, 0].astype(jnp.float32)
     d = jnp.sum(o * do, axis=-1, keepdims=True)  # [block_q, 1]
-    d_ref[0, 0] = jnp.broadcast_to(d, d_ref.shape[2:])
+    d_ref[0, 0] = layout.column_to_lanes(d)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
 def bwd_d_pallas(o, do, *, block_q: int, interpret: bool = False):
-    """D = rowsum(O ∘ dO), fp32, lane-replicated [B, H, Nq, 128]."""
+    """D = rowsum(O ∘ dO), fp32, packed [B, H, Nq/128, 128] (layout.py)."""
     batch, heads, n_q, head_dim = o.shape
     grid = (batch, heads, n_q // block_q)
     spec = pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i: (b, h, i, 0))
@@ -69,10 +70,11 @@ def bwd_d_pallas(o, do, *, block_q: int, interpret: bool = False):
         grid=grid,
         in_specs=[spec, spec],
         out_specs=pl.BlockSpec(
-            (1, 1, block_q, geo.NUM_LANES), lambda b, h, i: (b, h, i, 0)
+            (1, 1, block_q // geo.NUM_LANES, geo.NUM_LANES),
+            lambda b, h, i: (b, h, i, 0),
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (batch, heads, n_q, geo.NUM_LANES), jnp.float32
+            (batch, heads, n_q // geo.NUM_LANES, geo.NUM_LANES), jnp.float32
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
@@ -234,8 +236,9 @@ def _bwd_dkv_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0][:, :1]  # [block_q, 1]
-        dpre = dpre_ref[0, 0][:, :1]
+        # Packed stat layout (layout.py): [block_q/128, 128] -> [block_q, 1].
+        lse = layout.lanes_to_column(lse_ref[0, 0])
+        dpre = layout.lanes_to_column(dpre_ref[0, 0])
 
         p, grad_cap = _recompute_p(
             q, k, lse, iq, jkv,
@@ -371,7 +374,9 @@ def bwd_dkv_pallas(
 
     q_spec = pl.BlockSpec((1, 1, block_q, head_dim), q_index)
     kv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), kv_index)
-    stat_spec = pl.BlockSpec((1, 1, block_q, geo.NUM_LANES), q_index)
+    stat_spec = pl.BlockSpec(
+        (1, 1, block_q // geo.NUM_LANES, geo.NUM_LANES), q_index
+    )
     dkv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), dkv_index)
     in_specs = [q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec]
     inputs = [q, k, v, do, lse, dpre]
@@ -487,8 +492,8 @@ def _bwd_dq_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0][:, :1]
-        dpre = dpre_ref[0, 0][:, :1]
+        lse = layout.lanes_to_column(lse_ref[0, 0])
+        dpre = layout.lanes_to_column(dpre_ref[0, 0])
 
         p, grad_cap = _recompute_p(
             q, k, lse, iq, jkv,
@@ -601,7 +606,9 @@ def bwd_dq_pallas(
 
     q_spec = pl.BlockSpec((1, 1, block_q, head_dim), q_index)
     kv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), kv_index)
-    stat_spec = pl.BlockSpec((1, 1, block_q, geo.NUM_LANES), q_index)
+    stat_spec = pl.BlockSpec(
+        (1, 1, block_q // geo.NUM_LANES, geo.NUM_LANES), q_index
+    )
     in_specs = [q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec]
     inputs = [q, k, v, do, lse, dpre]
     if q_seg is not None:

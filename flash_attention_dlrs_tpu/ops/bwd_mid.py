@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import geometry as geo
+from . import layout
 from .fwd_kernel import DEFAULT_MASK_VALUE, LN2, LOG2E, mxu_dot
 
 # Padding unit and in-kernel sub edge (see fwd_mid.pick_sub: 128 blows up
@@ -44,6 +45,10 @@ def bwd_mid_fits(n_pad: int, head_dim: int, dtype, hb: int = 1,
     isz = jnp.dtype(dtype).itemsize
     in_panes = 2 * hb * (
         5 * n_pad * head_dim * isz + n_pad * geo.NUM_LANES * 4
+        # ^ stat slack: the packed-lse move (layout.py) shrank the real lse
+        # pane 128x, but this model's headroom is calibrated against
+        # Mosaic's actual stack allocator — loosen only with a hardware
+        # compile probe.
     )
     out_panes = 3 * hb * n_pad * head_dim * 4
     temps = 2 * (3 * SUB * SUB * 4)
@@ -74,7 +79,7 @@ def _bwd_mid_kernel(
     v_ref,
     o_ref,  # [1, hb, n, d] — forward output (D computed inline)
     do_ref,
-    lse_ref,  # [1, hb, n, LANES] f32 (natural-base logsumexp)
+    lse_ref,  # [1, hb, n/128, 128] f32 packed (layout.py), natural-base
     dq_ref,  # [1, hb, n, d] f32
     dk_ref,
     dv_ref,
@@ -116,7 +121,10 @@ def _bwd_mid_kernel(
             # do stays in its native dtype: upcasting would force fp32 MXU
             # matmuls (multipass — measured ~2× whole-kernel cost on v5e)
             do = do_ref[0, jh, iq * SUB:(iq + 1) * SUB, :]
-            lse2 = lse_ref[0, jh, iq * SUB:(iq + 1) * SUB, :1] * LOG2E
+            rs = SUB // geo.NUM_LANES
+            lse2 = layout.lanes_to_column(
+                lse_ref[0, jh, iq * rs:(iq + 1) * rs, :]
+            ) * LOG2E
             # D = rowsum(O ∘ dO) inline (≙ the reference's separate
             # bwd_D_kernel, src/flash_attention_kernels.py:120-166): a
             # [SUB, d] VPU mul+rowsum per pair — 0.1% of the pair's MXU
@@ -208,7 +216,7 @@ def bwd_mid_pallas(
         kv_index = lambda b, h: (b, (h * hb) // q_per_kv, 0, 0)
     kv_spec = pl.BlockSpec((1, hb_kv, n, head_dim), kv_index)
     stat_spec = pl.BlockSpec(
-        (1, hb, n, geo.NUM_LANES), lambda b, h: (b, h, 0, 0)
+        (1, hb, n // geo.NUM_LANES, geo.NUM_LANES), lambda b, h: (b, h, 0, 0)
     )
     g_shape = jax.ShapeDtypeStruct(
         (batch, num_q_heads, n, head_dim), jnp.float32

@@ -35,6 +35,17 @@ from . import bwd_mid
 from . import fwd_kernel as fwd
 from . import fwd_mid
 from . import fwd_small
+from . import layout
+
+
+def _pack_stat_padded(stat, block):
+    """[B, H, L] stat -> packed [B, H, n/128, 128] (layout.py), with L padded
+    up to a multiple of ``block`` (callers pass the q block size, always a
+    multiple of 128).  The reshape is contiguous — the only data movement is
+    the small fp32 pad, 128x less HBM traffic than the round-1
+    lane-replicated broadcast."""
+    stat_p, _ = pad_axis_to(stat.astype(jnp.float32), 2, block)
+    return layout.pack_stat(stat_p)
 
 
 class SegmentIds(NamedTuple):
@@ -281,7 +292,7 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, bs, small,
             interpret=interpret,
         )
         if save_residuals:
-            return o[:, :, :q_len, :d], lse[:, :, :q_len, 0]
+            return o[:, :, :q_len, :d], layout.unpack_stat(lse)[:, :, :q_len]
         return o[:, :, :q_len, :d], None
     if small:
         n_pad = geo.current_geometry().round_up(
@@ -310,7 +321,7 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, bs, small,
             interpret=interpret, q_off=kv_len - q_len,
         )
     if save_residuals:
-        return o[:, :, :q_len, :d], lse[:, :, :q_len, 0]
+        return o[:, :, :q_len, :d], layout.unpack_stat(lse)[:, :, :q_len]
     return o[:, :, :q_len, :d], None
 
 
@@ -414,12 +425,9 @@ def flash_attention_backward(
         if qp.shape[-1] != d:
             op, _ = pad_axis_to(op, 3, qp.shape[-1])
             dop, _ = pad_axis_to(dop, 3, qp.shape[-1])
-        lse_p, _ = pad_axis_to(lse.astype(jnp.float32), 2, bwd_mid.SUB)
-        lse_rep = jnp.broadcast_to(
-            lse_p[..., None], (*lse_p.shape, geo.NUM_LANES)
-        )
+        lse_pk = _pack_stat_padded(lse, bwd_mid.SUB)
         dq, dk, dv = bwd_mid.bwd_mid_pallas(
-            qp, kp, vp, op, dop, lse_rep,
+            qp, kp, vp, op, dop, lse_pk,
             sm_scale=sm_scale, kv_len=kv_len, window=window,
             softcap=float(logit_softcap), interpret=interpret,
         )
@@ -483,16 +491,15 @@ def flash_attention_backward(
     if d_pad != d:
         op, _ = pad_axis_to(op, 3, d_pad)
         dop, _ = pad_axis_to(dop, 3, d_pad)
-    # Stats arrive [B, H, Nq]; pad and lane-replicate to [B, H, Nq_pad, 128].
-    lse_p, _ = pad_axis_to(lse.astype(jnp.float32), 2, bq)
-    lse_rep = jnp.broadcast_to(lse_p[..., None], (*lse_p.shape, geo.NUM_LANES))
+    # Stats arrive [B, H, Nq]; pad and pack to [B, H, Nq_pad/128, 128].
+    lse_pk = _pack_stat_padded(lse, bq)
 
     # Fused single-sweep backward (5 matmuls per block pair, D inline)
     # whenever the pane-resident dQ buffer fits VMEM; two-sweep kernels
     # (7 matmuls, separate D-preprocess) otherwise — see bwd_fused.py.
     if use_fused:
         dq, dk, dv = bwd_fused.bwd_fused_pallas(
-            qp, kp, vp, op, dop, lse_rep, qseg_p, kvseg_p,
+            qp, kp, vp, op, dop, lse_pk, qseg_p, kvseg_p,
             sm_scale=sm_scale, causal=causal, window=window,
             softcap=float(logit_softcap),
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
@@ -501,14 +508,14 @@ def flash_attention_backward(
     else:
         dpre = bwd.bwd_d_pallas(op, dop, block_q=bq, interpret=interpret)
         dk, dv = bwd.bwd_dkv_pallas(
-            qp, kp, vp, dop, lse_rep, dpre, qseg_p, kvseg_p,
+            qp, kp, vp, dop, lse_pk, dpre, qseg_p, kvseg_p,
             sm_scale=sm_scale, causal=causal, window=window,
             softcap=float(logit_softcap),
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
             q_off=kv_len - q_len,
         )
         dq = bwd.bwd_dq_pallas(
-            qp, kp, vp, dop, lse_rep, dpre, qseg_p, kvseg_p,
+            qp, kp, vp, dop, lse_pk, dpre, qseg_p, kvseg_p,
             sm_scale=sm_scale, causal=causal, window=window,
             softcap=float(logit_softcap),
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
@@ -552,12 +559,9 @@ def _backward_fused_segmented(q, k, v, o, do, lse, seg_n, *, sm_scale,
         if qp.shape[-1] != d:
             op, _ = pad_axis_to(op, 3, qp.shape[-1])
             dop, _ = pad_axis_to(dop, 3, qp.shape[-1])
-        lse_p, _ = pad_axis_to(lse_s.astype(jnp.float32), 2, bq)
-        lse_rep = jnp.broadcast_to(
-            lse_p[..., None], (*lse_p.shape, geo.NUM_LANES)
-        )
+        lse_pk = _pack_stat_padded(lse_s, bq)
         dq_s, dk_p, dv_p = bwd_fused.bwd_fused_pallas(
-            qp, kp, vp, op, dop, lse_rep,
+            qp, kp, vp, op, dop, lse_pk,
             sm_scale=sm_scale, causal=True, window=0, softcap=softcap,
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
             q_off=kv_len - q_len,

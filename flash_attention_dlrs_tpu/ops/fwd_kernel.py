@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import geometry as geo
+from . import layout
 
 # Finite large-negative mask: -inf would produce NaN via exp(-inf - (-inf)).
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
@@ -309,10 +310,12 @@ def _fwd_kernel(
         o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
         if lse_ref is not None:
             # m is in base-2 units (scores were pre-scaled by log2e); the
-            # residual stays natural-base: L = ln2·m₂ + ln(l₂).
+            # residual stays natural-base: L = ln2·m₂ + ln(l₂).  Written in
+            # the packed [block_q/128, 128] layout (see layout.py) — dense,
+            # not lane-replicated.
             lse = LN2 * m + jnp.log(jnp.where(l == 0.0, 1.0, l))
             lse = jnp.where(l == 0.0, DEFAULT_MASK_VALUE, lse)
-            lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+            lse_ref[0, 0] = layout.column_to_lanes(lse)
 
 
 @functools.partial(
@@ -358,7 +361,8 @@ def fwd_pallas(
     segment ids.
 
     Returns O [B, Hq, Nq_pad, d] in q.dtype, plus — when ``save_residuals`` —
-    LSE [B, Hq, Nq_pad, 128] fp32 (lane-replicated; callers slice [..., 0]).
+    LSE [B, Hq, Nq_pad/128, 128] fp32 in the packed layout (layout.py;
+    callers reshape to [B, Hq, Nq_pad] for free).
     """
     batch, num_q_heads, n_q, head_dim = q.shape
     _, num_kv_heads, n_kv, _ = k.shape
@@ -495,15 +499,19 @@ def fwd_pallas(
     out_specs = [o_spec]
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
     if save_residuals:
+        # Packed stat layout (layout.py): one dense 128-lane row per 128 q
+        # rows, [B, H, n_q/128, 128] — q_index block arithmetic carries over
+        # unchanged because index maps are in block units.
         out_specs.append(
             pl.BlockSpec(
-                (1, 1, block_q, geo.NUM_LANES),
+                (1, 1, block_q // geo.NUM_LANES, geo.NUM_LANES),
                 lambda *idx: q_index(*idx),
             )
         )
         out_shape.append(
             jax.ShapeDtypeStruct(
-                (batch, num_q_heads, n_q, geo.NUM_LANES), jnp.float32
+                (batch, num_q_heads, n_q // geo.NUM_LANES, geo.NUM_LANES),
+                jnp.float32,
             )
         )
 

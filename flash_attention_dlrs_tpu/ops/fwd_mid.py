@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import geometry as geo
+from . import layout
 from .fwd_kernel import DEFAULT_MASK_VALUE, LN2, LOG2E, mxu_dot
 
 # Padded-length ceiling for this path; beyond it the general tri-grid kernel
@@ -94,7 +95,7 @@ def _mid_kernel(
     k_ref,  # [1, hb_kv, n, d]
     v_ref,
     o_ref,
-    lse_ref,  # [1, hb, n, LANES] f32 or None
+    lse_ref,  # [1, hb, n/128, 128] f32 packed (layout.py) or None
     *,
     n: int,
     kv_len: int,
@@ -167,8 +168,9 @@ def _mid_kernel(
         if lse_ref is not None:
             lse = LN2 * m + jnp.log(jnp.where(l == 0.0, 1.0, l))
             lse = jnp.where(l == 0.0, DEFAULT_MASK_VALUE, lse)
-            lse_ref[0, j, iq * SUB:(iq + 1) * SUB, :] = jnp.broadcast_to(
-                lse, (SUB, geo.NUM_LANES)
+            rs = SUB // geo.NUM_LANES
+            lse_ref[0, j, iq * rs:(iq + 1) * rs, :] = (
+                layout.column_to_lanes(lse)
             )
 
 
@@ -233,11 +235,15 @@ def fwd_mid_pallas(
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
     if save_residuals:
         out_specs.append(
-            pl.BlockSpec((1, hb, n, geo.NUM_LANES), lambda b, h: (b, h, 0, 0))
+            pl.BlockSpec(
+                (1, hb, n // geo.NUM_LANES, geo.NUM_LANES),
+                lambda b, h: (b, h, 0, 0),
+            )
         )
         out_shape.append(
             jax.ShapeDtypeStruct(
-                (batch, num_q_heads, n, geo.NUM_LANES), jnp.float32
+                (batch, num_q_heads, n // geo.NUM_LANES, geo.NUM_LANES),
+                jnp.float32,
             )
         )
     outs = pl.pallas_call(

@@ -23,6 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import geometry as geo
+from . import layout
 from .fwd_kernel import DEFAULT_MASK_VALUE, LN2, LOG2E, mxu_dot
 
 # Only sequences up to this padded length take the one-shot path: beyond it
@@ -42,11 +43,12 @@ def _heads_per_cell(n: int, head_dim: int, num_q_heads: int, q_per_kv: int,
     for j < hb, so a non-multiple hb (e.g. hb=6 with q_per_kv=4) would read
     past the block — candidates are filtered, never just halved.
 
-    The lse output must be counted when residuals are saved: it is a
-    lane-replicated [hb, n, 128] f32 block, double-buffered like the other
-    outputs.  Omitting it let hb=16 through at n=384 (bench head count) and
-    Mosaic refused the 16.62M scoped stack on the real chip — a crash the
-    power-of-two bench sweep never hit.
+    The lse output must be counted when residuals are saved (omitting it
+    let hb=16 through at n=384 — bench head count — and Mosaic refused the
+    16.62M scoped stack on the real chip, a crash the power-of-two bench
+    sweep never hit).  Since the move to the packed [hb, n/128, 128] stat
+    layout (layout.py) the term is 128x smaller than the lane-replicated
+    block that caused that crash.
     """
     isz = jnp.dtype(dtype).itemsize
     budget = geo.current_geometry().vmem_budget * budget_frac
@@ -57,7 +59,7 @@ def _heads_per_cell(n: int, head_dim: int, num_q_heads: int, q_per_kv: int,
     for hb in candidates:
         q_kv = hb * n * head_dim * isz * 2  # q + out
         kv = 2 * (hb // q_per_kv) * n * head_dim * isz
-        lse = hb * n * geo.NUM_LANES * 4 if save_residuals else 0
+        lse = hb * n * 4 if save_residuals else 0
         scores = 2 * n * n * 4
         if (q_kv + kv + lse) * 2 + scores <= budget:
             return hb
@@ -71,7 +73,7 @@ def _small_kernel(
     qseg_ref,  # [1, n, LANES] int32 or None
     kvseg_ref,  # [1, SUBLANES, n] int32 or None
     o_ref,
-    lse_ref,  # [1, hb, n, LANES] f32 or None
+    lse_ref,  # [1, hb, n/128, 128] f32 packed (layout.py) or None
     *,
     causal: bool,
     kv_len: int,
@@ -123,7 +125,7 @@ def _small_kernel(
         if lse_ref is not None:
             lse = LN2 * m + jnp.log(jnp.where(l == 0.0, 1.0, l))
             lse = jnp.where(l == 0.0, DEFAULT_MASK_VALUE, lse)
-            lse_ref[0, j] = jnp.broadcast_to(lse, (n, geo.NUM_LANES))
+            lse_ref[0, j] = layout.column_to_lanes(lse)
 
 
 @functools.partial(
@@ -206,11 +208,15 @@ def fwd_small_pallas(
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
     if save_residuals:
         out_specs.append(
-            pl.BlockSpec((1, hb, n, geo.NUM_LANES), lambda b, h: (b, h, 0, 0))
+            pl.BlockSpec(
+                (1, hb, n // geo.NUM_LANES, geo.NUM_LANES),
+                lambda b, h: (b, h, 0, 0),
+            )
         )
         out_shape.append(
             jax.ShapeDtypeStruct(
-                (batch, num_q_heads, n, geo.NUM_LANES), jnp.float32
+                (batch, num_q_heads, n // geo.NUM_LANES, geo.NUM_LANES),
+                jnp.float32,
             )
         )
     outs = pl.pallas_call(

@@ -9,12 +9,12 @@ import jax
 import jax.numpy as jnp
 
 from flash_attention_dlrs_tpu.bench.suite import time_fn
-from flash_attention_dlrs_tpu import geometry as geo
 from flash_attention_dlrs_tpu.ops import (
     bwd_fused,
     flash_attention_forward,
 )
 from flash_attention_dlrs_tpu.ops import bwd_kernel as bwdk
+from flash_attention_dlrs_tpu.ops import layout
 
 n, bq, bkv = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 split = len(sys.argv) > 4 and sys.argv[4] == "split"
@@ -26,9 +26,7 @@ k = jax.random.normal(keys[1], (b, h, n, d), jnp.bfloat16)
 v = jax.random.normal(keys[2], (b, h, n, d), jnp.bfloat16)
 do = jax.random.normal(keys[3], (b, h, n, d), jnp.bfloat16)
 o, lse = flash_attention_forward(q, k, v, causal=True)
-lse_rep = jnp.broadcast_to(
-    lse.astype(jnp.float32)[..., None], (*lse.shape, geo.NUM_LANES)
-)
+lse_pk = layout.pack_stat(lse.astype(jnp.float32))
 
 sm = float(d) ** -0.5
 
@@ -49,7 +47,7 @@ def fn(q_, k_, v_, do_, o_, lse_):
     return dq.sum() + dk.sum() + dv.sum()
 
 
-sec = time_fn(fn, q, k, v, do, o, lse_rep)
+sec = time_fn(fn, q, k, v, do, o, lse_pk)
 fl = 2.5 * 2 * 2.0 * b * h * n * n * d * 0.5
 mode = "split" if split else "fused"
 print(f"{mode} N={n} bq={bq} bkv={bkv}: {sec*1e3:8.3f} ms  {fl/sec/1e12:6.1f} TF/s")
