@@ -115,6 +115,17 @@ def _validate(q, k, v):
         )
     if q.dtype != k.dtype or q.dtype != v.dtype:
         raise ValueError(f"dtype mismatch: {q.dtype}, {k.dtype}, {v.dtype}")
+    if q.dtype == jnp.float64:
+        # The reference maps float64 through convert_triton_dtype
+        # (src/flash_attention_torch.py:7-18) because GPUs have fp64 ALUs.
+        # The TPU MXU has no fp64 (even fp32 is a multi-pass bf16
+        # emulation, see BASELINE.md) — a silent downcast would betray the
+        # one reason to ask for fp64.  Refuse explicitly.
+        raise NotImplementedError(
+            "float64 attention is not supported on TPU (the MXU has no "
+            "fp64 datapath); cast to float32 — the kernels' fp32 "
+            "accumulators already give the best precision the hardware has"
+        )
 
 
 def _resolve(q, k, sm_scale, block_sizes, interpret):

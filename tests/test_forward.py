@@ -387,6 +387,20 @@ def test_fwd_bwd_half_precision_dtypes(dtype):
         g.astype(jnp.float32))))
 
 
+def test_float64_refused_explicitly():
+    """The reference's dtype map includes float64
+    (src/flash_attention_torch.py:7-18) because GPUs have fp64 ALUs; the
+    TPU MXU does not, so the surface is an explicit NotImplementedError
+    rather than a silent downcast."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        q = jnp.ones((1, 1, 128, 64), jnp.float64)
+        with pytest.raises(NotImplementedError, match="float64"):
+            flash_attention(q, q, q, causal=True)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 # ---------------------------------------------------------------------------
 # Mid-length causal path (in-kernel sub-blocking, 512 < N <= 2048)
 # ---------------------------------------------------------------------------
