@@ -8,6 +8,7 @@ scale-out.  See SURVEY.md at the repo root for the reference layer map this
 package covers.
 """
 
+from . import nn
 from .geometry import TpuGeometry, current_geometry
 from .ops import (
     SegmentIds,
@@ -21,6 +22,7 @@ from .tuning import BlockSizes, default_block_sizes
 __version__ = "0.1.0"
 
 __all__ = [
+    "nn",
     "SegmentIds",
     "flash_attention",
     "flash_attention_forward",

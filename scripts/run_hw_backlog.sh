@@ -1,0 +1,47 @@
+#!/bin/bash
+# Hardware-validation backlog for the packed-stat-layout round: run the
+# moment the TPU tunnel is back.  Strictly sequential (one process owns the
+# TPU); every step logs to bench_out/hw_backlog/ and the script aborts on
+# the first correctness failure (perf steps keep going).
+#
+# Usage:  bash scripts/run_hw_backlog.sh [fast]
+#   fast = probe + gates only (skip the ~1h bench sweep and train bench)
+set -u
+cd "$(dirname "$0")/.."
+LOG=bench_out/hw_backlog
+mkdir -p "$LOG"
+FAST=${1:-}
+
+step() {  # step <name> <timeout-s> <cmd...>
+  local name=$1 to=$2; shift 2
+  echo "=== $name ($(date +%H:%M:%S)) ===" | tee -a "$LOG/summary.log"
+  timeout "$to" python -u "$@" >"$LOG/$name.log" 2>&1
+  local rc=$?
+  echo "=== $name rc=$rc ($(date +%H:%M:%S)) ===" | tee -a "$LOG/summary.log"
+  return $rc
+}
+
+# 1. Layout probe: compile + oracle-check every packed-stat kernel route.
+#    A failure here means the layout change is wrong on real Mosaic — stop.
+step probe_layout 3600 scripts/probe_layout_tpu.py || {
+  echo "LAYOUT PROBE FAILED — aborting backlog" | tee -a "$LOG/summary.log"
+  exit 1
+}
+
+# 2. Golden gates, both mask variants (fp32 kernels changed with the layout).
+step gate_noncausal 2400 scripts/run_golden_gate.py || exit 1
+step gate_causal 2400 scripts/run_golden_gate.py --causal || exit 1
+
+[ "$FAST" = fast ] && { echo "fast mode: done" | tee -a "$LOG/summary.log"; exit 0; }
+
+# 3. Full bench sweep (fwd / bwd / fwd+bwd, N=2^7..2^15) + plots.
+step bench_sweep 7200 scripts/run_bench_suite.py
+
+# 4. Headline metric (what the driver records).
+step bench_headline 1800 bench.py
+
+# 5. Train-step MFU at the best-known config.
+step bench_train 3600 scripts/bench_train.py --remat-policy save_dots \
+  --loss-chunk 256 --optimizer adamw8bit
+
+echo "BACKLOG COMPLETE" | tee -a "$LOG/summary.log"
