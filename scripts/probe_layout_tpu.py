@@ -25,7 +25,7 @@ quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
 
 
 def check(name, b, h, n, d, dtype, causal=True, hkv=None, window=0,
-          softcap=0.0, n_kv=None, tol=None):
+          softcap=0.0, n_kv=None, tol=None, segments=False):
     t0 = time.time()
     hkv = hkv or h
     n_kv = n_kv or n
@@ -35,19 +35,26 @@ def check(name, b, h, n, d, dtype, causal=True, hkv=None, window=0,
     v = jax.random.normal(ks[2], (b, hkv, n_kv, d), dtype)
     do = jax.random.normal(ks[3], (b, h, n, d), dtype)
     sm = d ** -0.5
+    seg = None
+    if segments:  # two packed sequences per row (requires n == n_kv)
+        seg = (jnp.arange(n)[None, :] >= n // 2).astype(jnp.int32)
+        seg = jnp.broadcast_to(seg, (b, n))
 
     f = lambda a, b_, c: (flash_attention(
-        a, b_, c, causal=causal, window=window, logit_softcap=softcap
+        a, b_, c, causal=causal, window=window, logit_softcap=softcap,
+        segment_ids=seg,
     ) * do).sum()
     fr = lambda a, b_, c: (reference_attention(
         a.astype(jnp.float32), b_.astype(jnp.float32), c.astype(jnp.float32),
         causal=causal, sm_scale=sm, window=window, logit_softcap=softcap,
+        segment_ids=seg,
     ) * do.astype(jnp.float32)).sum()
     o = flash_attention(q, k, v, causal=causal, window=window,
-                        logit_softcap=softcap)
+                        logit_softcap=softcap, segment_ids=seg)
     oref = reference_attention(
         q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
-        causal=causal, sm_scale=sm, window=window, logit_softcap=softcap)
+        causal=causal, sm_scale=sm, window=window, logit_softcap=softcap,
+        segment_ids=seg)
     g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
     gr = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
     errs = [float(jnp.max(jnp.abs(o.astype(jnp.float32) - oref)))] + [
@@ -82,6 +89,8 @@ def main():
         ok &= check("bf16 N=2048 GQA 8q/2kv", 1, 8, 2048, 128, bf, hkv=2)
         ok &= check("bf16 cross-len q=1024 kv=2048", 1, 4, 1024, 128, bf,
                     n_kv=2048)
+        ok &= check("bf16 N=2048 packed segments", 1, 4, 2048, 128, bf,
+                    segments=True)
         ok &= check("bf16 N=12288 segmented fused bwd", 1, 2, 12288, 128, bf)
         # non-causal large-N: the split dkv/dq kernels (packed lse + dpre)
         ok &= check("bf16 N=4096 non-causal split bwd", 1, 2, 4096, 128, bf,
