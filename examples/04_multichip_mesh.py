@@ -34,7 +34,8 @@ def main():
     print(f"{n_dev} devices ({jax.devices()[0].platform})")
 
     # --- dp x tp training: params sharded over 'model', batch over 'data'.
-    mesh = make_mesh((2, n_dev // 2), ("data", "model"))
+    dp = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
+    mesh = make_mesh((dp, n_dev // dp), ("data", "model"))
     cfg = ModelConfig.tiny(dtype=jnp.float32, remat=False)
     params, opt_state, optimizer = make_train_state(
         jax.random.PRNGKey(0), cfg, mesh, learning_rate=1e-3)

@@ -49,6 +49,14 @@ from .ops.flash_attention import SegmentIds, flash_attention
 __all__ = ["dot_product_attention"]
 
 
+def _window_left(local_window_size):
+    if local_window_size is None:
+        return None
+    if isinstance(local_window_size, int):
+        return local_window_size
+    return int(local_window_size[0])
+
+
 def _needs_fallback(bias, mask, is_causal, t, s, local_window_size,
                     return_residual, implementation, dtype) -> bool:
     if implementation == "xla":
@@ -62,6 +70,11 @@ def _needs_fallback(bias, mask, is_causal, t, s, local_window_size,
     if is_causal and t != s:
         return True  # top-left (jax) vs bottom-right (kernels) alignment
     if local_window_size is not None and not is_causal:
+        return True
+    left = _window_left(local_window_size)
+    if left is not None and left < 0:
+        # jax defines negative left windows (they mask rows empty); the
+        # kernels' window=0 means "disabled" — semantics diverge, defer.
         return True
     return False
 
@@ -129,15 +142,12 @@ def dot_product_attention(
 
     window = 0
     if local_window_size is not None:
-        if isinstance(local_window_size, int):
-            left = local_window_size
-        else:
-            left = int(local_window_size[0])
         # jax: attend [i-left, i+right]; causal kills the right side.
         # kernels: `window` = tokens visible including self.
-        window = left + 1
+        window = _window_left(local_window_size) + 1
 
     segment_ids = None
+    seg_q = None
     if query_seq_lengths is not None or key_value_seq_lengths is not None:
         q_len = (jnp.asarray(query_seq_lengths, jnp.int32)
                  if query_seq_lengths is not None
@@ -164,8 +174,7 @@ def dot_product_attention(
     o = o.transpose(0, 2, 1, 3)
 
     if query_seq_lengths is not None:
-        valid = jnp.arange(t, dtype=jnp.int32)[None, :] < jnp.asarray(
-            query_seq_lengths, jnp.int32)[:, None]
+        valid = seg_q.astype(bool)  # the same mask that drove the kernel
         o = jnp.where(valid[:, :, None, None], o, jnp.zeros((), o.dtype))
 
     return o[0] if unbatched else o

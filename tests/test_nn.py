@@ -123,6 +123,17 @@ def test_implementation_flash_refuses_fallback_args():
                               implementation="flash")
 
 
+def test_negative_window_falls_back():
+    # jax defines left=-1 as "mask the row empty"; the kernels' window=0
+    # means disabled — the adapter must defer, not silently run full causal
+    q, k, v = _mk(1, 128, 128, 2, 2, 64)
+    ours = dot_product_attention(q, k, v, is_causal=True,
+                                 local_window_size=(-1, 0))
+    ref = jax.nn.dot_product_attention(q, k, v, is_causal=True,
+                                       local_window_size=(-1, 0))
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), **TOL)
+
+
 def test_implementation_validated():
     q, k, v = _mk(1, 128, 128, 2, 2, 64)
     with pytest.raises(ValueError, match="cudnn"):
