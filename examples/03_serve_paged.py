@@ -31,6 +31,12 @@ def main():
         sampling=SamplingParams(temperature=0.8, top_k=20, top_p=0.95,
                                 seed=42)))
 
+    # Streaming: tokens arrive per batched step, interleaved across the
+    # concurrently-decoding requests (what a serving front-end consumes).
+    for ev in eng.generate_stream(prompts[:2], max_new_tokens=4):
+        print("  stream:", ev.request_id,
+              "done" if ev.done else f"token={ev.token}")
+
     # INT8 KV cache: ~2x the resident context per HBM byte; measured
     # perplexity gap vs fp is 0.0000 on the trained eval model (eval_ppl.py).
     eng8 = DecodeEngine(params, cfg, num_pages=16, page_size=128,

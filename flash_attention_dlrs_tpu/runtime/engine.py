@@ -15,7 +15,7 @@ batch never changes shape.
 from __future__ import annotations
 
 import warnings
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Iterator, List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +49,15 @@ def _next_pow2(n: int, floor: int = 128) -> int:
     while p < n:
         p *= 2
     return p
+
+
+class StreamEvent(NamedTuple):
+    """One `DecodeEngine.generate_stream` event: a generated token
+    (`done=False`), or end-of-request (`token=None, done=True`)."""
+
+    request_id: str
+    token: Optional[int]
+    done: bool
 
 
 class DecodeEngine:
@@ -326,6 +335,30 @@ class DecodeEngine:
         """Generate for every prompt (continuous batching).  ``sampling``
         defaults to greedy; per-request control goes through the scheduler's
         Request.sampling field."""
+        outputs: Dict[str, List[int]] = {}
+        for ev in self.generate_stream(
+            prompts, max_new_tokens=max_new_tokens, max_steps=max_steps,
+            sampling=sampling,
+        ):
+            if ev.token is not None:
+                outputs.setdefault(ev.request_id, []).append(ev.token)
+        # generate_stream names requests req{i} in prompt order
+        return [outputs.get(f"req{i}", []) for i in range(len(prompts))]
+
+    def generate_stream(
+        self,
+        prompts: Sequence[Sequence[int]],
+        *,
+        max_new_tokens: int = 16,
+        max_steps: int = 10_000,
+        sampling: Optional[SamplingParams] = None,
+    ) -> Iterator["StreamEvent"]:
+        """Streaming form of :meth:`generate`: yields a ``StreamEvent`` per
+        generated token as each batched decode step retires, then one
+        ``done=True`` event per request (token=None).  Events for different
+        requests interleave in step order — continuous batching means tokens
+        stream for every active request concurrently.  Token-for-token
+        identical to :meth:`generate` (which drains this iterator)."""
         reqs = [
             Request(
                 request_id=f"req{i}",
@@ -345,6 +378,19 @@ class DecodeEngine:
                     f"only has {total_pages} — raise num_pages or shrink the request"
                 )
             self.scheduler.submit(r)
+        reported = {r.request_id: 0 for r in reqs}
+        done = set()
+
+        def drain():
+            for r in reqs:
+                while reported[r.request_id] < len(r.output_tokens):
+                    tok = r.output_tokens[reported[r.request_id]]
+                    reported[r.request_id] += 1
+                    yield StreamEvent(r.request_id, tok, False)
+                if r.finished and r.request_id not in done:
+                    done.add(r.request_id)
+                    yield StreamEvent(r.request_id, None, True)
+
         steps = 0
         while self.scheduler.has_work and steps < max_steps:
             self.scheduler.schedule()
@@ -360,8 +406,13 @@ class DecodeEngine:
                 continue
             self.step()
             steps += 1
+            yield from drain()
         self.scheduler.schedule()  # final retirement
-        return [r.output_tokens for r in reqs]
+        yield from drain()
+        for r in reqs:  # max_steps cutoff: close out unfinished requests
+            if r.request_id not in done:
+                done.add(r.request_id)
+                yield StreamEvent(r.request_id, None, True)
 
     # -- speculative decoding ---------------------------------------------------
 

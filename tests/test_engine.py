@@ -148,3 +148,34 @@ def test_fp8_kv_allowed_on_fast_parts(params, monkeypatch):
             quantized_kv=True, kv_dtype=jnp.float8_e4m3fn,
         )
     assert jnp.dtype(eng.kv_dtype) == jnp.dtype(jnp.float8_e4m3fn)
+
+
+def test_generate_stream_matches_generate(params):
+    from flash_attention_dlrs_tpu.runtime.engine import StreamEvent
+
+    prompts = [[5, 7, 11], [2, 4, 6, 8, 10]]
+    mk = lambda: DecodeEngine(
+        params, CFG, num_pages=16, page_size=128, num_slots=2,
+        pages_per_seq=4, kv_dtype=jnp.float32,
+    )
+    want = mk().generate(prompts, max_new_tokens=4)
+
+    events = list(mk().generate_stream(prompts, max_new_tokens=4))
+    assert all(isinstance(e, StreamEvent) for e in events)
+    got = {f"req{i}": [] for i in range(len(prompts))}
+    for e in events:
+        if e.token is not None:
+            got[e.request_id].append(e.token)
+    assert [got[f"req{i}"] for i in range(len(prompts))] == want
+
+    # exactly one done event per request, after its last token
+    done_idx = {e.request_id: i for i, e in enumerate(events) if e.done}
+    assert len(done_idx) == len(prompts)
+    assert sum(e.done for e in events) == len(prompts)
+    for i, e in enumerate(events):
+        if e.token is not None:
+            assert i < done_idx[e.request_id]
+
+    # both requests stream concurrently: their token events interleave
+    ids = [e.request_id for e in events if e.token is not None]
+    assert len({*ids[:4]}) == 2, ids
