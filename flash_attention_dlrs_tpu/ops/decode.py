@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import geometry as geo
 from ..utils import default_interpret
 from .fwd_kernel import DEFAULT_MASK_VALUE, mxu_dot
-from .quantization import QuantizedTensor
+from .quantization import Int4QuantizedTensor, QuantizedTensor, unpack_int4_rows
 
 
 def _decode_kernel(
@@ -65,6 +65,7 @@ def _decode_kernel(
     pages_per_seq: int,
     num_tokens: int = 1,
     group_pad: int = 0,
+    int4: bool = False,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -177,7 +178,12 @@ def _decode_kernel(
             c.wait()
 
         q = q_ref[0, 0]  # [rows, d], already sm_scale-scaled
-        k = k_buf[slot].reshape(bk, -1)  # [bk, d]
+        if int4:
+            # [ppb, ps/2, d] packed bytes -> [ppb, ps, d] int4 values
+            # (shifts + one contiguous concat; all int32 ops — Mosaic-legal)
+            k = unpack_int4_rows(k_buf[slot]).reshape(bk, -1)
+        else:
+            k = k_buf[slot].reshape(bk, -1)  # [bk, d]
         s = mxu_dot(q, k.astype(q.dtype), (((1,), (1,)), ((), ())))  # [rows, bk]
         if quantized:
             k_sc = k_sc_buf[slot].reshape(1, bk)
@@ -207,7 +213,10 @@ def _decode_kernel(
 
         if quantized:
             p = p * v_sc_buf[slot].reshape(1, bk)
-        v = v_buf[slot].reshape(bk, -1)
+        if int4:
+            v = unpack_int4_rows(v_buf[slot]).reshape(bk, -1)
+        else:
+            v = v_buf[slot].reshape(bk, -1)
         pv = mxu_dot(p.astype(q.dtype), v.astype(q.dtype), (((1,), (0,)), ((), ())))
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
@@ -241,7 +250,7 @@ def _decode_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "pages_per_block", "quantized", "interpret",
-        "num_tokens", "group_pad", "return_lse",
+        "num_tokens", "group_pad", "return_lse", "int4",
     ),
 )
 def _paged_decode(
@@ -260,11 +269,15 @@ def _paged_decode(
     num_tokens: int = 1,
     group_pad: int = 0,
     return_lse: bool = False,
+    int4: bool = False,
 ):
     batch, num_kv_heads, rows_pad, head_dim = q_grouped.shape
     if not group_pad:
         group_pad = rows_pad
-    _, total_pages, page_size, _ = k_pages.shape
+    # int4 pages store two tokens per byte row: the POOL row count is half
+    # the logical page_size (scales/masking always use the logical size).
+    _, total_pages, store_ps, _ = k_pages.shape
+    page_size = store_ps * 2 if int4 else store_ps
     pages_per_seq = page_indices.shape[1]
     num_blocks = pages_per_seq // pages_per_block
 
@@ -276,6 +289,7 @@ def _paged_decode(
         pages_per_seq=pages_per_seq,
         num_tokens=num_tokens,
         group_pad=group_pad,
+        int4=int4,
     )
     if return_lse:
         kernel = base_kernel
@@ -304,8 +318,8 @@ def _paged_decode(
         scratch_shapes=[
             # 3 slots: 2 for the steady-state double buffer + 1 handoff slot
             # filled across cell boundaries (see _decode_kernel).
-            pltpu.VMEM((3, pages_per_block, page_size, head_dim), k_pages.dtype),
-            pltpu.VMEM((3, pages_per_block, page_size, head_dim), v_pages.dtype),
+            pltpu.VMEM((3, pages_per_block, store_ps, head_dim), k_pages.dtype),
+            pltpu.VMEM((3, pages_per_block, store_ps, head_dim), v_pages.dtype),
             pltpu.VMEM((3, pages_per_block, 1, page_size), jnp.float32),
             pltpu.VMEM((3, pages_per_block, 1, page_size), jnp.float32),
             pltpu.SemaphoreType.DMA((3, 4)),
@@ -370,8 +384,10 @@ def tuned_pages_per_block(
     """
     from .. import tuning
 
-    k_vals = k_pages.values if isinstance(k_pages, QuantizedTensor) else k_pages
-    _, _, page_size, d_pool = k_vals.shape
+    k_vals = (k_pages.values
+              if isinstance(k_pages, (QuantizedTensor, Int4QuantizedTensor))
+              else k_pages)
+    _, _, page_size, d_pool = k_vals.shape  # physical rows (int4: ps/2)
     pages_per_seq = page_indices.shape[1]
     isz = jnp.dtype(k_vals.dtype).itemsize
     cands = []
@@ -399,7 +415,7 @@ def tuned_pages_per_block(
         build,
         cands,
         [list(q.shape), list(k_vals.shape), pages_per_seq,
-         str(k_vals.dtype), isinstance(k_pages, QuantizedTensor)],
+         str(k_vals.dtype), type(k_pages).__name__],
         (q, k_pages, v_pages, lengths, page_indices),
     ))
 
@@ -428,9 +444,11 @@ def paged_decode_attention(
     600-700 GB/s of the ~819 GB/s HBM peak.
     """
     batch, num_q_heads, head_dim = q.shape
-    quantized = isinstance(k_pages, QuantizedTensor)
-    if quantized != isinstance(v_pages, QuantizedTensor):
-        raise ValueError("k_pages and v_pages must both (not) be quantized")
+    quantized = isinstance(k_pages, (QuantizedTensor, Int4QuantizedTensor))
+    int4 = isinstance(k_pages, Int4QuantizedTensor)
+    if type(k_pages) is not type(v_pages):
+        raise ValueError("k_pages and v_pages must be the same kind "
+                         f"({type(k_pages).__name__} vs {type(v_pages).__name__})")
     if quantized:
         k_vals, k_sc = k_pages.values, k_pages.scales
         v_vals, v_sc = v_pages.values, v_pages.scales
@@ -480,7 +498,7 @@ def paged_decode_attention(
         lengths.astype(jnp.int32), page_indices.astype(jnp.int32),
         sm_scale=float(sm_scale), pages_per_block=pages_per_block,
         quantized=quantized, interpret=bool(interpret),
-        return_lse=return_lse,
+        return_lse=return_lse, int4=int4,
     )
     if return_lse:
         o, lse = res
@@ -510,9 +528,11 @@ def paged_verify_attention(
     cache scores all T positions.
     """
     batch, num_q_heads, num_tokens, head_dim = q.shape
-    quantized = isinstance(k_pages, QuantizedTensor)
-    if quantized != isinstance(v_pages, QuantizedTensor):
-        raise ValueError("k_pages and v_pages must both (not) be quantized")
+    quantized = isinstance(k_pages, (QuantizedTensor, Int4QuantizedTensor))
+    int4 = isinstance(k_pages, Int4QuantizedTensor)
+    if type(k_pages) is not type(v_pages):
+        raise ValueError("k_pages and v_pages must be the same kind "
+                         f"({type(k_pages).__name__} vs {type(v_pages).__name__})")
     if quantized:
         k_vals, k_sc = k_pages.values, k_pages.scales
         v_vals, v_sc = v_pages.values, v_pages.scales
@@ -561,7 +581,7 @@ def paged_verify_attention(
         lengths.astype(jnp.int32), page_indices.astype(jnp.int32),
         sm_scale=float(sm_scale), pages_per_block=pages_per_block,
         quantized=quantized, interpret=bool(interpret),
-        num_tokens=num_tokens, group_pad=group_pad,
+        num_tokens=num_tokens, group_pad=group_pad, int4=int4,
     )
     o = o.reshape(batch, num_kv_heads, num_tokens, group_pad, d_pool)
     o = jnp.swapaxes(o[:, :, :, :group, :head_dim], 2, 3)
@@ -573,8 +593,13 @@ def paged_verify_attention(
 # ---------------------------------------------------------------------------
 
 
-def quantize_kv_pages(pages: jax.Array, dtype=jnp.int8) -> QuantizedTensor:
+def quantize_kv_pages(pages: jax.Array, dtype=jnp.int8):
     """Per-token symmetric quantization of [Hkv, P, page_size, d] KV pages.
+
+    ``dtype="int4"`` returns an :class:`Int4QuantizedTensor` (two tokens
+    packed per byte along the page axis — half the DMA bytes of int8; the
+    decode kernel unpacks in-register).  Gate int4 with the perplexity eval
+    (scripts/eval_ppl.py) before serving with it.
 
     Warns (but proceeds) for fp8 payloads on parts without an fp8 datapath —
     on v5e fp8 decode is cast-bound at ~69 GB/s vs int8's 691 (10×); the
@@ -583,8 +608,10 @@ def quantize_kv_pages(pages: jax.Array, dtype=jnp.int8) -> QuantizedTensor:
     import warnings
 
     from .. import geometry as geo
-    from .quantization import quantize
+    from .quantization import quantize, quantize_int4
 
+    if isinstance(dtype, str) and dtype == "int4":
+        return quantize_int4(pages, axis=-1)
     if (
         jnp.dtype(dtype).itemsize == 1
         and jnp.dtype(dtype) != jnp.dtype(jnp.int8)
@@ -603,7 +630,7 @@ def paged_reference_attention(
     q, k_pages, v_pages, lengths, page_indices, *, sm_scale=None
 ):
     """jnp oracle: gather pages into dense K/V, masked softmax attention."""
-    if isinstance(k_pages, QuantizedTensor):
+    if isinstance(k_pages, (QuantizedTensor, Int4QuantizedTensor)):
         k_pages = k_pages.dequantize()
         v_pages = v_pages.dequantize()
     batch, num_q_heads, head_dim = q.shape

@@ -88,6 +88,98 @@ ArrayOrQuantized = Union[jax.Array, QuantizedTensor]
 
 
 # ---------------------------------------------------------------------------
+# INT4 (packed two-per-byte)
+# ---------------------------------------------------------------------------
+
+INT4_QMAX = 7.0  # symmetric int4 range [-8, 7]; ±7 keeps the scale symmetric
+
+
+def unpack_int4_rows(packed: jax.Array) -> jax.Array:
+    """[..., R/2, C] int8 -> [..., R, C] int32 values in [-8, 7].
+
+    Split-half convention (see :class:`Int4QuantizedTensor`): byte row r
+    holds logical row r in its low nibble and logical row r + R/2 in its
+    high nibble, so unpacking is two shifts plus one contiguous concat —
+    no sublane interleave.  int32 arithmetic only (TPU kernels cannot
+    legalize sub-32-bit shifts), so this helper is safe inside Pallas.
+    """
+    xi = packed.astype(jnp.int32)
+    low = (xi << 28) >> 28  # sign-extend the low nibble
+    high = xi >> 4  # arithmetic shift sign-extends the high nibble
+    return jnp.concatenate([low, high], axis=-2)
+
+
+def pack_int4_rows(values: jax.Array) -> jax.Array:
+    """[..., R, C] ints in [-8, 7] -> [..., R/2, C] int8 (inverse of
+    :func:`unpack_int4_rows`)."""
+    r = values.shape[-2]
+    assert r % 2 == 0, f"row axis must be even to pack int4, got {r}"
+    vi = values.astype(jnp.int32)
+    low = vi[..., : r // 2, :] & 0xF
+    high = vi[..., r // 2:, :] << 4
+    return (low | high).astype(jnp.int8)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Int4QuantizedTensor:
+    """INT4 payload packed two-per-byte + per-row fp32 scales.
+
+    Logically ``unpack(values) * scales`` for a [..., rows, cols] tensor;
+    ``values`` is [..., rows/2, cols] int8 with the split-half row packing
+    of :func:`pack_int4_rows` (chosen over nibble-interleave so kernels
+    unpack with shifts + one contiguous concat), ``scales`` is
+    [..., rows, 1] fp32 — one scale per LOGICAL row, same contract as
+    :class:`QuantizedTensor`.  Halves the HBM->VMEM DMA traffic of int8 —
+    the decode bottleneck is bandwidth, so packed bits buy throughput at
+    the cost of 4-bit resolution (gate with the perplexity eval before
+    serving with it).
+    """
+
+    values: jax.Array  # [..., rows/2, cols] int8, packed
+    scales: jax.Array  # [..., rows, 1] fp32
+
+    @property
+    def shape(self):  # the LOGICAL shape
+        s = list(self.values.shape)
+        s[-2] *= 2
+        return tuple(s)
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    def dequantize(self, dtype=jnp.float32) -> jax.Array:
+        vals = unpack_int4_rows(self.values).astype(jnp.float32)
+        return (vals * self.scales).astype(dtype)
+
+    def tree_flatten(self):
+        return (self.values, self.scales), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def quantize_int4(x: jax.Array, *, axis: int = -1) -> Int4QuantizedTensor:
+    """Symmetric per-row int4 quantization along ``axis`` (must be the
+    trailing axis), packed two-per-byte along the row axis (−2)."""
+    if axis not in (-1, x.ndim - 1):
+        raise ValueError("quantize_int4 scales along the trailing axis only")
+    if x.shape[-2] % 2:
+        raise ValueError(
+            f"row axis must be even to pack int4, got {x.shape[-2]}"
+        )
+    x = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.where(amax == 0.0, 1.0, amax / INT4_QMAX)
+    q = jnp.clip(jnp.round(x / scale), -8, INT4_QMAX)
+    return Int4QuantizedTensor(
+        values=pack_int4_rows(q.astype(jnp.int32)), scales=scale
+    )
+
+
+# ---------------------------------------------------------------------------
 # Weight-only INT8 projections
 # ---------------------------------------------------------------------------
 

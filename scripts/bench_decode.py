@@ -47,6 +47,7 @@ def main():
 
         variants = {"bf16": (kp, vp)}
         variants["int8"] = (quantize_kv_pages(kp, jnp.int8), quantize_kv_pages(vp, jnp.int8))
+        variants["int4"] = (quantize_kv_pages(kp, "int4"), quantize_kv_pages(vp, "int4"))
         variants["fp8"] = (
             quantize_kv_pages(kp, jnp.float8_e4m3fn),
             quantize_kv_pages(vp, jnp.float8_e4m3fn),
@@ -57,12 +58,11 @@ def main():
             # shipped with every compile request (hundreds of MB at 8K ctx).
             quantized = name != "bf16"
             if quantized:
-                def step(q_, kv_, vv_, ks_, vs_):
-                    from flash_attention_dlrs_tpu.ops.quantization import (
-                        QuantizedTensor,
-                    )
+                cls = type(kq)  # QuantizedTensor or Int4QuantizedTensor
+
+                def step(q_, kv_, vv_, ks_, vs_, cls=cls):
                     return paged_decode_attention(
-                        q_, QuantizedTensor(kv_, ks_), QuantizedTensor(vv_, vs_),
+                        q_, cls(kv_, ks_), cls(vv_, vs_),
                         lengths, pidx, pages_per_block=args.pages_per_block,
                     )
                 step_args = (q, kq.values, vq.values, kq.scales, vq.scales)
@@ -80,7 +80,7 @@ def main():
                 continue
             toks = b / sec
             # HBM bytes touched per step (the bound for decode): K+V pages
-            payload = 1 if name != "bf16" else 2
+            payload = {"bf16": 2, "int8": 1, "fp8": 1, "int4": 0.5}[name]
             gb = 2 * b * args.ctx * d * hkv * payload / 1e9
             bw = gb / sec
             results.append(

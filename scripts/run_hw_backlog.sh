@@ -28,6 +28,11 @@ step probe_layout 3600 scripts/probe_layout_tpu.py || {
   exit 1
 }
 
+# 1b. INT4 decode probe (in-kernel nibble unpack needs a real Mosaic compile).
+step probe_int4 1800 scripts/probe_int4_tpu.py || {
+  echo "INT4 PROBE FAILED — int4 stays CPU-only, continuing" | tee -a "$LOG/summary.log"
+}
+
 # 2. Golden gates, both mask variants (fp32 kernels changed with the layout).
 step gate_noncausal 2400 scripts/run_golden_gate.py || exit 1
 step gate_causal 2400 scripts/run_golden_gate.py --causal || exit 1

@@ -230,3 +230,66 @@ def test_verify_step_matches_sequential_decode_steps():
         np.testing.assert_allclose(
             np.asarray(logits_v[0, t]), logits_seq[t], atol=2e-4, rtol=1e-4
         )
+
+
+def test_int4_pack_unpack_round_trip():
+    from flash_attention_dlrs_tpu.ops.quantization import (
+        pack_int4_rows, unpack_int4_rows,
+    )
+
+    vals = jax.random.randint(jax.random.PRNGKey(0), (3, 16, 8), -8, 8)
+    packed = pack_int4_rows(vals)
+    assert packed.shape == (3, 8, 8) and packed.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(unpack_int4_rows(packed)),
+                                  np.asarray(vals))
+
+
+def test_int4_quantize_dequantize():
+    from flash_attention_dlrs_tpu.ops.quantization import quantize_int4
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 64, 32))
+    xq = quantize_int4(x)
+    assert xq.values.shape == (2, 4, 32, 32)
+    assert xq.shape == x.shape
+    # per-row symmetric int4: worst-case error is half a step = amax/14
+    err = jnp.abs(xq.dequantize() - x)
+    bound = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 14 + 1e-6
+    assert bool(jnp.all(err <= bound)), float(jnp.max(err - bound))
+
+
+def test_paged_decode_int4_kv():
+    q, kp, vp, lengths, pidx = _setup(5, batch=2)
+    kq = quantize_kv_pages(kp, "int4")
+    vq = quantize_kv_pages(vp, "int4")
+    o = paged_decode_attention(q, kq, vq, lengths, pidx)
+    # Oracle on the dequantized pages: isolates kernel error from
+    # quantization error.
+    o_ref = paged_reference_attention(q, kq, vq, lengths, pidx)
+    np.testing.assert_allclose(o, o_ref, atol=2e-3, rtol=1e-3)
+    # End-to-end int4 error vs fp32 pages: coarser than int8 but bounded.
+    o_fp = paged_reference_attention(q, kp, vp, lengths, pidx)
+    assert float(jnp.max(jnp.abs(o - o_fp))) < 0.6
+
+
+def test_paged_verify_int4_kv():
+    from flash_attention_dlrs_tpu.ops.decode import paged_verify_attention
+
+    batch, hq, hkv, t, d = 2, 4, 2, 3, 128
+    q, kp, vp, lengths, pidx = _setup(6, batch=batch, hq=hq, hkv=hkv, d=d)
+    qt = jax.random.normal(jax.random.PRNGKey(7), (batch, hq, t, d))
+    kq = quantize_kv_pages(kp, "int4")
+    vq = quantize_kv_pages(vp, "int4")
+    got = paged_verify_attention(qt, kq, vq, lengths, pidx)
+    # per-token oracle: token i attends to lengths - (t-1-i)
+    for i in range(t):
+        li = lengths - (t - 1 - i)
+        o_ref = paged_reference_attention(qt[:, :, i], kq, vq, li, pidx)
+        np.testing.assert_allclose(got[:, :, i], o_ref, atol=2e-3, rtol=1e-3)
+
+
+def test_int4_mixed_kind_rejected():
+    q, kp, vp, lengths, pidx = _setup(7, batch=2)
+    kq = quantize_kv_pages(kp, "int4")
+    vq = quantize_kv_pages(vp, jnp.int8)
+    with pytest.raises(ValueError, match="same kind"):
+        paged_decode_attention(q, kq, vq, lengths, pidx)
