@@ -19,7 +19,13 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.decode import paged_decode_attention
-from ..ops.quantization import QuantizedTensor, qmax_for
+from ..ops.quantization import (
+    INT4_QMAX,
+    Int4QuantizedTensor,
+    QuantizedTensor,
+    pack_int4_rows,
+    qmax_for,
+)
 from .transformer import ModelConfig, _proj, mlp_block, rms_norm, rope
 
 
@@ -35,6 +41,15 @@ class KVPools(NamedTuple):
     def quantized(self) -> bool:
         return self.k_scales is not None
 
+    @property
+    def int4(self) -> bool:
+        """INT4-packed pools: payload rows are HALF the scale rows (two
+        tokens per byte; ops.quantization split-half packing)."""
+        return (
+            self.k_scales is not None
+            and self.k[0].shape[-2] * 2 == self.k_scales[0].shape[-2]
+        )
+
 
 def init_kv_pools(
     cfg: ModelConfig,
@@ -48,7 +63,13 @@ def init_kv_pools(
     # DMA requires a lane-aligned trailing dim (Mosaic tiling constraint).
     from .. import geometry as geo
     d_pad = geo.current_geometry().round_up(cfg.head_dim)
-    shape = (cfg.n_kv_heads, num_pages, page_size, d_pad)
+    int4 = isinstance(dtype, str) and dtype == "int4"
+    if int4:
+        if page_size % 2:
+            raise ValueError(f"int4 pools need an even page_size, got {page_size}")
+        quantized, dtype = True, jnp.int8  # packed payload bytes
+    store_ps = page_size // 2 if int4 else page_size
+    shape = (cfg.n_kv_heads, num_pages, store_ps, d_pad)
     k = tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layers))
     v = tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layers))
     if quantized:
@@ -68,6 +89,33 @@ def _quantize_rows(x: jax.Array, dtype) -> Tuple[jax.Array, jax.Array]:
     if jnp.dtype(dtype) == jnp.dtype(jnp.int8):
         payload = jnp.round(payload)
     return payload.astype(dtype), scale
+
+
+def _quantize_rows_int4(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int4: values int32 in [-8, 7] (unpacked) + scale."""
+    x = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.where(amax == 0.0, 1.0, amax / INT4_QMAX)
+    q = jnp.clip(jnp.round(x / scale), -8, INT4_QMAX).astype(jnp.int32)
+    return q, scale
+
+
+def _int4_insert(pool, rows, offs, vals_q):
+    """Read-modify-write per-token int4 values into a packed pool.
+
+    pool: [Hkv, P, page_size/2, d] int8 (split-half packed); rows/offs:
+    [N] page row + in-page token offset per insert; vals_q: [Hkv, N, d]
+    int32 in [-8, 7].  Token offset o lives at byte row o (low nibble) when
+    o < page_size/2, else byte row o - page_size/2 (high nibble) — the
+    other nibble is preserved, so concurrent halves never clobber.
+    """
+    half = pool.shape[-2]
+    brow = jnp.where(offs < half, offs, offs - half)
+    is_low = (offs < half)[None, :, None]
+    old = pool[:, rows, brow].astype(jnp.int32)
+    v = vals_q & 0xF
+    merged = jnp.where(is_low, (old & ~0xF) | v, (old & 0xF) | (v << 4))
+    return pool.at[:, rows, brow].set(merged.astype(jnp.int8))
 
 
 # ---------------------------------------------------------------------------
@@ -165,7 +213,16 @@ def make_decode_step(
                 pad = ((0, 0), (0, 0), (0, d_pool - kT.shape[-1]))
                 kT = jnp.pad(kT, pad)
                 vT = jnp.pad(vT, pad)
-            if pools.quantized:
+            if pools.int4:
+                kq, ks = _quantize_rows_int4(kT)
+                vq, vs = _quantize_rows_int4(vT)
+                new_k[li] = _int4_insert(new_k[li], page_rows, page_offs, kq)
+                new_v[li] = _int4_insert(new_v[li], page_rows, page_offs, vq)
+                new_ks[li] = new_ks[li].at[:, page_rows, page_offs].set(ks)
+                new_vs[li] = new_vs[li].at[:, page_rows, page_offs].set(vs)
+                k_att = Int4QuantizedTensor(new_k[li], new_ks[li])
+                v_att = Int4QuantizedTensor(new_v[li], new_vs[li])
+            elif pools.quantized:
                 kq, ks = _quantize_rows(kT, pools.k[li].dtype)
                 vq, vs = _quantize_rows(vT, pools.v[li].dtype)
                 new_k[li] = new_k[li].at[:, page_rows, page_offs].set(kq)
@@ -258,7 +315,20 @@ def make_verify_step(
                 pad = ((0, 0), (0, 0), (0, d_pool - kT.shape[-1]))
                 kT = jnp.pad(kT, pad)
                 vT = jnp.pad(vT, pad)
-            if pools.quantized:
+            if pools.int4:
+                # Safe for T <= page_size/2: two tokens of one scatter only
+                # share a byte when their offsets differ by page_size/2
+                # (low/high nibble of the same row), which T consecutive
+                # positions cannot reach.
+                kq, ks = _quantize_rows_int4(kT)
+                vq, vs = _quantize_rows_int4(vT)
+                new_k[li] = _int4_insert(new_k[li], rows_f, offs_f, kq)
+                new_v[li] = _int4_insert(new_v[li], rows_f, offs_f, vq)
+                new_ks[li] = new_ks[li].at[:, rows_f, offs_f].set(ks)
+                new_vs[li] = new_vs[li].at[:, rows_f, offs_f].set(vs)
+                k_att = Int4QuantizedTensor(new_k[li], new_ks[li])
+                v_att = Int4QuantizedTensor(new_v[li], new_vs[li])
+            elif pools.quantized:
                 kq, ks = _quantize_rows(kT, pools.k[li].dtype)
                 vq, vs = _quantize_rows(vT, pools.v[li].dtype)
                 new_k[li] = new_k[li].at[:, rows_f, offs_f].set(kq)
@@ -323,6 +393,15 @@ def write_prompt_kv(
     k = k.reshape(hkv, n_pages, page_size, d)
     v = v.reshape(hkv, n_pages, page_size, d)
     new_k, new_v = list(pools.k), list(pools.v)
+    if pools.int4:
+        new_ks, new_vs = list(pools.k_scales), list(pools.v_scales)
+        kq, ks = _quantize_rows_int4(k)  # [hkv, n_pages, ps, d] int32
+        vq, vs = _quantize_rows_int4(v)
+        new_k[layer] = new_k[layer].at[:, pages].set(pack_int4_rows(kq))
+        new_v[layer] = new_v[layer].at[:, pages].set(pack_int4_rows(vq))
+        new_ks[layer] = new_ks[layer].at[:, pages].set(ks)
+        new_vs[layer] = new_vs[layer].at[:, pages].set(vs)
+        return KVPools(tuple(new_k), tuple(new_v), tuple(new_ks), tuple(new_vs))
     if pools.quantized:
         new_ks, new_vs = list(pools.k_scales), list(pools.v_scales)
         kq, ks = _quantize_rows(k, pools.k[layer].dtype)

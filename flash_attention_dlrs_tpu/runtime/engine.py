@@ -87,6 +87,9 @@ class DecodeEngine:
         self.eos_token = eos_token
         self.interpret = interpret
 
+        int4_kv = isinstance(kv_dtype, str) and kv_dtype == "int4"
+        if int4_kv and not quantized_kv:
+            raise ValueError("kv_dtype='int4' requires quantized_kv=True")
         # fp8 gate: on parts without an fp8 datapath (v5e and earlier) fp8
         # KV pages are CAST-bound — measured 69 GB/s vs int8's 691 on v5e —
         # so a silent fp8 request would be a 10× slowdown, not a feature.
@@ -94,6 +97,7 @@ class DecodeEngine:
         # in the eval gate) with a warning.
         if (
             quantized_kv
+            and not int4_kv
             and jnp.dtype(kv_dtype).itemsize == 1
             and jnp.dtype(kv_dtype) != jnp.dtype(jnp.int8)
             and not geo.supports_fast_fp8()

@@ -82,15 +82,19 @@ def main():
     ppl_dense = perplexity_dense(params, cfg, tokens)
     ppl_fp = perplexity_paged(params, cfg, tokens, kv_dtype=jnp.float32)
     ppl_i8 = perplexity_paged(params, cfg, tokens, kv_dtype=jnp.int8, quantized=True)
+    ppl_i4 = perplexity_paged(params, cfg, tokens, kv_dtype="int4", quantized=True)
     ppl_f8 = perplexity_paged(
         params, cfg, tokens, kv_dtype=jnp.float8_e4m3fn, quantized=True
     )
     print(f"ppl dense         : {ppl_dense:.4f}")
     print(f"ppl paged fp      : {ppl_fp:.4f}  (machinery gap {abs(ppl_fp-ppl_dense):.2e})")
     print(f"ppl paged int8-KV : {ppl_i8:.4f}  (gap {abs(ppl_i8-ppl_fp):.4f})")
+    print(f"ppl paged int4-KV : {ppl_i4:.4f}  (gap {abs(ppl_i4-ppl_fp):.4f})")
     print(f"ppl paged fp8-KV  : {ppl_f8:.4f}  (gap {abs(ppl_f8-ppl_fp):.4f})")
     ok = abs(ppl_i8 - ppl_fp) < args.gate
     print("GATE (int8 within", args.gate, "):", "PASS" if ok else "FAIL")
+    # int4 is reported, not gated: it trades resolution for bandwidth and
+    # its acceptability is a per-deployment call.
     return 0 if ok else 1
 
 

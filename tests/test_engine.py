@@ -179,3 +179,29 @@ def test_generate_stream_matches_generate(params):
     # both requests stream concurrently: their token events interleave
     ids = [e.request_id for e in events if e.token is not None]
     assert len({*ids[:4]}) == 2, ids
+
+
+def test_engine_int4_kv_generates_and_tracks_fp(params):
+    prompts = [[5, 7, 11, 13, 17]]
+    eng_fp = DecodeEngine(
+        params, CFG, num_pages=16, num_slots=1, pages_per_seq=4,
+        kv_dtype=jnp.float32,
+    )
+    eng_q = DecodeEngine(
+        params, CFG, num_pages=16, num_slots=1, pages_per_seq=4,
+        kv_dtype="int4", quantized_kv=True,
+    )
+    assert eng_q.pools.int4
+    # packed payload: half the page rows, full-resolution scales
+    assert eng_q.pools.k[0].shape[-2] * 2 == eng_q.pools.k_scales[0].shape[-2]
+    t_fp = eng_fp.generate(prompts, max_new_tokens=4)[0]
+    t_q = eng_q.generate(prompts, max_new_tokens=4)[0]
+    # int4 is coarser than int8; on the tiny model the first greedy token
+    # should still match the fp path before divergence is tolerated.
+    assert t_fp[0] == t_q[0]
+
+
+def test_engine_int4_requires_quantized_flag(params):
+    with pytest.raises(ValueError, match="quantized_kv"):
+        DecodeEngine(params, CFG, num_pages=16, num_slots=1,
+                     pages_per_seq=4, kv_dtype="int4")
