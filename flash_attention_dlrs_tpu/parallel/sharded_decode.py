@@ -17,7 +17,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.decode import paged_decode_attention
-from ..ops.quantization import QuantizedTensor
+from ..ops.quantization import Int4QuantizedTensor, QuantizedTensor
 
 
 def head_sharded_paged_decode(
@@ -39,7 +39,10 @@ def head_sharded_paged_decode(
     """
 
     def local(q, k_pages, v_pages, k_scales, v_scales, lengths, page_indices):
-        if quantized:
+        if quantized == "int4":
+            kp = Int4QuantizedTensor(k_pages, k_scales)
+            vp = Int4QuantizedTensor(v_pages, v_scales)
+        elif quantized:
             kp = QuantizedTensor(k_pages, k_scales)
             vp = QuantizedTensor(v_pages, v_scales)
         else:
@@ -67,7 +70,7 @@ def head_sharded_paged_decode(
     )
 
     def call(q, k_pages, v_pages, lengths, page_indices):
-        if isinstance(k_pages, QuantizedTensor):
+        if isinstance(k_pages, (QuantizedTensor, Int4QuantizedTensor)):
             return jax.jit(mapped)(
                 q, k_pages.values, v_pages.values,
                 k_pages.scales, v_pages.scales, lengths, page_indices,
@@ -109,7 +112,10 @@ def context_sharded_paged_decode(
     from .ring import merge_partials
 
     def local(q, k_pages, v_pages, k_scales, v_scales, lengths, page_indices):
-        if quantized:
+        if quantized == "int4":
+            kp = Int4QuantizedTensor(k_pages, k_scales)
+            vp = Int4QuantizedTensor(v_pages, v_scales)
+        elif quantized:
             kp = QuantizedTensor(k_pages, k_scales)
             vp = QuantizedTensor(v_pages, v_scales)
         else:
@@ -145,7 +151,7 @@ def context_sharded_paged_decode(
     )
 
     def call(q, k_pages, v_pages, lengths_local, page_indices_local):
-        if isinstance(k_pages, QuantizedTensor):
+        if isinstance(k_pages, (QuantizedTensor, Int4QuantizedTensor)):
             return jax.jit(mapped)(
                 q, k_pages.values, v_pages.values,
                 k_pages.scales, v_pages.scales,
