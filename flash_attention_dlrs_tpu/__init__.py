@@ -12,6 +12,7 @@ from . import nn
 from .geometry import TpuGeometry, current_geometry
 from .ops import (
     SegmentIds,
+    alibi_slopes_for,
     flash_attention,
     flash_attention_backward,
     flash_attention_forward,
@@ -24,6 +25,7 @@ __version__ = "0.1.0"
 __all__ = [
     "nn",
     "SegmentIds",
+    "alibi_slopes_for",
     "flash_attention",
     "flash_attention_forward",
     "flash_attention_backward",

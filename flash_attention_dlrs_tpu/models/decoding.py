@@ -26,6 +26,7 @@ from ..ops.quantization import (
     pack_int4_rows,
     qmax_for,
 )
+from ..ops.reference import alibi_slopes_for
 from .transformer import ModelConfig, _proj, mlp_block, rms_norm, rope
 
 
@@ -123,11 +124,26 @@ def _int4_insert(pool, rows, offs, vals_q):
 # ---------------------------------------------------------------------------
 
 
+def _cfg_slopes(cfg: ModelConfig):
+    """Per-head ALiBi slopes for an alibi-positioned config, else None (rope
+    applies rotations instead).  Every serving step threads this through to
+    the paged kernels' separable slope term (ops/decode.py)."""
+    if cfg.position_encoding == "alibi":
+        return alibi_slopes_for(cfg.n_q_heads)
+    if cfg.position_encoding != "rope":
+        raise ValueError(
+            f"unknown position_encoding {cfg.position_encoding!r} "
+            f"(expected 'rope' or 'alibi')"
+        )
+    return None
+
+
 def make_prefill(cfg: ModelConfig, *, interpret: Optional[bool] = None):
     """jitted (params, tokens [B,T], lengths [B]) -> (last-token logits [B,V],
     per-layer K/V [L][B, Hkv, T, d]).  T is padded; `lengths` masks RoPE-side
     nothing (positions are absolute), attention is causal so padding rows
     only attend backwards and are discarded."""
+    slopes = _cfg_slopes(cfg)
 
     @jax.jit
     def prefill(params, tokens, lengths):
@@ -142,14 +158,16 @@ def make_prefill(cfg: ModelConfig, *, interpret: Optional[bool] = None):
             q = _proj(h, layer["wq"]).reshape(b, t, cfg.n_q_heads, cfg.head_dim)
             k = _proj(h, layer["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
             v = _proj(h, layer["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-            q = rope(q, positions, cfg.rope_theta)
-            k = rope(k, positions, cfg.rope_theta)
+            if slopes is None:
+                q = rope(q, positions, cfg.rope_theta)
+                k = rope(k, positions, cfg.rope_theta)
             kvs.append((k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)))
             o = flash_attention(
                 q.transpose(0, 2, 1, 3),
                 kvs[-1][0],
                 kvs[-1][1],
                 causal=True,
+                alibi_slopes=slopes,
                 interpret=interpret,
             )
             o = o.transpose(0, 2, 1, 3).reshape(b, t, -1)
@@ -186,6 +204,7 @@ def make_decode_step(
     `positions` is the absolute index of the incoming token; `lengths` must
     already count it (attention covers the token itself).
     """
+    slopes = _cfg_slopes(cfg)
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def decode_step(params, pools: KVPools, tokens, positions, page_rows,
@@ -201,9 +220,10 @@ def make_decode_step(
             q = _proj(h, layer["wq"]).reshape(b, cfg.n_q_heads, cfg.head_dim)
             k = _proj(h, layer["wk"]).reshape(b, cfg.n_kv_heads, cfg.head_dim)
             v = _proj(h, layer["wv"]).reshape(b, cfg.n_kv_heads, cfg.head_dim)
-            # RoPE at absolute positions ([B,1] sequence of length 1).
-            q = rope(q[:, None], positions[:, None], cfg.rope_theta)[:, 0]
-            k = rope(k[:, None], positions[:, None], cfg.rope_theta)[:, 0]
+            if slopes is None:
+                # RoPE at absolute positions ([B,1] sequence of length 1).
+                q = rope(q[:, None], positions[:, None], cfg.rope_theta)[:, 0]
+                k = rope(k[:, None], positions[:, None], cfg.rope_theta)[:, 0]
 
             # Scatter this token's K/V into the pools: [Hkv, B] rows.
             kT = jnp.swapaxes(k, 0, 1)  # [Hkv, B, d]
@@ -242,7 +262,8 @@ def make_decode_step(
 
             o = paged_decode_attention(
                 q, k_att, v_att, lengths, page_tbl,
-                pages_per_block=pages_per_block, interpret=interpret,
+                pages_per_block=pages_per_block, alibi_slopes=slopes,
+                interpret=interpret,
             )  # [B, Hq, d]
             x = x + _proj(o.reshape(b, -1), layer["wo"])
             x = mlp_block(layer, x[:, None, :])[:, 0]
@@ -285,6 +306,7 @@ def make_verify_step(
     """
     from ..ops.decode import paged_verify_attention
 
+    slopes = _cfg_slopes(cfg)
     t_new = num_tokens
 
     @functools.partial(jax.jit, donate_argnums=(1,))
@@ -304,8 +326,9 @@ def make_verify_step(
             q = _proj(h, layer["wq"]).reshape(b, t_new, cfg.n_q_heads, cfg.head_dim)
             k = _proj(h, layer["wk"]).reshape(b, t_new, cfg.n_kv_heads, cfg.head_dim)
             v = _proj(h, layer["wv"]).reshape(b, t_new, cfg.n_kv_heads, cfg.head_dim)
-            q = rope(q, positions, cfg.rope_theta)  # [B, T, Hq, d]
-            k = rope(k, positions, cfg.rope_theta)
+            if slopes is None:
+                q = rope(q, positions, cfg.rope_theta)  # [B, T, Hq, d]
+                k = rope(k, positions, cfg.rope_theta)
 
             # Scatter all B·T tokens' K/V: [Hkv, B·T, d]
             kT = k.reshape(b * t_new, cfg.n_kv_heads, -1).swapaxes(0, 1)
@@ -349,7 +372,8 @@ def make_verify_step(
             o = paged_verify_attention(
                 q.transpose(0, 2, 1, 3),  # [B, Hq, T, d]
                 k_att, v_att, lengths, page_tbl,
-                pages_per_block=pages_per_block, interpret=interpret,
+                pages_per_block=pages_per_block, alibi_slopes=slopes,
+                interpret=interpret,
             )
             o = o.transpose(0, 2, 1, 3).reshape(b, t_new, -1)
             x = x + _proj(o, layer["wo"])

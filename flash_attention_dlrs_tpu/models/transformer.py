@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.flash_attention import flash_attention
 from ..ops.quantization import QuantizedTensor, int8_matmul, quantize_weight
+from ..ops.reference import alibi_slopes_for
 
 
 @dataclasses.dataclass(frozen=True)
@@ -35,6 +36,11 @@ class ModelConfig:
     head_dim: int = 64
     d_ff: int = 1408
     rope_theta: float = 10000.0
+    # Position encoding: "rope" (rotary, default) or "alibi" (MPT/BLOOM-style
+    # per-head linear bias — no rotation; the bias is applied inside the
+    # flash kernel in separable form, see ops.flash_attention).  ALiBi
+    # assumes contiguous positions; explicit `positions` only feed RoPE.
+    position_encoding: str = "rope"
     dtype: Any = jnp.bfloat16
     remat: bool = True  # jax.checkpoint each block (HBM ⇄ FLOPs trade)
     # remat policy: "block" recomputes everything in the block (max HBM
@@ -158,14 +164,19 @@ def attention_block(layer, x, positions, cfg: ModelConfig, *, interpret=None):
     q = _proj(h, layer["wq"]).reshape(b, n, cfg.n_q_heads, cfg.head_dim)
     k = _proj(h, layer["wk"]).reshape(b, n, cfg.n_kv_heads, cfg.head_dim)
     v = _proj(h, layer["wv"]).reshape(b, n, cfg.n_kv_heads, cfg.head_dim)
-    q = rope(q, positions, cfg.rope_theta)
-    k = rope(k, positions, cfg.rope_theta)
+    slopes = None
+    if cfg.position_encoding == "alibi":
+        slopes = alibi_slopes_for(cfg.n_q_heads)
+    else:
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
     # [B, H, N, d] for the kernel
     o = flash_attention(
         q.transpose(0, 2, 1, 3),
         k.transpose(0, 2, 1, 3),
         v.transpose(0, 2, 1, 3),
         causal=True,
+        alibi_slopes=slopes,
         interpret=interpret,
     )
     o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.n_q_heads * cfg.head_dim)

@@ -36,7 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import geometry as geo
 from . import layout
 from .bwd_kernel import _mask_split, _recompute_p, _tri_decode_upper
-from .fwd_kernel import LN2, LOG2E, mxu_dot
+from .fwd_kernel import (
+    LN2, LOG2E, adapt_optional_refs, mxu_dot, slope_block_spec, slope_input,
+)
 
 
 def _bwd_fused_kernel(
@@ -48,6 +50,7 @@ def _bwd_fused_kernel(
     lse_ref,
     qseg_ref,  # [1, block_q, LANES] int32 or None
     kvseg_ref,  # [1, SUBLANES, block_kv] int32 or None
+    slope_ref,  # [1, LANES] fp32 per-head ALiBi slope (m·log2e), or None
     dq_ref,  # [1, 1, n_q, d] fp32 — pane-resident accumulator
     dk_ref,  # [1, 1, block_kv, d] fp32
     dv_ref,
@@ -138,6 +141,7 @@ def _bwd_fused_kernel(
             qseg=None if qseg_ref is None else qseg_ref[0],
             kvseg=None if kvseg_ref is None else kvseg_ref[0],
             q_off=q_off,
+            slope=None if slope_ref is None else slope_ref[0, 0],
         )
         # dV += Pᵀ dO  (≙ src/flash_attention_kernels.py:287)
         dv_acc[...] += mxu_dot(p.astype(do.dtype), do, (((0,), (0,)), ((), ())))
@@ -238,13 +242,13 @@ def fused_bwd_fits_vmem(n_q: int, head_dim: int, block_q: int,
     jax.jit,
     static_argnames=(
         "sm_scale", "causal", "block_q", "block_kv", "kv_len", "window",
-        "softcap", "interpret", "q_off"
+        "softcap", "interpret", "q_off", "alibi_slopes"
     ),
 )
 def bwd_fused_pallas(
     q, k, v, o, do, lse, q_seg=None, kv_seg=None, *,
     sm_scale, causal, block_q, block_kv, kv_len, window=0, softcap=0.0,
-    interpret=False, q_off=0,
+    interpret=False, q_off=0, alibi_slopes=None,
 ):
     """(dQ, dK, dV) in one sweep; dK/dV are per *query* head fp32 (the
     caller group-sums GQA heads, same contract as bwd_dkv_pallas).
@@ -362,12 +366,13 @@ def bwd_fused_pallas(
             lambda *idx: (idx[0], 0, kv_index(*idx)[2]),
         ))
         inputs += [qseg_rep, kvseg_rep]
-    else:
-        seg_kernel = kernel
-
-        def kernel(q_r, k_r, v_r, o_r, do_r, l_r, dq_r, dk_r, dv_r, a1, a2):  # noqa: F811
-            return seg_kernel(q_r, k_r, v_r, o_r, do_r, l_r, None, None,
-                              dq_r, dk_r, dv_r, a1, a2)
+    if alibi_slopes is not None:
+        in_specs.append(slope_block_spec())
+        inputs.append(slope_input(alibi_slopes, num_q_heads))
+    kernel = adapt_optional_refs(
+        kernel, n_lead=6, segmented=q_seg is not None,
+        has_slope=alibi_slopes is not None,
+    )
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=grid,

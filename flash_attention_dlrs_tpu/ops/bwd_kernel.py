@@ -29,7 +29,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import geometry as geo
 from . import layout
-from .fwd_kernel import DEFAULT_MASK_VALUE, LN2, LOG2E, _tri_decode, mxu_dot
+from .fwd_kernel import (
+    DEFAULT_MASK_VALUE, LN2, LOG2E, _tri_decode, adapt_optional_refs,
+    mxu_dot, slope_block_spec, slope_input,
+)
 
 
 def _tri_decode_upper(p_id, num_q_blocks: int):
@@ -90,13 +93,19 @@ def bwd_d_pallas(o, do, *, block_q: int, interpret: bool = False):
 
 def _recompute_p(q, k, lse, iq, jkv, *, causal, kv_len, block_q,
                  block_kv, apply_mask, window=0, softcap=0.0,
-                 qseg=None, kvseg=None, q_off=0):
+                 qseg=None, kvseg=None, q_off=0, slope=None):
     """P = exp2((c·Q)Kᵀ − log2e·L) with causal/length masking, where
     c = sm_scale·log2e was folded into Q by the caller.
 
     ≙ src/flash_attention_kernels.py:283-285 (same base-2 convention, but the
     scale lives in the Q tensor, not a per-block multiply).
     Returns probabilities p [block_q, block_kv] fp32.
+
+    ``slope`` (scalar fp32, base-2 units m·log2e, or None) enables ALiBi in
+    separable form: the caller's lse must then be the SEPARABLE-convention
+    logsumexp (true lse + m·qpos, see flash_attention.py) so that
+    exp2(s + m₂·col − lse₂_sep) reproduces the forward's P exactly.  The
+    bias has no Q/K dependence, so the dS chain rule downstream is unchanged.
     """
     s = mxu_dot(q, k, (((1,), (1,)), ((), ())))
     grad_cap = None
@@ -105,6 +114,12 @@ def _recompute_p(q, k, lse, iq, jkv, *, causal, kv_len, block_q,
         s = c2 * jnp.tanh(s * (1.0 / c2))
         # d(cap·tanh(S/cap))/dS = 1 − tanh² = 1 − (S_c/cap)², scale-invariant
         grad_cap = 1.0 - (s * (1.0 / c2)) ** 2
+    if slope is not None:
+        colp = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            + jkv * block_kv
+        )
+        s = s + slope * colp.astype(jnp.float32)
     lse = lse * LOG2E  # [block_q, 1] — O(block_q), off the hot path
     if apply_mask:
         mask = None
@@ -180,6 +195,7 @@ def _bwd_dkv_kernel(
     dpre_ref,
     qseg_ref,  # [1, block_q, LANES] int32 or None
     kvseg_ref,  # [1, SUBLANES, block_kv] int32 or None
+    slope_ref,  # [1, LANES] fp32 per-head ALiBi slope (m·log2e), or None
     dk_ref,
     dv_ref,
     dk_acc,
@@ -248,6 +264,7 @@ def _bwd_dkv_kernel(
             qseg=None if qseg_ref is None else qseg_ref[0],
             kvseg=None if kvseg_ref is None else kvseg_ref[0],
             q_off=q_off,
+            slope=None if slope_ref is None else slope_ref[0, 0],
         )
         # dV += Pᵀ dO  (≙ src/flash_attention_kernels.py:287)
         dv_acc[...] += mxu_dot(p.astype(do.dtype), do, (((0,), (0,)), ((), ())))
@@ -282,13 +299,13 @@ def _bwd_dkv_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "causal", "block_q", "block_kv", "kv_len", "window",
-        "softcap", "interpret", "q_off"
+        "softcap", "interpret", "q_off", "alibi_slopes"
     ),
 )
 def bwd_dkv_pallas(
     q, k, v, do, lse, dpre, q_seg=None, kv_seg=None, *,
     sm_scale, causal, block_q, block_kv, kv_len, window=0, softcap=0.0,
-    interpret=False, q_off=0,
+    interpret=False, q_off=0, alibi_slopes=None,
 ):
     """dK, dV per *query* head: [B, Hq, Nkv_pad, d] fp32.
 
@@ -397,12 +414,13 @@ def bwd_dkv_pallas(
             lambda *idx: (idx[0], 0, kv_index(*idx)[2]),
         ))
         inputs += [qseg_rep, kvseg_rep]
-    else:
-        seg_kernel = kernel
-
-        def kernel(q_r, k_r, v_r, do_r, l_r, d_r, dk_r, dv_r, a1, a2):  # noqa: F811
-            return seg_kernel(q_r, k_r, v_r, do_r, l_r, d_r, None, None,
-                              dk_r, dv_r, a1, a2)
+    if alibi_slopes is not None:
+        in_specs.append(slope_block_spec())
+        inputs.append(slope_input(alibi_slopes, num_q_heads))
+    kernel = adapt_optional_refs(
+        kernel, n_lead=6, segmented=q_seg is not None,
+        has_slope=alibi_slopes is not None,
+    )
     dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
@@ -438,6 +456,7 @@ def _bwd_dq_kernel(
     dpre_ref,
     qseg_ref,  # [1, block_q, LANES] int32 or None
     kvseg_ref,  # [1, SUBLANES, block_kv] int32 or None
+    slope_ref,  # [1, LANES] fp32 per-head ALiBi slope (m·log2e), or None
     dq_ref,
     dq_acc,
     *,
@@ -503,6 +522,7 @@ def _bwd_dq_kernel(
             qseg=None if qseg_ref is None else qseg_ref[0],
             kvseg=None if kvseg_ref is None else kvseg_ref[0],
             q_off=q_off,
+            slope=None if slope_ref is None else slope_ref[0, 0],
         )
         dp = mxu_dot(do, v, (((1,), (1,)), ((), ())))
         # No per-element sm_scale multiply: k is unscaled here, so the true
@@ -528,13 +548,13 @@ def _bwd_dq_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "causal", "block_q", "block_kv", "kv_len", "window",
-        "softcap", "interpret", "q_off"
+        "softcap", "interpret", "q_off", "alibi_slopes"
     ),
 )
 def bwd_dq_pallas(
     q, k, v, do, lse, dpre, q_seg=None, kv_seg=None, *,
     sm_scale, causal, block_q, block_kv, kv_len, window=0, softcap=0.0,
-    interpret=False, q_off=0,
+    interpret=False, q_off=0, alibi_slopes=None,
 ):
     """dQ: [B, Hq, Nq_pad, d] fp32."""
     batch, num_q_heads, n_q, head_dim = q.shape
@@ -628,12 +648,13 @@ def bwd_dq_pallas(
             lambda *idx: (idx[0], 0, kv_index(*idx)[2]),
         ))
         inputs += [qseg_rep, kvseg_rep]
-    else:
-        seg_kernel = kernel
-
-        def kernel(q_r, k_r, v_r, do_r, l_r, d_r, dq_r, acc):  # noqa: F811
-            return seg_kernel(q_r, k_r, v_r, do_r, l_r, d_r, None, None,
-                              dq_r, acc)
+    if alibi_slopes is not None:
+        in_specs.append(slope_block_spec())
+        inputs.append(slope_input(alibi_slopes, num_q_heads))
+    kernel = adapt_optional_refs(
+        kernel, n_lead=6, segmented=q_seg is not None,
+        has_slope=alibi_slopes is not None,
+    )
     dq = pl.pallas_call(
         kernel,
         grid=grid,

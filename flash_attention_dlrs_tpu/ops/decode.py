@@ -46,6 +46,7 @@ def _decode_kernel(
     v_pages_ref,
     k_scales_ref,  # [Hkv, P, 1, page_size] HBM fp32 (or None slot unused)
     v_scales_ref,
+    slope_ref,  # [1, rows_pad, LANES] fp32 per-ROW ALiBi slope, or None
     # outputs
     o_ref,  # [1, 1, group_pad, d]
     lse_ref,  # [1, 1, rows_pad, NUM_LANES] f32, or None
@@ -194,6 +195,13 @@ def _decode_kernel(
         # causal horizon is length − (num_tokens − 1 − t); ``length`` is the
         # FINAL sequence length after all num_tokens are appended.
         pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        if slope_ref is not None:
+            # Separable ALiBi (natural units here — this kernel's softmax is
+            # base-e): the true bias −m·(q_pos − col) loses its row-constant
+            # −m·q_pos to softmax invariance; only +m·col is added.  Rows of
+            # one cell are different q HEADS (× tokens in verify mode), so
+            # the slope is a per-row column, not a scalar.
+            s = s + slope_ref[0][:, :1] * pos.astype(jnp.float32)
         if num_tokens > 1:
             t_of_row = (
                 jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // group_pad
@@ -261,6 +269,7 @@ def _paged_decode(
     v_scales,
     lengths,
     page_indices,  # [B, pages_per_seq]
+    slope_rows=None,  # [Hkv, rows_pad, LANES] fp32 per-row ALiBi slopes
     *,
     sm_scale: float,
     pages_per_block: int,
@@ -291,12 +300,18 @@ def _paged_decode(
         group_pad=group_pad,
         int4=int4,
     )
-    if return_lse:
-        kernel = base_kernel
-    else:
-        def kernel(l_r, p_r, q_r, k_r, v_r, ks_r, vs_r, o_r, *scratch):
-            return base_kernel(l_r, p_r, q_r, k_r, v_r, ks_r, vs_r, o_r,
-                               None, *scratch)
+    has_slope = slope_rows is not None
+
+    def kernel(l_r, p_r, q_r, k_r, v_r, ks_r, vs_r, *rest):
+        i = 0
+        sl_r = rest[i] if has_slope else None
+        i += 1 if has_slope else 0
+        o_r = rest[i]
+        i += 1
+        lse_r = rest[i] if return_lse else None
+        i += 1 if return_lse else 0
+        return base_kernel(l_r, p_r, q_r, k_r, v_r, ks_r, vs_r, sl_r, o_r,
+                           lse_r, *rest[i:])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -309,7 +324,9 @@ def _paged_decode(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ] + ([pl.BlockSpec(
+            (1, rows_pad, geo.NUM_LANES), lambda b, h, i, *refs: (h, 0, 0)
+        )] if has_slope else []),
         out_specs=[pl.BlockSpec(
             (1, 1, rows_pad, head_dim), lambda b, h, i, *refs: (b, h, 0, 0)
         )] + ([pl.BlockSpec(
@@ -344,10 +361,38 @@ def _paged_decode(
         ),
         interpret=interpret,
     )(lengths, page_indices.reshape(-1), q_grouped, k_pages, v_pages,
-      k_scales, v_scales)
+      k_scales, v_scales, *([slope_rows] if has_slope else []))
     if return_lse:
         return outs[0], outs[1]
     return outs[0]
+
+
+def _slope_rows(alibi_slopes, num_q_heads, num_kv_heads, group, group_pad,
+                num_tokens=1):
+    """Per-ROW ALiBi slopes for the decode grid: one grid cell's q block
+    stacks the GQA group's heads (t-major × num_tokens in verify mode), so
+    the kernel needs slope-by-row, not slope-by-cell.  Natural units (this
+    kernel's softmax is base-e), lane-replicated: [Hkv, rows, LANES]."""
+    if alibi_slopes is None:
+        return None
+    slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(-1)
+    if slopes.shape[0] == 1 and num_q_heads > 1:
+        slopes = jnp.broadcast_to(slopes, (num_q_heads,))
+    if slopes.shape[0] != num_q_heads:
+        raise ValueError(
+            f"alibi_slopes must have one slope per q head ({num_q_heads}), "
+            f"got {slopes.shape[0]}"
+        )
+    sr = slopes.reshape(num_kv_heads, group)
+    if group_pad != group:
+        sr = jnp.pad(sr, ((0, 0), (0, group_pad - group)))
+    if num_tokens > 1:
+        # verify rows are t-major (row = t·group_pad + g): repeat the group
+        # pattern once per token.
+        sr = jnp.tile(sr, (1, num_tokens))
+    return jnp.broadcast_to(
+        sr[:, :, None], (*sr.shape, geo.NUM_LANES)
+    )
 
 
 def _default_pages_per_block(page_size, head_dim, dtype, pages_per_seq):
@@ -430,9 +475,17 @@ def paged_decode_attention(
     sm_scale=None,
     pages_per_block: int | None = None,
     return_lse: bool = False,
+    alibi_slopes=None,
     interpret=None,
 ):
-    """O = softmax(scale·q·K_pagesᵀ, masked to `lengths`) · V_pages.
+    """O = softmax(scale·q·K_pagesᵀ + bias, masked to `lengths`) · V_pages.
+
+    ``alibi_slopes`` (one per q head) adds the ALiBi bias −m·(q_pos − col)
+    in its separable in-kernel form.  With ``return_lse`` the published lse
+    is then shifted by +m·(length−1) per row (the separable convention);
+    the context-sharded merge is unaffected (the shift is shard-invariant),
+    but alibi is NOT valid across context shards (column positions are
+    shard-local) — the sharded-decode wrappers don't expose it.
 
     GQA: q heads are grouped onto their KV head inside one grid cell.
     Quantized KV: pass ``QuantizedTensor`` pages (int8 / fp8 payload with
@@ -496,6 +549,8 @@ def paged_decode_attention(
     res = _paged_decode(
         qg, k_vals, v_vals, k_sc, v_sc,
         lengths.astype(jnp.int32), page_indices.astype(jnp.int32),
+        _slope_rows(alibi_slopes, num_q_heads, num_kv_heads, group,
+                    group_pad),
         sm_scale=float(sm_scale), pages_per_block=pages_per_block,
         quantized=quantized, interpret=bool(interpret),
         return_lse=return_lse, int4=int4,
@@ -517,6 +572,7 @@ def paged_verify_attention(
     *,
     sm_scale=None,
     pages_per_block: int | None = None,
+    alibi_slopes=None,
     interpret=None,
 ):
     """Multi-token paged attention: token t of the T new tokens attends to
@@ -579,6 +635,8 @@ def paged_verify_attention(
     o = _paged_decode(
         qg, k_vals, v_vals, k_sc, v_sc,
         lengths.astype(jnp.int32), page_indices.astype(jnp.int32),
+        _slope_rows(alibi_slopes, num_q_heads, num_kv_heads, group,
+                    group_pad, num_tokens),
         sm_scale=float(sm_scale), pages_per_block=pages_per_block,
         quantized=quantized, interpret=bool(interpret),
         num_tokens=num_tokens, group_pad=group_pad, int4=int4,
@@ -627,9 +685,12 @@ def quantize_kv_pages(pages: jax.Array, dtype=jnp.int8):
 
 
 def paged_reference_attention(
-    q, k_pages, v_pages, lengths, page_indices, *, sm_scale=None
+    q, k_pages, v_pages, lengths, page_indices, *, sm_scale=None,
+    alibi_slopes=None,
 ):
-    """jnp oracle: gather pages into dense K/V, masked softmax attention."""
+    """jnp oracle: gather pages into dense K/V, masked softmax attention.
+    ``alibi_slopes`` applies the TRUE bias −m·(q_pos − col) with the single
+    query at q_pos = length − 1 (the kernel's separable form must match)."""
     if isinstance(k_pages, (QuantizedTensor, Int4QuantizedTensor)):
         k_pages = k_pages.dequantize()
         v_pages = v_pages.dequantize()
@@ -654,6 +715,12 @@ def paged_reference_attention(
         "bhd,bhld->bhl", q.astype(jnp.float32), k_dense.astype(jnp.float32),
         precision=jax.lax.Precision.HIGHEST,
     ) * sm_scale
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(-1)
+        dist = (lengths[:, None, None] - 1).astype(jnp.float32) - jnp.arange(
+            max_len, dtype=jnp.float32
+        )[None, None, :]
+        s = s - slopes[None, :, None] * dist
     mask = jnp.arange(max_len)[None, None, :] < lengths[:, None, None]
     s = jnp.where(mask, s, -jnp.inf)
     m = jnp.max(s, axis=-1, keepdims=True)

@@ -92,6 +92,41 @@ def _normalize_window(window: int, causal: bool, n_kv: int) -> int:
     return 0 if window >= n_kv else window
 
 
+def _normalize_alibi(alibi_slopes, num_q_heads: int, causal: bool):
+    """Static per-head ALiBi slopes (Press et al. 2022): hashable tuple of
+    floats, one per q head.  Causal-only — the separable in-kernel form
+    (see fwd_kernel._fwd_kernel) relies on the row term cancelling in
+    softmax, which holds for any mask, but symmetric bidirectional ALiBi
+    (−m·|i−j|) is a different function that does not decompose."""
+    if alibi_slopes is None:
+        return None
+    if not causal:
+        raise ValueError("alibi_slopes requires causal=True (ALiBi is "
+                         "defined on the causal distance q_pos - kv_pos)")
+    slopes = tuple(float(s) for s in np.asarray(alibi_slopes).reshape(-1))
+    if len(slopes) == 1 and num_q_heads > 1:
+        slopes = slopes * num_q_heads
+    if len(slopes) != num_q_heads:
+        raise ValueError(
+            f"alibi_slopes must have one slope per q head "
+            f"({num_q_heads}), got {len(slopes)}"
+        )
+    return slopes
+
+
+def _alibi_lse_shift(lse, alibi, q_len: int, q_off: int, sign: float):
+    """Convert between the kernels' separable-ALiBi logsumexp and the true
+    one.  The kernels drop the softmax-invariant −m·qpos row term, so their
+    lse is shifted by +m·qpos; ``sign=-1`` recovers the true lse after the
+    forward, ``sign=+1`` re-shifts a true lse for the backward kernels.
+    Fully-masked-row sentinels stay sentinels."""
+    qpos = jnp.arange(q_len, dtype=jnp.float32) + float(q_off)
+    shift = jnp.asarray(alibi, jnp.float32)[None, :, None] * qpos
+    return jnp.where(
+        lse > 0.5 * fwd.DEFAULT_MASK_VALUE, lse + sign * shift, lse
+    )
+
+
 def _pad_segments(seg: Optional[SegmentIds], block_q: int, block_kv: int):
     if seg is None:
         return None, None
@@ -176,7 +211,7 @@ def _use_xla_small(q, k, block_sizes) -> bool:
 
 
 def _xla_small_math(q, k, v, seg, causal, sm_scale, window, softcap,
-                    with_lse=False):
+                    alibi=None, with_lse=False):
     """Whole-fused attention math for the tiny-N route, full feature set.
 
     Differences from the fp32 oracle (reference_attention) are deliberate,
@@ -197,6 +232,13 @@ def _xla_small_math(q, k, v, seg, causal, sm_scale, window, softcap,
     ) * sm_scale
     if softcap:
         s = softcap * jnp.tanh(s * (1.0 / softcap))
+    if alibi is not None:
+        # True (unseparated) ALiBi bias — this whole-matrix route has the
+        # full [Nq, Nkv] scores anyway; bottom-right aligned like the mask.
+        qpos = jnp.arange(n_q, dtype=jnp.float32) + float(n_kv - n_q)
+        col = jnp.arange(n_kv, dtype=jnp.float32)
+        dist = qpos[:, None] - col[None, :]
+        s = s - jnp.asarray(alibi, jnp.float32)[None, :, None, None] * dist[None, None]
     mask = None
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, (n_q, n_kv), 0)
@@ -230,13 +272,14 @@ def _xla_small_math(q, k, v, seg, causal, sm_scale, window, softcap,
     return o, lse.astype(jnp.float32)
 
 
-def _xla_small_fastest(q, k, v, seg, causal, sm_scale, window, softcap):
+def _xla_small_fastest(q, k, v, seg, causal, sm_scale, window, softcap,
+                       alibi=None):
     """Fastest no-lse forward for the tiny-N route: XLA's fused SDPA
     (jax.nn.dot_product_attention — measured 66-68 TF/s fwd at N<=384 vs
     25-57 for the explicit math) when the feature set allows, the explicit
     math otherwise.  The backward differentiates through this same choice."""
     plain = (
-        seg is None and window == 0 and softcap == 0.0
+        seg is None and window == 0 and softcap == 0.0 and alibi is None
         and (not causal or q.shape[2] == k.shape[2])
     )
     if plain:
@@ -247,11 +290,12 @@ def _xla_small_fastest(q, k, v, seg, causal, sm_scale, window, softcap):
             scale=sm_scale, is_causal=causal,
         )
         return o.transpose(0, 2, 1, 3)
-    return _xla_small_math(q, k, v, seg, causal, sm_scale, window, softcap)
+    return _xla_small_math(q, k, v, seg, causal, sm_scale, window, softcap,
+                           alibi)
 
 
-def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, bs, small,
-                  xla_small, interpret, save_residuals):
+def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, alibi, bs,
+                  small, xla_small, interpret, save_residuals):
     """Shared forward dispatch: XLA-math tiny-N path, one-shot small kernel,
     mid-length pane kernel, or the general kernel.
 
@@ -260,11 +304,11 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, bs, small,
     if xla_small:
         if save_residuals:
             return _xla_small_math(
-                q, k, v, seg, causal, sm_scale, window, softcap,
+                q, k, v, seg, causal, sm_scale, window, softcap, alibi,
                 with_lse=True,
             )
         o = _xla_small_fastest(
-            q, k, v, seg, causal, sm_scale, window, softcap
+            q, k, v, seg, causal, sm_scale, window, softcap, alibi
         )
         return o, None
     unpinned = bs is None
@@ -284,6 +328,7 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, bs, small,
         unpinned
         and causal
         and seg is None
+        and alibi is None
         and q.shape[2] == k.shape[2]
         and XLA_SMALL_MAX_N < q.shape[2] <= fwd_mid.MAX_MID_N
         and fwd_mid.mid_path_fits(
@@ -330,9 +375,14 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, bs, small,
             block_q=bs.block_q, block_kv=bs.block_kv,
             kv_len=kv_len, save_residuals=save_residuals,
             interpret=interpret, q_off=kv_len - q_len,
+            alibi_slopes=alibi,
         )
     if save_residuals:
-        return o[:, :, :q_len, :d], layout.unpack_stat(lse)[:, :, :q_len]
+        lse_u = layout.unpack_stat(lse)[:, :, :q_len]
+        if alibi is not None:
+            # Kernels run the separable form; publish the true logsumexp.
+            lse_u = _alibi_lse_shift(lse_u, alibi, q_len, kv_len - q_len, -1.0)
+        return o[:, :, :q_len, :d], lse_u
     return o[:, :, :q_len, :d], None
 
 
@@ -364,21 +414,23 @@ def flash_attention_forward(
     segment_ids: Optional[Union[SegmentIds, jax.Array]] = None,
     window: int = 0,
     logit_softcap: float = 0.0,
+    alibi_slopes=None,
     block_sizes: Optional[tuning.BlockSizes] = None,
     interpret: Optional[bool] = None,
 ):
     """Forward pass returning (O, L) like the reference functional wrapper
     (src/flash_attention_wrappers.py:7-63).  L is the natural-base logsumexp
-    of the scaled scores, shape [B, H, Nq] fp32."""
+    of the scaled+biased scores, shape [B, H, Nq] fp32."""
     _validate(q, k, v)
     window = _normalize_window(window, causal, k.shape[2])
     seg = _normalize_segments(segment_ids, q, k)
-    small = _use_small(q, k, block_sizes)
+    alibi = _normalize_alibi(alibi_slopes, q.shape[1], causal)
+    small = _use_small(q, k, block_sizes) and alibi is None
     xla_small = _use_xla_small(q, k, block_sizes)
     sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
     return _forward_impl(
-        q, k, v, seg, causal, sm_scale, window, logit_softcap, bs, small,
-        xla_small, interpret, save_residuals=True,
+        q, k, v, seg, causal, sm_scale, window, logit_softcap, alibi, bs,
+        small, xla_small, interpret, save_residuals=True,
     )
 
 
@@ -395,6 +447,7 @@ def flash_attention_backward(
     segment_ids: Optional[Union[SegmentIds, jax.Array]] = None,
     window: int = 0,
     logit_softcap: float = 0.0,
+    alibi_slopes=None,
     block_sizes: Optional[tuning.BlockSizes] = None,
     interpret: Optional[bool] = None,
 ):
@@ -410,6 +463,13 @@ def flash_attention_backward(
     _validate(q, k, v)
     window = _normalize_window(window, causal, k.shape[2])
     seg = _normalize_segments(segment_ids, q, k)
+    alibi = _normalize_alibi(alibi_slopes, q.shape[1], causal)
+    if alibi is not None:
+        # Callers pass the true logsumexp (the forward's public contract);
+        # the kernels recompute P in the separable convention — re-shift.
+        lse = _alibi_lse_shift(
+            lse, alibi, q.shape[2], k.shape[2] - q.shape[2], +1.0
+        )
     user_blocks = block_sizes is not None
     sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
     num_kv_heads = k.shape[1]
@@ -420,6 +480,7 @@ def flash_attention_backward(
         not user_blocks
         and causal
         and seg is None
+        and alibi is None
         and q.shape[2] == k.shape[2]
         and q.shape[2] <= bwd_mid.MAX_MID_BWD_N
         and bwd_mid.bwd_mid_fits(
@@ -474,7 +535,7 @@ def flash_attention_backward(
     if use_seg_fused:
         return _backward_fused_segmented(
             q, k, v, o, do, lse, seg_n,
-            sm_scale=sm_scale, softcap=float(logit_softcap),
+            sm_scale=sm_scale, softcap=float(logit_softcap), alibi=alibi,
             num_kv_heads=num_kv_heads, d_est=d_est, interpret=interpret,
         )
     # Block choice: the fused single-sweep kernel has its own sweet spot
@@ -514,7 +575,7 @@ def flash_attention_backward(
             sm_scale=sm_scale, causal=causal, window=window,
             softcap=float(logit_softcap),
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
-            q_off=kv_len - q_len,
+            q_off=kv_len - q_len, alibi_slopes=alibi,
         )
     else:
         dpre = bwd.bwd_d_pallas(op, dop, block_q=bq, interpret=interpret)
@@ -523,14 +584,14 @@ def flash_attention_backward(
             sm_scale=sm_scale, causal=causal, window=window,
             softcap=float(logit_softcap),
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
-            q_off=kv_len - q_len,
+            q_off=kv_len - q_len, alibi_slopes=alibi,
         )
         dq = bwd.bwd_dq_pallas(
             qp, kp, vp, dop, lse_pk, dpre, qseg_p, kvseg_p,
             sm_scale=sm_scale, causal=causal, window=window,
             softcap=float(logit_softcap),
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
-            q_off=kv_len - q_len,
+            q_off=kv_len - q_len, alibi_slopes=alibi,
         )
     # GQA: group-sum per-q-head dK/dV into per-kv-head grads.
     batch, num_q_heads = q.shape[0], q.shape[1]
@@ -545,11 +606,14 @@ def flash_attention_backward(
 
 
 def _backward_fused_segmented(q, k, v, o, do, lse, seg_n, *, sm_scale,
-                              softcap, num_kv_heads, d_est, interpret):
+                              softcap, alibi, num_kv_heads, d_est, interpret):
     """Fused single-sweep backward run per Q row segment (plain causal
     self-attention only).  Each segment sees the KV prefix [0, s1) with
     q_off = s0 — exactly the cross-length causal contract — so dQ comes out
-    exact per segment and per-segment partial dK/dV sum to the total."""
+    exact per segment and per-segment partial dK/dV sum to the total.
+    ALiBi composes: the kernels' separable column term uses the ABSOLUTE
+    kv position (k always starts at 0 here) and the incoming lse is
+    already in the separable convention, which slices with the q rows."""
     batch, num_q_heads, n, d_full = q.shape
     dq_parts = []
     dk_tot = jnp.zeros((batch, num_q_heads, n, d_full), jnp.float32)
@@ -575,7 +639,7 @@ def _backward_fused_segmented(q, k, v, o, do, lse, seg_n, *, sm_scale,
             qp, kp, vp, op, dop, lse_pk,
             sm_scale=sm_scale, causal=True, window=0, softcap=softcap,
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
-            q_off=kv_len - q_len,
+            q_off=kv_len - q_len, alibi_slopes=alibi,
         )
         dq_parts.append(dq_s[:, :, :q_len, :d_full])
         dk_tot = dk_tot.at[:, :, :kv_len, :].add(dk_p[:, :, :kv_len, :d_full])
@@ -634,33 +698,35 @@ def _seg_cotangent(seg):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
-def _flash_attention(q, k, v, seg, causal, sm_scale, window, softcap,
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12)
+)
+def _flash_attention(q, k, v, seg, causal, sm_scale, window, softcap, alibi,
                      block_sizes, small, xla_small, interpret):
     o, _ = _forward_impl(
-        q, k, v, seg, causal, sm_scale, window, softcap, block_sizes, small,
-        xla_small, interpret, save_residuals=False,
+        q, k, v, seg, causal, sm_scale, window, softcap, alibi, block_sizes,
+        small, xla_small, interpret, save_residuals=False,
     )
     return o
 
 
 def _flash_attention_fwd(q, k, v, seg, causal, sm_scale, window, softcap,
-                         block_sizes, small, xla_small, interpret):
+                         alibi, block_sizes, small, xla_small, interpret):
     if xla_small:
         # The XLA-route backward re-differentiates the whole-fused math and
         # never reads the lse — skip computing it (keeps the fastest fused
         # SDPA forward usable under jax.grad).
         o, _ = _forward_impl(
-            q, k, v, seg, causal, sm_scale, window, softcap, block_sizes,
-            small, xla_small, interpret, save_residuals=False,
+            q, k, v, seg, causal, sm_scale, window, softcap, alibi,
+            block_sizes, small, xla_small, interpret, save_residuals=False,
         )
         from jax.ad_checkpoint import checkpoint_name
 
         o = checkpoint_name(o, "flash_o")
         return o, (q, k, v, o, None, seg)
     o, lse = _forward_impl(
-        q, k, v, seg, causal, sm_scale, window, softcap, block_sizes, small,
-        xla_small, interpret, save_residuals=True,
+        q, k, v, seg, causal, sm_scale, window, softcap, alibi, block_sizes,
+        small, xla_small, interpret, save_residuals=True,
     )
     # Residuals (Q, K, V, O, L) ≙ ctx.save_for_backward
     # (src/flash_attention_torch.py:77).  The outputs are checkpoint-NAMED
@@ -678,8 +744,8 @@ def _flash_attention_fwd(q, k, v, seg, causal, sm_scale, window, softcap,
     return o, (q, k, v, o, lse, seg)
 
 
-def _flash_attention_bwd(causal, sm_scale, window, softcap, block_sizes,
-                         small, xla_small, interpret, res, do):
+def _flash_attention_bwd(causal, sm_scale, window, softcap, alibi,
+                         block_sizes, small, xla_small, interpret, res, do):
     q, k, v, o, lse, seg = res
     if xla_small:
         # Tiny-N XLA route: differentiate the same whole-fused attention
@@ -688,7 +754,7 @@ def _flash_attention_bwd(causal, sm_scale, window, softcap, block_sizes,
         # kernel).
         def f(q_, k_, v_):
             return _xla_small_fastest(
-                q_, k_, v_, seg, causal, sm_scale, window, softcap
+                q_, k_, v_, seg, causal, sm_scale, window, softcap, alibi
             )
 
         _, vjp = jax.vjp(f, q, k, v)
@@ -706,7 +772,7 @@ def _flash_attention_bwd(causal, sm_scale, window, softcap, block_sizes,
         dq, dk, dv = flash_attention_backward(
             q, k, v, o, do, lse,
             causal=causal, sm_scale=sm_scale, segment_ids=seg, window=window,
-            logit_softcap=softcap,
+            logit_softcap=softcap, alibi_slopes=alibi,
             block_sizes=block_sizes, interpret=interpret,
         )
     return dq, dk, dv, _seg_cotangent(seg)
@@ -725,11 +791,12 @@ def flash_attention(
     segment_ids: Optional[Union[SegmentIds, jax.Array]] = None,
     window: int = 0,
     logit_softcap: float = 0.0,
+    alibi_slopes=None,
     block_sizes: Optional[tuning.BlockSizes] = None,
     tune: bool = False,
     interpret: Optional[bool] = None,
 ):
-    """Differentiable fused attention: O = softmax(scale·QKᵀ + mask)V.
+    """Differentiable fused attention: O = softmax(scale·QKᵀ + bias + mask)V.
 
     q: [B, Hq, Nq, d]; k, v: [B, Hkv, Nkv, d] with Hq % Hkv == 0 (GQA/MQA).
     ``sm_scale`` defaults to 1/sqrt(d); pass ``sm_scale=1.0`` to reproduce the
@@ -739,10 +806,16 @@ def flash_attention(
     ``tune=True`` times the VMEM-feasible block candidates on the live device
     the first time each shape key is seen (cached on disk thereafter) — the
     role of triton.autotune in the reference (src/flash_attention_kernels.py:11-15).
+    ``alibi_slopes`` (one positive float per q head, causal only) adds the
+    ALiBi bias −m_h·(q_pos − kv_pos) to the scores (Press et al. 2022);
+    use :func:`alibi_slopes_for` for the standard geometric schedule.  The
+    kernels add only the softmax-equivalent per-column term — no O(N²) bias
+    tensor ever exists in HBM.
     """
     _validate(q, k, v)
     window = _normalize_window(window, causal, k.shape[2])
     seg = _normalize_segments(segment_ids, q, k)
+    alibi = _normalize_alibi(alibi_slopes, q.shape[1], causal)
     if tune and block_sizes is None:
         if isinstance(q, jax.core.Tracer):
             raise ValueError(
@@ -752,13 +825,13 @@ def flash_attention(
         block_sizes = tuned_block_sizes(q, k, v, causal=causal, sm_scale=sm_scale)
     if logit_softcap < 0:
         raise ValueError(f"logit_softcap must be >= 0, got {logit_softcap}")
-    small = _use_small(q, k, block_sizes)
+    small = _use_small(q, k, block_sizes) and alibi is None
     xla_small = _use_xla_small(q, k, block_sizes)
     sm_scale, _, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
     # Pass the RAW block_sizes (None when unpinned) through the vjp: the
     # backward picks fused-path blocks itself when the caller didn't pin.
     return _flash_attention(q, k, v, seg, causal, sm_scale, window,
-                            float(logit_softcap), block_sizes, small,
+                            float(logit_softcap), alibi, block_sizes, small,
                             xla_small, interpret)
 
 
@@ -780,8 +853,8 @@ def tuned_block_sizes(
 
         def fn(q_, k_, v_):
             return _flash_attention(
-                q_, k_, v_, None, causal, sm_scale_r, 0, 0.0, bs, False,
-                False, interpret
+                q_, k_, v_, None, causal, sm_scale_r, 0, 0.0, None, bs,
+                False, False, interpret
             )
 
         return fn
@@ -796,8 +869,8 @@ def tuned_block_sizes(
         def fn(q_, k_, v_, do_):
             _, vjp = jax.vjp(
                 lambda a, b, c: _flash_attention(
-                    a, b, c, None, causal, sm_scale_r, 0, 0.0, bs, False,
-                    False, interpret
+                    a, b, c, None, causal, sm_scale_r, 0, 0.0, None, bs,
+                    False, False, interpret
                 ),
                 q_, k_, v_,
             )

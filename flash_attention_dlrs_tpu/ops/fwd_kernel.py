@@ -68,6 +68,42 @@ def mxu_dot(a, b, dims):
     )
 
 
+def slope_input(alibi_slopes, num_q_heads: int):
+    """Per-head ALiBi slopes as a kernel input: [Hq, LANES] fp32 holding
+    m_h·log2e (base-2 units, matching the pre-scaled scores), lane-replicated
+    so the kernel reads a scalar without a sublane gather."""
+    slopes = jnp.asarray(alibi_slopes, jnp.float32) * LOG2E
+    return jnp.broadcast_to(slopes[:, None], (num_q_heads, geo.NUM_LANES))
+
+
+def slope_block_spec():
+    """One [1, LANES] slope row per grid step, indexed by the q-head axis
+    (grid axis 1 in every kernel of this package)."""
+    return pl.BlockSpec((1, geo.NUM_LANES), lambda *idx: (idx[1], 0))
+
+
+def adapt_optional_refs(base, *, n_lead: int, segmented: bool,
+                        has_slope: bool):
+    """Adapt pallas's positional ref list — where optional inputs only exist
+    when used — to a kernel signature with fixed (qseg, kvseg, slope) slots
+    sitting after the ``n_lead`` leading inputs."""
+    if segmented and has_slope:
+        return base
+
+    def kernel(*refs):
+        i = n_lead
+        qs = ks = sl = None
+        if segmented:
+            qs, ks = refs[i], refs[i + 1]
+            i += 2
+        if has_slope:
+            sl = refs[i]
+            i += 1
+        return base(*refs[:n_lead], qs, ks, sl, *refs[i:])
+
+    return kernel
+
+
 def _tri_decode(p_id, num_q_blocks: int):
     """Map a linear index over the lower-triangular (iq, ikv) block space
     (ikv ≤ iq) back to coordinates: row iq owns steps [tri(iq), tri(iq+1)).
@@ -89,6 +125,7 @@ def _fwd_kernel(
     v_ref,
     qseg_ref,  # [1, block_q, LANES] int32, or None (unpacked)
     kvseg_ref,  # [1, SUBLANES, block_kv] int32, or None
+    slope_ref,  # [1, LANES] fp32 per-head ALiBi slope (base-2), or None
     o_ref,
     lse_ref,  # None when save_residuals=False
     m_scratch,
@@ -165,6 +202,16 @@ def _fwd_kernel(
             # cap·tanh(S/cap) in base-2 units: C₂ = cap·log2e.
             c2 = softcap * LOG2E
             s = c2 * jnp.tanh(s * (1.0 / c2))
+        if slope_ref is not None:
+            # Separable ALiBi: the true bias −m·(qpos − col) splits into a
+            # per-row constant (−m·qpos, cancels in softmax) and the
+            # per-column term added here.  slope_ref holds m·log2e (base-2
+            # units, matching s); absolute column = col + ikv·block_kv.
+            colp = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+                + ikv * block_kv
+            )
+            s = s + slope_ref[0, 0] * colp.astype(jnp.float32)
 
         # Masking: causal within diagonal-crossing blocks + KV-length tail
         # + (packed sequences) segment-id equality.
@@ -247,6 +294,12 @@ def _fwd_kernel(
                 s = c2 * jnp.tanh(s * (1.0 / c2))
             row = jax.lax.broadcasted_iota(jnp.int32, (sub_d, w), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (sub_d, w), 1)
+            if slope_ref is not None:
+                # Strip columns are the block's first w: absolute column
+                # = col + ikv·block_kv (same separable form as _compute).
+                s = s + slope_ref[0, 0] * (
+                    col + ikv * block_kv
+                ).astype(jnp.float32)
             mask = (row + i * sub_d) >= col
             if has_tail:
                 mask = jnp.logical_and(mask, (col + ikv * block_kv) < kv_len)
@@ -331,6 +384,7 @@ def _fwd_kernel(
         "save_residuals",
         "interpret",
         "q_off",
+        "alibi_slopes",
     ),
 )
 def fwd_pallas(
@@ -350,6 +404,7 @@ def fwd_pallas(
     save_residuals: bool = False,
     interpret: bool = False,
     q_off: int = 0,
+    alibi_slopes=None,
 ):
     """Launch the forward kernel on padded inputs.
 
@@ -408,18 +463,19 @@ def fwd_pallas(
         softcap=softcap,
         q_off=q_off,
     )
-    # Adapt the positional pallas argument list to the full kernel signature.
-    if segmented and save_residuals:
-        kernel = base
-    elif segmented:
-        def kernel(q_r, k_r, v_r, qs_r, ks_r, o_r, m_s, l_s, acc_s):
-            return base(q_r, k_r, v_r, qs_r, ks_r, o_r, None, m_s, l_s, acc_s)
-    elif save_residuals:
-        def kernel(q_r, k_r, v_r, o_r, lse_r, m_s, l_s, acc_s):
-            return base(q_r, k_r, v_r, None, None, o_r, lse_r, m_s, l_s, acc_s)
+    # Adapt the positional pallas argument list to the full kernel signature:
+    # optional (qseg, kvseg, slope) inputs via the shared shim, plus the
+    # optional lse output slot between o and the scratch refs.
+    if save_residuals:
+        base2 = base
     else:
-        def kernel(q_r, k_r, v_r, o_r, m_s, l_s, acc_s):
-            return base(q_r, k_r, v_r, None, None, o_r, None, m_s, l_s, acc_s)
+        def base2(q_r, k_r, v_r, qs_r, ks_r, sl_r, o_r, m_s, l_s, acc_s):
+            return base(q_r, k_r, v_r, qs_r, ks_r, sl_r, o_r, None,
+                        m_s, l_s, acc_s)
+    kernel = adapt_optional_refs(
+        base2, n_lead=3, segmented=segmented,
+        has_slope=alibi_slopes is not None,
+    )
 
     if banded:
         grid = (batch, num_q_heads, num_q_blocks, band_w)
@@ -495,6 +551,9 @@ def fwd_pallas(
             )
         )
         inputs += [qseg_rep, kvseg_rep]
+    if alibi_slopes is not None:
+        in_specs.append(slope_block_spec())
+        inputs.append(slope_input(alibi_slopes, num_q_heads))
     o_spec = pl.BlockSpec((1, 1, block_q, head_dim), q_index)
     out_specs = [o_spec]
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]

@@ -16,6 +16,23 @@ import jax.numpy as jnp
 from .fwd_kernel import MATMUL_PRECISION
 
 
+def alibi_slopes_for(n_heads: int) -> tuple:
+    """The standard ALiBi geometric slope schedule (Press et al. 2022):
+    head i of H gets slope 2^(-8(i+1)/H), extended to non-power-of-2 head
+    counts by interleaving the odd steps of the next power's schedule."""
+    import math
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-8.0 / n)
+        return [start ** (i + 1) for i in range(n)]
+
+    n_floor = 2 ** int(math.floor(math.log2(n_heads)))
+    if n_floor == n_heads:
+        return tuple(pow2_slopes(n_heads))
+    extra = pow2_slopes(2 * n_floor)[0::2][: n_heads - n_floor]
+    return tuple(pow2_slopes(n_floor) + extra)
+
+
 def reference_attention(
     q,
     k,
@@ -26,6 +43,7 @@ def reference_attention(
     segment_ids=None,
     window: int = 0,
     logit_softcap: float = 0.0,
+    alibi_slopes=None,
     with_lse: bool = False,
     precision=None,
 ):
@@ -54,6 +72,17 @@ def reference_attention(
     s = s * sm_scale
     if logit_softcap:
         s = logit_softcap * jnp.tanh(s / logit_softcap)
+    if alibi_slopes is not None:
+        # True ALiBi bias −m_h·(qpos − col), bottom-right aligned like the
+        # causal mask (qpos = row + n_kv − n_q).  The kernels implement the
+        # softmax-equivalent separable form +m_h·col (the −m_h·qpos row term
+        # cancels in softmax); outputs match, and the public lse is
+        # un-shifted back to this true convention.
+        slopes = jnp.asarray(alibi_slopes, jnp.float32)  # [Hq]
+        qpos = jnp.arange(n_q, dtype=jnp.float32) + float(n_kv - n_q)
+        col = jnp.arange(n_kv, dtype=jnp.float32)
+        dist = qpos[:, None] - col[None, :]  # [Nq, Nkv]
+        s = s - slopes[None, :, None, None] * dist[None, None]
     if causal:
         # Bottom-right aligned (q row i sits at kv position i + n_kv - n_q);
         # the window band is aligned the same way, hugging the diagonal.
@@ -88,7 +117,7 @@ def reference_attention(
 
 def reference_attention_grads(
     q, k, v, do, *, causal=False, sm_scale=1.0, segment_ids=None, window=0,
-    logit_softcap=0.0,
+    logit_softcap=0.0, alibi_slopes=None,
 ):
     """Oracle gradients via jax.vjp through the naive attention
     (role of torch.autograd.grad in src/test_correctness.py:48)."""
@@ -97,7 +126,7 @@ def reference_attention_grads(
         return reference_attention(
             q_, k_, v_, causal=causal, sm_scale=sm_scale,
             segment_ids=segment_ids, window=window,
-            logit_softcap=logit_softcap,
+            logit_softcap=logit_softcap, alibi_slopes=alibi_slopes,
         )
 
     _, vjp = jax.vjp(f, q, k, v)

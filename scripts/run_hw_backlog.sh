@@ -33,6 +33,11 @@ step probe_int4 1800 scripts/probe_int4_tpu.py || {
   echo "INT4 PROBE FAILED — int4 stays CPU-only, continuing" | tee -a "$LOG/summary.log"
 }
 
+# 1c. ALiBi probe (scalar slope-ref read + extra iota on every grid shape).
+step probe_alibi 1800 scripts/probe_alibi_tpu.py || {
+  echo "ALIBI PROBE FAILED — see $LOG/probe_alibi.log, continuing" | tee -a "$LOG/summary.log"
+}
+
 # 2. Golden gates, both mask variants (fp32 kernels changed with the layout).
 step gate_noncausal 2400 scripts/run_golden_gate.py || exit 1
 step gate_causal 2400 scripts/run_golden_gate.py --causal || exit 1
@@ -48,5 +53,13 @@ step bench_headline 1800 bench.py
 # 5. Train-step MFU at the best-known config.
 step bench_train 3600 scripts/bench_train.py --remat-policy save_dots \
   --loss-chunk 256 --optimizer adamw8bit
+
+# 5b. Retry loss-chunk 512 now that the packed stat layout freed HBM
+#     (OOMed by 1.8 GB before the layout change; if it fits it should beat 5).
+step bench_train_c512 3600 scripts/bench_train.py --remat-policy save_dots \
+  --loss-chunk 512 --optimizer adamw8bit || {
+  echo "chunk512 config failed (likely OOM) — chunk256 stands" \
+    | tee -a "$LOG/summary.log"
+}
 
 echo "BACKLOG COMPLETE" | tee -a "$LOG/summary.log"
