@@ -37,7 +37,8 @@ from .. import geometry as geo
 from . import layout
 from .bwd_kernel import _mask_split, _recompute_p, _tri_decode_upper
 from .fwd_kernel import (
-    LN2, LOG2E, adapt_optional_refs, mxu_dot, slope_block_spec, slope_input,
+    LN2, LOG2E, adapt_optional_refs, dropout_keep_mask, mxu_dot,
+    seed_block_spec, seed_input, slope_block_spec, slope_input,
 )
 
 
@@ -51,6 +52,7 @@ def _bwd_fused_kernel(
     qseg_ref,  # [1, block_q, LANES] int32 or None
     kvseg_ref,  # [1, SUBLANES, block_kv] int32 or None
     slope_ref,  # [1, LANES] fp32 per-head ALiBi slope (m·log2e), or None
+    seed_ref,  # [1, LANES] int32 dropout seed, or None
     dq_ref,  # [1, 1, n_q, d] fp32 — pane-resident accumulator
     dk_ref,  # [1, 1, block_kv, d] fp32
     dv_ref,
@@ -69,7 +71,10 @@ def _bwd_fused_kernel(
     band_w=0,
     softcap=0.0,
     q_off=0,
+    dropout_rate=0.0,
+    drop_row_off=0,  # global q-row of local row 0 (segmented backward)
 ):
+    _pid_b, _pid_h = pl.program_id(0), pl.program_id(1)
     if band_w:
         # Transposed band (see bwd_kernel): kv block jkv walks the q rows
         # iq = jkv … jkv+W−1 whose window reaches back into it.
@@ -143,11 +148,27 @@ def _bwd_fused_kernel(
             q_off=q_off,
             slope=None if slope_ref is None else slope_ref[0, 0],
         )
-        # dV += Pᵀ dO  (≙ src/flash_attention_kernels.py:287)
-        dv_acc[...] += mxu_dot(p.astype(do.dtype), do, (((0,), (0,)), ((), ())))
+        pd = p
+        if dropout_rate:
+            # Regenerate the forward's element-indexed mask (see
+            # fwd_kernel.dropout_keep_mask — geometry-independent).
+            rowg = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0
+            ) + iq * block_q + drop_row_off
+            colg = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1) + jkv * block_kv
+            m_drop = dropout_keep_mask(
+                seed_ref[0, 0], _pid_b, _pid_h,
+                rowg, colg, dropout_rate,
+            )
+            pd = p * m_drop
+        # dV += P_dropᵀ dO  (≙ src/flash_attention_kernels.py:287)
+        dv_acc[...] += mxu_dot(pd.astype(do.dtype), do, (((0,), (0,)), ((), ())))
         # dP = dO Vᵀ   (≙ :289) — computed ONCE, reused for dK and dQ.
         dp = mxu_dot(do, v, (((1,), (1,)), ((), ())))
-        # dS = P ∘ (dP − D)  (≙ :291); scale conventions as in bwd_kernel.
+        if dropout_rate:
+            dp = dp * m_drop
+        # dS = P ∘ (M∘dP − D)  (≙ :291); scale conventions as in bwd_kernel.
         ds = p * (dp - dpre)
         if grad_cap is not None:  # soft-cap chain rule
             ds = ds * grad_cap
@@ -242,13 +263,15 @@ def fused_bwd_fits_vmem(n_q: int, head_dim: int, block_q: int,
     jax.jit,
     static_argnames=(
         "sm_scale", "causal", "block_q", "block_kv", "kv_len", "window",
-        "softcap", "interpret", "q_off", "alibi_slopes"
+        "softcap", "interpret", "q_off", "alibi_slopes", "dropout_rate",
+        "drop_row_off"
     ),
 )
 def bwd_fused_pallas(
-    q, k, v, o, do, lse, q_seg=None, kv_seg=None, *,
+    q, k, v, o, do, lse, q_seg=None, kv_seg=None, dropout_seed=None, *,
     sm_scale, causal, block_q, block_kv, kv_len, window=0, softcap=0.0,
-    interpret=False, q_off=0, alibi_slopes=None,
+    interpret=False, q_off=0, alibi_slopes=None, dropout_rate=0.0,
+    drop_row_off=0,
 ):
     """(dQ, dK, dV) in one sweep; dK/dV are per *query* head fp32 (the
     caller group-sums GQA heads, same contract as bwd_dkv_pallas).
@@ -276,7 +299,8 @@ def bwd_fused_pallas(
         block_q=block_q, block_kv=block_kv,
         num_q_blocks=num_q_blocks, num_kv_blocks=num_kv_blocks,
         tri=tri, window=window, band_w=band_w, softcap=float(softcap),
-        q_off=q_off,
+        q_off=q_off, dropout_rate=float(dropout_rate),
+        drop_row_off=int(drop_row_off),
     )
     if banded:
         grid = (batch, num_q_heads, num_kv_blocks, band_w)
@@ -369,9 +393,13 @@ def bwd_fused_pallas(
     if alibi_slopes is not None:
         in_specs.append(slope_block_spec())
         inputs.append(slope_input(alibi_slopes, num_q_heads))
+    if dropout_rate > 0.0:
+        in_specs.append(seed_block_spec())
+        inputs.append(seed_input(dropout_seed))
     kernel = adapt_optional_refs(
         kernel, n_lead=6, segmented=q_seg is not None,
         has_slope=alibi_slopes is not None,
+        has_seed=dropout_rate > 0.0,
     )
     dq, dk, dv = pl.pallas_call(
         kernel,

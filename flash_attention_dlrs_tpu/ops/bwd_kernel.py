@@ -31,7 +31,8 @@ from .. import geometry as geo
 from . import layout
 from .fwd_kernel import (
     DEFAULT_MASK_VALUE, LN2, LOG2E, _tri_decode, adapt_optional_refs,
-    mxu_dot, slope_block_spec, slope_input,
+    dropout_keep_mask, mxu_dot, seed_block_spec, seed_input,
+    slope_block_spec, slope_input,
 )
 
 
@@ -196,6 +197,7 @@ def _bwd_dkv_kernel(
     qseg_ref,  # [1, block_q, LANES] int32 or None
     kvseg_ref,  # [1, SUBLANES, block_kv] int32 or None
     slope_ref,  # [1, LANES] fp32 per-head ALiBi slope (m·log2e), or None
+    seed_ref,  # [1, LANES] int32 dropout seed, or None
     dk_ref,
     dv_ref,
     dk_acc,
@@ -211,7 +213,9 @@ def _bwd_dkv_kernel(
     band_w=0,
     softcap=0.0,
     q_off=0,
+    dropout_rate=0.0,
 ):
+    _pid_b, _pid_h = pl.program_id(0), pl.program_id(1)
     if band_w:
         # Transposed band: for kv block jkv, walk q rows iq = jkv … jkv+W−1
         # (only rows whose window reaches back into jkv).
@@ -266,13 +270,29 @@ def _bwd_dkv_kernel(
             q_off=q_off,
             slope=None if slope_ref is None else slope_ref[0, 0],
         )
-        # dV += Pᵀ dO  (≙ src/flash_attention_kernels.py:287)
-        dv_acc[...] += mxu_dot(p.astype(do.dtype), do, (((0,), (0,)), ((), ())))
+        pd, m_drop = p, None
+        if dropout_rate:
+            # Regenerate the forward's exact element-indexed mask (see
+            # fwd_kernel.dropout_keep_mask); block geometry is irrelevant.
+            rowg = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0) + iq * block_q
+            colg = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1) + jkv * block_kv
+            m_drop = dropout_keep_mask(
+                seed_ref[0, 0], _pid_b, _pid_h,
+                rowg, colg, dropout_rate,
+            )
+            pd = p * m_drop
+        # dV += P_dropᵀ dO  (≙ src/flash_attention_kernels.py:287)
+        dv_acc[...] += mxu_dot(pd.astype(do.dtype), do, (((0,), (0,)), ((), ())))
         # dP = dO Vᵀ   (≙ :289)
         dp = mxu_dot(do, v, (((1,), (1,)), ((), ())))
-        # dS = P ∘ (dP − D)  (≙ :291).  No per-element scale here: the q ref
-        # holds c·Q with c = sm_scale·log2e, so dK = sm_scale·dSᵀQ
-        # = ln2·dSᵀ(c·Q) — the ln2 lives in the store epilogue, O(B_c·d).
+        # dS = P ∘ (M∘dP − D)  (≙ :291; M = dropout keep/scale, D already
+        # equals rowsum(P_drop∘dP) = rowsum(O∘dO)).  No per-element scale
+        # here: the q ref holds c·Q with c = sm_scale·log2e, so
+        # dK = sm_scale·dSᵀQ = ln2·dSᵀ(c·Q) — ln2 lives in the epilogue.
+        if m_drop is not None:
+            dp = dp * m_drop
         ds = p * (dp - dpre)
         if grad_cap is not None:  # soft-cap chain rule
             ds = ds * grad_cap
@@ -299,13 +319,13 @@ def _bwd_dkv_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "causal", "block_q", "block_kv", "kv_len", "window",
-        "softcap", "interpret", "q_off", "alibi_slopes"
+        "softcap", "interpret", "q_off", "alibi_slopes", "dropout_rate"
     ),
 )
 def bwd_dkv_pallas(
-    q, k, v, do, lse, dpre, q_seg=None, kv_seg=None, *,
+    q, k, v, do, lse, dpre, q_seg=None, kv_seg=None, dropout_seed=None, *,
     sm_scale, causal, block_q, block_kv, kv_len, window=0, softcap=0.0,
-    interpret=False, q_off=0, alibi_slopes=None,
+    interpret=False, q_off=0, alibi_slopes=None, dropout_rate=0.0,
 ):
     """dK, dV per *query* head: [B, Hq, Nkv_pad, d] fp32.
 
@@ -335,6 +355,7 @@ def bwd_dkv_pallas(
         block_q=block_q, block_kv=block_kv,
         num_q_blocks=num_q_blocks, tri=tri, window=window, band_w=band_w,
         softcap=float(softcap), q_off=q_off,
+        dropout_rate=float(dropout_rate),
     )
     if banded:
         grid = (batch, num_q_heads, n_kv // block_kv, band_w)
@@ -417,9 +438,13 @@ def bwd_dkv_pallas(
     if alibi_slopes is not None:
         in_specs.append(slope_block_spec())
         inputs.append(slope_input(alibi_slopes, num_q_heads))
+    if dropout_rate > 0.0:
+        in_specs.append(seed_block_spec())
+        inputs.append(seed_input(dropout_seed))
     kernel = adapt_optional_refs(
         kernel, n_lead=6, segmented=q_seg is not None,
         has_slope=alibi_slopes is not None,
+        has_seed=dropout_rate > 0.0,
     )
     dk, dv = pl.pallas_call(
         kernel,
@@ -457,6 +482,7 @@ def _bwd_dq_kernel(
     qseg_ref,  # [1, block_q, LANES] int32 or None
     kvseg_ref,  # [1, SUBLANES, block_kv] int32 or None
     slope_ref,  # [1, LANES] fp32 per-head ALiBi slope (m·log2e), or None
+    seed_ref,  # [1, LANES] int32 dropout seed, or None
     dq_ref,
     dq_acc,
     *,
@@ -471,7 +497,9 @@ def _bwd_dq_kernel(
     band_w=0,
     softcap=0.0,
     q_off=0,
+    dropout_rate=0.0,
 ):
+    _pid_b, _pid_h = pl.program_id(0), pl.program_id(1)
     if band_w:
         # Banded sliding-window grid: axis 3 walks the ≤ band_w kv blocks a
         # q row's window can touch (see fwd_kernel).
@@ -525,6 +553,15 @@ def _bwd_dq_kernel(
             slope=None if slope_ref is None else slope_ref[0, 0],
         )
         dp = mxu_dot(do, v, (((1,), (1,)), ((), ())))
+        if dropout_rate:
+            rowg = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0) + iq * block_q
+            colg = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1) + jkv * block_kv
+            dp = dp * dropout_keep_mask(
+                seed_ref[0, 0], _pid_b, _pid_h,
+                rowg, colg, dropout_rate,
+            )
         # No per-element sm_scale multiply: k is unscaled here, so the true
         # scale is applied once to dQ in the store epilogue (O(B_r·d)).
         ds = p * (dp - dpre)
@@ -548,13 +585,13 @@ def _bwd_dq_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "causal", "block_q", "block_kv", "kv_len", "window",
-        "softcap", "interpret", "q_off", "alibi_slopes"
+        "softcap", "interpret", "q_off", "alibi_slopes", "dropout_rate"
     ),
 )
 def bwd_dq_pallas(
-    q, k, v, do, lse, dpre, q_seg=None, kv_seg=None, *,
+    q, k, v, do, lse, dpre, q_seg=None, kv_seg=None, dropout_seed=None, *,
     sm_scale, causal, block_q, block_kv, kv_len, window=0, softcap=0.0,
-    interpret=False, q_off=0, alibi_slopes=None,
+    interpret=False, q_off=0, alibi_slopes=None, dropout_rate=0.0,
 ):
     """dQ: [B, Hq, Nq_pad, d] fp32."""
     batch, num_q_heads, n_q, head_dim = q.shape
@@ -579,6 +616,7 @@ def bwd_dq_pallas(
         block_q=block_q, block_kv=block_kv,
         num_kv_blocks=num_kv_blocks, tri=tri, window=window, band_w=band_w,
         softcap=float(softcap), q_off=q_off,
+        dropout_rate=float(dropout_rate),
     )
     if banded:
         num_q_blocks = n_q // block_q
@@ -651,9 +689,13 @@ def bwd_dq_pallas(
     if alibi_slopes is not None:
         in_specs.append(slope_block_spec())
         inputs.append(slope_input(alibi_slopes, num_q_heads))
+    if dropout_rate > 0.0:
+        in_specs.append(seed_block_spec())
+        inputs.append(seed_input(dropout_seed))
     kernel = adapt_optional_refs(
         kernel, n_lead=6, segmented=q_seg is not None,
         has_slope=alibi_slopes is not None,
+        has_seed=dropout_rate > 0.0,
     )
     dq = pl.pallas_call(
         kernel,

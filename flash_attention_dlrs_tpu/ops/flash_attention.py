@@ -114,6 +114,23 @@ def _normalize_alibi(alibi_slopes, num_q_heads: int, causal: bool):
     return slopes
 
 
+def _normalize_dropout(dropout_rate, dropout_seed):
+    """Attention dropout config: rate ∈ [0, 1) static, seed a traced int32
+    scalar (recompile-free across steps).  The mask itself is a pure
+    function of (seed, b, h, row, col) — fwd_kernel.dropout_keep_mask."""
+    rate = float(dropout_rate)
+    if not 0.0 <= rate < 1.0:
+        raise ValueError(f"dropout_rate must be in [0, 1), got {rate}")
+    if rate == 0.0:
+        return 0.0, None
+    if dropout_seed is None:
+        raise ValueError(
+            "dropout_rate > 0 requires dropout_seed (an int32 scalar; pass "
+            "a fresh value per training step, e.g. the step counter)"
+        )
+    return rate, jnp.asarray(dropout_seed, jnp.int32).reshape(())
+
+
 def _alibi_lse_shift(lse, alibi, q_len: int, q_off: int, sign: float):
     """Convert between the kernels' separable-ALiBi logsumexp and the true
     one.  The kernels drop the softmax-invariant −m·qpos row term, so their
@@ -211,7 +228,7 @@ def _use_xla_small(q, k, block_sizes) -> bool:
 
 
 def _xla_small_math(q, k, v, seg, causal, sm_scale, window, softcap,
-                    alibi=None, with_lse=False):
+                    alibi=None, rate=0.0, seed=None, with_lse=False):
     """Whole-fused attention math for the tiny-N route, full feature set.
 
     Differences from the fp32 oracle (reference_attention) are deliberate,
@@ -253,7 +270,16 @@ def _xla_small_math(q, k, v, seg, causal, sm_scale, window, softcap,
         mask = sm if mask is None else jnp.logical_and(mask, sm)
     if mask is not None:
         s = jnp.where(mask, s, fwd.DEFAULT_MASK_VALUE)
-    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    p = jax.nn.softmax(s, axis=-1)
+    if rate:
+        # Same element-indexed mask as the Pallas kernels (dispatch-route
+        # independence: the mask depends on seed and indices only).
+        bi = jnp.arange(b, dtype=jnp.int32)[:, None, None, None]
+        hi = jnp.arange(hq, dtype=jnp.int32)[None, :, None, None]
+        rows = jnp.arange(n_q, dtype=jnp.int32)[None, None, :, None]
+        cols = jnp.arange(n_kv, dtype=jnp.int32)[None, None, None, :]
+        p = p * fwd.dropout_keep_mask(seed, bi, hi, rows, cols, rate)
+    p = p.astype(v.dtype)
     o = jnp.einsum(
         "bhqk,bhkd->bhqd", p, v,
         preferred_element_type=jnp.float32, precision=_XLA_SMALL_PRECISION,
@@ -273,13 +299,14 @@ def _xla_small_math(q, k, v, seg, causal, sm_scale, window, softcap,
 
 
 def _xla_small_fastest(q, k, v, seg, causal, sm_scale, window, softcap,
-                       alibi=None):
+                       alibi=None, rate=0.0, seed=None):
     """Fastest no-lse forward for the tiny-N route: XLA's fused SDPA
     (jax.nn.dot_product_attention — measured 66-68 TF/s fwd at N<=384 vs
     25-57 for the explicit math) when the feature set allows, the explicit
     math otherwise.  The backward differentiates through this same choice."""
     plain = (
         seg is None and window == 0 and softcap == 0.0 and alibi is None
+        and rate == 0.0
         and (not causal or q.shape[2] == k.shape[2])
     )
     if plain:
@@ -291,11 +318,12 @@ def _xla_small_fastest(q, k, v, seg, causal, sm_scale, window, softcap,
         )
         return o.transpose(0, 2, 1, 3)
     return _xla_small_math(q, k, v, seg, causal, sm_scale, window, softcap,
-                           alibi)
+                           alibi, rate, seed)
 
 
-def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, alibi, bs,
-                  small, xla_small, interpret, save_residuals):
+def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, alibi,
+                  rate, seed, bs, small, xla_small, interpret,
+                  save_residuals):
     """Shared forward dispatch: XLA-math tiny-N path, one-shot small kernel,
     mid-length pane kernel, or the general kernel.
 
@@ -305,10 +333,11 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, alibi, bs,
         if save_residuals:
             return _xla_small_math(
                 q, k, v, seg, causal, sm_scale, window, softcap, alibi,
-                with_lse=True,
+                rate, seed, with_lse=True,
             )
         o = _xla_small_fastest(
-            q, k, v, seg, causal, sm_scale, window, softcap, alibi
+            q, k, v, seg, causal, sm_scale, window, softcap, alibi, rate,
+            seed,
         )
         return o, None
     unpinned = bs is None
@@ -329,6 +358,7 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, alibi, bs,
         and causal
         and seg is None
         and alibi is None
+        and rate == 0.0
         and q.shape[2] == k.shape[2]
         and XLA_SMALL_MAX_N < q.shape[2] <= fwd_mid.MAX_MID_N
         and fwd_mid.mid_path_fits(
@@ -369,13 +399,13 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, alibi, bs,
         )
         qseg_p, kvseg_p = _pad_segments(seg, bs.block_q, bs.block_kv)
         o, lse = fwd.fwd_pallas(
-            qp, kp, vp, qseg_p, kvseg_p,
+            qp, kp, vp, qseg_p, kvseg_p, seed,
             sm_scale=sm_scale, causal=causal, window=window,
             softcap=float(softcap),
             block_q=bs.block_q, block_kv=bs.block_kv,
             kv_len=kv_len, save_residuals=save_residuals,
             interpret=interpret, q_off=kv_len - q_len,
-            alibi_slopes=alibi,
+            alibi_slopes=alibi, dropout_rate=rate,
         )
     if save_residuals:
         lse_u = layout.unpack_stat(lse)[:, :, :q_len]
@@ -415,22 +445,26 @@ def flash_attention_forward(
     window: int = 0,
     logit_softcap: float = 0.0,
     alibi_slopes=None,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
     block_sizes: Optional[tuning.BlockSizes] = None,
     interpret: Optional[bool] = None,
 ):
     """Forward pass returning (O, L) like the reference functional wrapper
     (src/flash_attention_wrappers.py:7-63).  L is the natural-base logsumexp
-    of the scaled+biased scores, shape [B, H, Nq] fp32."""
+    of the scaled+biased scores (dropout-independent), shape [B, H, Nq]
+    fp32."""
     _validate(q, k, v)
     window = _normalize_window(window, causal, k.shape[2])
     seg = _normalize_segments(segment_ids, q, k)
     alibi = _normalize_alibi(alibi_slopes, q.shape[1], causal)
-    small = _use_small(q, k, block_sizes) and alibi is None
+    rate, seed = _normalize_dropout(dropout_rate, dropout_seed)
+    small = _use_small(q, k, block_sizes) and alibi is None and rate == 0.0
     xla_small = _use_xla_small(q, k, block_sizes)
     sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
     return _forward_impl(
-        q, k, v, seg, causal, sm_scale, window, logit_softcap, alibi, bs,
-        small, xla_small, interpret, save_residuals=True,
+        q, k, v, seg, causal, sm_scale, window, logit_softcap, alibi, rate,
+        seed, bs, small, xla_small, interpret, save_residuals=True,
     )
 
 
@@ -448,6 +482,8 @@ def flash_attention_backward(
     window: int = 0,
     logit_softcap: float = 0.0,
     alibi_slopes=None,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
     block_sizes: Optional[tuning.BlockSizes] = None,
     interpret: Optional[bool] = None,
 ):
@@ -459,11 +495,15 @@ def flash_attention_backward(
     feed the globally-merged logsumexp so each block produces its global
     gradient contribution.  The fused short-sequence backward (which
     recomputes softmax inline and ignores lse) is only dispatched from the
-    custom_vjp, where the lse is known to come from the matching forward."""
+    custom_vjp, where the lse is known to come from the matching forward.
+
+    ``dropout_rate``/``dropout_seed`` must MATCH the forward's — the kernels
+    regenerate the identical element-indexed mask from them."""
     _validate(q, k, v)
     window = _normalize_window(window, causal, k.shape[2])
     seg = _normalize_segments(segment_ids, q, k)
     alibi = _normalize_alibi(alibi_slopes, q.shape[1], causal)
+    rate, seed = _normalize_dropout(dropout_rate, dropout_seed)
     if alibi is not None:
         # Callers pass the true logsumexp (the forward's public contract);
         # the kernels recompute P in the separable convention — re-shift.
@@ -481,6 +521,7 @@ def flash_attention_backward(
         and causal
         and seg is None
         and alibi is None
+        and rate == 0.0
         and q.shape[2] == k.shape[2]
         and q.shape[2] <= bwd_mid.MAX_MID_BWD_N
         and bwd_mid.bwd_mid_fits(
@@ -536,6 +577,7 @@ def flash_attention_backward(
         return _backward_fused_segmented(
             q, k, v, o, do, lse, seg_n,
             sm_scale=sm_scale, softcap=float(logit_softcap), alibi=alibi,
+            rate=rate, seed=seed,
             num_kv_heads=num_kv_heads, d_est=d_est, interpret=interpret,
         )
     # Block choice: the fused single-sweep kernel has its own sweet spot
@@ -571,27 +613,27 @@ def flash_attention_backward(
     # (7 matmuls, separate D-preprocess) otherwise — see bwd_fused.py.
     if use_fused:
         dq, dk, dv = bwd_fused.bwd_fused_pallas(
-            qp, kp, vp, op, dop, lse_pk, qseg_p, kvseg_p,
+            qp, kp, vp, op, dop, lse_pk, qseg_p, kvseg_p, seed,
             sm_scale=sm_scale, causal=causal, window=window,
             softcap=float(logit_softcap),
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
-            q_off=kv_len - q_len, alibi_slopes=alibi,
+            q_off=kv_len - q_len, alibi_slopes=alibi, dropout_rate=rate,
         )
     else:
         dpre = bwd.bwd_d_pallas(op, dop, block_q=bq, interpret=interpret)
         dk, dv = bwd.bwd_dkv_pallas(
-            qp, kp, vp, dop, lse_pk, dpre, qseg_p, kvseg_p,
+            qp, kp, vp, dop, lse_pk, dpre, qseg_p, kvseg_p, seed,
             sm_scale=sm_scale, causal=causal, window=window,
             softcap=float(logit_softcap),
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
-            q_off=kv_len - q_len, alibi_slopes=alibi,
+            q_off=kv_len - q_len, alibi_slopes=alibi, dropout_rate=rate,
         )
         dq = bwd.bwd_dq_pallas(
-            qp, kp, vp, dop, lse_pk, dpre, qseg_p, kvseg_p,
+            qp, kp, vp, dop, lse_pk, dpre, qseg_p, kvseg_p, seed,
             sm_scale=sm_scale, causal=causal, window=window,
             softcap=float(logit_softcap),
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
-            q_off=kv_len - q_len, alibi_slopes=alibi,
+            q_off=kv_len - q_len, alibi_slopes=alibi, dropout_rate=rate,
         )
     # GQA: group-sum per-q-head dK/dV into per-kv-head grads.
     batch, num_q_heads = q.shape[0], q.shape[1]
@@ -606,7 +648,8 @@ def flash_attention_backward(
 
 
 def _backward_fused_segmented(q, k, v, o, do, lse, seg_n, *, sm_scale,
-                              softcap, alibi, num_kv_heads, d_est, interpret):
+                              softcap, alibi, rate, seed, num_kv_heads,
+                              d_est, interpret):
     """Fused single-sweep backward run per Q row segment (plain causal
     self-attention only).  Each segment sees the KV prefix [0, s1) with
     q_off = s0 — exactly the cross-length causal contract — so dQ comes out
@@ -636,10 +679,11 @@ def _backward_fused_segmented(q, k, v, o, do, lse, seg_n, *, sm_scale,
             dop, _ = pad_axis_to(dop, 3, qp.shape[-1])
         lse_pk = _pack_stat_padded(lse_s, bq)
         dq_s, dk_p, dv_p = bwd_fused.bwd_fused_pallas(
-            qp, kp, vp, op, dop, lse_pk,
+            qp, kp, vp, op, dop, lse_pk, None, None, seed,
             sm_scale=sm_scale, causal=True, window=0, softcap=softcap,
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
-            q_off=kv_len - q_len, alibi_slopes=alibi,
+            q_off=kv_len - q_len, alibi_slopes=alibi, dropout_rate=rate,
+            drop_row_off=s0,
         )
         dq_parts.append(dq_s[:, :, :q_len, :d_full])
         dk_tot = dk_tot.at[:, :, :kv_len, :].add(dk_p[:, :, :kv_len, :d_full])
@@ -699,34 +743,36 @@ def _seg_cotangent(seg):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14)
 )
-def _flash_attention(q, k, v, seg, causal, sm_scale, window, softcap, alibi,
-                     block_sizes, small, xla_small, interpret):
+def _flash_attention(q, k, v, seg, seed, causal, sm_scale, window, softcap,
+                     alibi, rate, block_sizes, small, xla_small, interpret):
     o, _ = _forward_impl(
-        q, k, v, seg, causal, sm_scale, window, softcap, alibi, block_sizes,
-        small, xla_small, interpret, save_residuals=False,
+        q, k, v, seg, causal, sm_scale, window, softcap, alibi, rate, seed,
+        block_sizes, small, xla_small, interpret, save_residuals=False,
     )
     return o
 
 
-def _flash_attention_fwd(q, k, v, seg, causal, sm_scale, window, softcap,
-                         alibi, block_sizes, small, xla_small, interpret):
+def _flash_attention_fwd(q, k, v, seg, seed, causal, sm_scale, window,
+                         softcap, alibi, rate, block_sizes, small, xla_small,
+                         interpret):
     if xla_small:
         # The XLA-route backward re-differentiates the whole-fused math and
         # never reads the lse — skip computing it (keeps the fastest fused
         # SDPA forward usable under jax.grad).
         o, _ = _forward_impl(
-            q, k, v, seg, causal, sm_scale, window, softcap, alibi,
-            block_sizes, small, xla_small, interpret, save_residuals=False,
+            q, k, v, seg, causal, sm_scale, window, softcap, alibi, rate,
+            seed, block_sizes, small, xla_small, interpret,
+            save_residuals=False,
         )
         from jax.ad_checkpoint import checkpoint_name
 
         o = checkpoint_name(o, "flash_o")
-        return o, (q, k, v, o, None, seg)
+        return o, (q, k, v, o, None, seg, seed)
     o, lse = _forward_impl(
-        q, k, v, seg, causal, sm_scale, window, softcap, alibi, block_sizes,
-        small, xla_small, interpret, save_residuals=True,
+        q, k, v, seg, causal, sm_scale, window, softcap, alibi, rate, seed,
+        block_sizes, small, xla_small, interpret, save_residuals=True,
     )
     # Residuals (Q, K, V, O, L) ≙ ctx.save_for_backward
     # (src/flash_attention_torch.py:77).  The outputs are checkpoint-NAMED
@@ -741,12 +787,18 @@ def _flash_attention_fwd(q, k, v, seg, causal, sm_scale, window, softcap,
 
     o = checkpoint_name(o, "flash_o")
     lse = checkpoint_name(lse, "flash_lse")
-    return o, (q, k, v, o, lse, seg)
+    return o, (q, k, v, o, lse, seg, seed)
 
 
-def _flash_attention_bwd(causal, sm_scale, window, softcap, alibi,
+def _seed_cotangent(seed):
+    if seed is None:
+        return None
+    return np.zeros(seed.shape, jax.dtypes.float0)
+
+
+def _flash_attention_bwd(causal, sm_scale, window, softcap, alibi, rate,
                          block_sizes, small, xla_small, interpret, res, do):
-    q, k, v, o, lse, seg = res
+    q, k, v, o, lse, seg, seed = res
     if xla_small:
         # Tiny-N XLA route: differentiate the same whole-fused attention
         # the forward ran (XLA fuses the recompute + grads into batched
@@ -754,12 +806,13 @@ def _flash_attention_bwd(causal, sm_scale, window, softcap, alibi,
         # kernel).
         def f(q_, k_, v_):
             return _xla_small_fastest(
-                q_, k_, v_, seg, causal, sm_scale, window, softcap, alibi
+                q_, k_, v_, seg, causal, sm_scale, window, softcap, alibi,
+                rate, seed,
             )
 
         _, vjp = jax.vjp(f, q, k, v)
         dq, dk, dv = vjp(do)
-        return dq, dk, dv, _seg_cotangent(seg)
+        return dq, dk, dv, _seg_cotangent(seg), _seed_cotangent(seed)
     # The one-shot inline-softmax backward is the numerics champion (no lse
     # round-trip — it is what lets the 200-seed gate pass unscaled on TPU)
     # but computes the full n² score block; past ~320 tokens the sub-blocked
@@ -773,9 +826,10 @@ def _flash_attention_bwd(causal, sm_scale, window, softcap, alibi,
             q, k, v, o, do, lse,
             causal=causal, sm_scale=sm_scale, segment_ids=seg, window=window,
             logit_softcap=softcap, alibi_slopes=alibi,
+            dropout_rate=rate, dropout_seed=seed,
             block_sizes=block_sizes, interpret=interpret,
         )
-    return dq, dk, dv, _seg_cotangent(seg)
+    return dq, dk, dv, _seg_cotangent(seg), _seed_cotangent(seed)
 
 
 _flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
@@ -792,6 +846,8 @@ def flash_attention(
     window: int = 0,
     logit_softcap: float = 0.0,
     alibi_slopes=None,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
     block_sizes: Optional[tuning.BlockSizes] = None,
     tune: bool = False,
     interpret: Optional[bool] = None,
@@ -811,11 +867,17 @@ def flash_attention(
     use :func:`alibi_slopes_for` for the standard geometric schedule.  The
     kernels add only the softmax-equivalent per-column term — no O(N²) bias
     tensor ever exists in HBM.
+    ``dropout_rate`` (with a per-step int32 ``dropout_seed``) drops attention
+    probabilities AFTER softmax normalization and rescales by 1/(1−rate)
+    (flash-attn semantics).  The mask is a counter-based pure function of
+    (seed, batch, head, row, col) — no mask tensor in HBM, and the backward
+    regenerates it exactly whatever block geometry it runs with.
     """
     _validate(q, k, v)
     window = _normalize_window(window, causal, k.shape[2])
     seg = _normalize_segments(segment_ids, q, k)
     alibi = _normalize_alibi(alibi_slopes, q.shape[1], causal)
+    rate, seed = _normalize_dropout(dropout_rate, dropout_seed)
     if tune and block_sizes is None:
         if isinstance(q, jax.core.Tracer):
             raise ValueError(
@@ -825,14 +887,14 @@ def flash_attention(
         block_sizes = tuned_block_sizes(q, k, v, causal=causal, sm_scale=sm_scale)
     if logit_softcap < 0:
         raise ValueError(f"logit_softcap must be >= 0, got {logit_softcap}")
-    small = _use_small(q, k, block_sizes) and alibi is None
+    small = _use_small(q, k, block_sizes) and alibi is None and rate == 0.0
     xla_small = _use_xla_small(q, k, block_sizes)
     sm_scale, _, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
     # Pass the RAW block_sizes (None when unpinned) through the vjp: the
     # backward picks fused-path blocks itself when the caller didn't pin.
-    return _flash_attention(q, k, v, seg, causal, sm_scale, window,
-                            float(logit_softcap), alibi, block_sizes, small,
-                            xla_small, interpret)
+    return _flash_attention(q, k, v, seg, seed, causal, sm_scale, window,
+                            float(logit_softcap), alibi, rate, block_sizes,
+                            small, xla_small, interpret)
 
 
 def tuned_block_sizes(
@@ -853,8 +915,8 @@ def tuned_block_sizes(
 
         def fn(q_, k_, v_):
             return _flash_attention(
-                q_, k_, v_, None, causal, sm_scale_r, 0, 0.0, None, bs,
-                False, False, interpret
+                q_, k_, v_, None, None, causal, sm_scale_r, 0, 0.0, None,
+                0.0, bs, False, False, interpret
             )
 
         return fn
@@ -869,8 +931,8 @@ def tuned_block_sizes(
         def fn(q_, k_, v_, do_):
             _, vjp = jax.vjp(
                 lambda a, b, c: _flash_attention(
-                    a, b, c, None, causal, sm_scale_r, 0, 0.0, None, bs,
-                    False, False, interpret
+                    a, b, c, None, None, causal, sm_scale_r, 0, 0.0, None,
+                    0.0, bs, False, False, interpret
                 ),
                 q_, k_, v_,
             )

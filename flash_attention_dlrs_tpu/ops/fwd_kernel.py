@@ -68,6 +68,45 @@ def mxu_dot(a, b, dims):
     )
 
 
+def _lowbias32(x):
+    """Wellons' lowbias32 integer mixer on int32 (wrap-around mul is the
+    intended mod-2³² arithmetic; logical shifts — int32 ops only, the
+    Mosaic-legal subset).  The counter-based RNG under attention dropout."""
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    x = x * jnp.int32(0x7FEB352D)
+    x = x ^ jax.lax.shift_right_logical(x, 15)
+    x = x * jnp.int32(-2073286005)  # 0x846CA68B
+    return x ^ jax.lax.shift_right_logical(x, 16)
+
+
+def dropout_keep_mask(seed, b, h, rows, cols, rate: float):
+    """Keep/scale factor M ∈ {0, 1/(1−rate)} for attention dropout.
+
+    Element-indexed (counter-based): the value at (b, h, row, col) depends
+    only on the seed and those GLOBAL indices — never on block geometry —
+    so the backward regenerates the identical mask even with different
+    block sizes (the role of flash-attn's philox offset bookkeeping).
+    ``rows``/``cols`` are int32 index arrays (broadcastable); ``seed`` a
+    traced int32 scalar; ``b``/``h`` scalars.
+    """
+    seed_bh = _lowbias32(seed ^ (b * jnp.int32(65599) + h))
+    bits = _lowbias32(rows ^ _lowbias32(cols + seed_bh))
+    # 24-bit mantissa-exact uniform in [0, 1)
+    u = (bits & jnp.int32(0x00FFFFFF)).astype(jnp.float32) * (1.0 / (1 << 24))
+    return jnp.where(u >= rate, 1.0 / (1.0 - rate), 0.0)
+
+
+def seed_input(seed):
+    """Traced dropout seed as a [1, LANES] lane-replicated int32 kernel
+    input (recompile-free across steps, unlike a static seed)."""
+    s = jnp.asarray(seed, jnp.int32).reshape(())
+    return jnp.broadcast_to(s[None, None], (1, geo.NUM_LANES))
+
+
+def seed_block_spec():
+    return pl.BlockSpec((1, geo.NUM_LANES), lambda *idx: (0, 0))
+
+
 def slope_input(alibi_slopes, num_q_heads: int):
     """Per-head ALiBi slopes as a kernel input: [Hq, LANES] fp32 holding
     m_h·log2e (base-2 units, matching the pre-scaled scores), lane-replicated
@@ -83,23 +122,26 @@ def slope_block_spec():
 
 
 def adapt_optional_refs(base, *, n_lead: int, segmented: bool,
-                        has_slope: bool):
+                        has_slope: bool, has_seed: bool = False):
     """Adapt pallas's positional ref list — where optional inputs only exist
-    when used — to a kernel signature with fixed (qseg, kvseg, slope) slots
-    sitting after the ``n_lead`` leading inputs."""
-    if segmented and has_slope:
+    when used — to a kernel signature with fixed (qseg, kvseg, slope, seed)
+    slots sitting after the ``n_lead`` leading inputs."""
+    if segmented and has_slope and has_seed:
         return base
 
     def kernel(*refs):
         i = n_lead
-        qs = ks = sl = None
+        qs = ks = sl = sd = None
         if segmented:
             qs, ks = refs[i], refs[i + 1]
             i += 2
         if has_slope:
             sl = refs[i]
             i += 1
-        return base(*refs[:n_lead], qs, ks, sl, *refs[i:])
+        if has_seed:
+            sd = refs[i]
+            i += 1
+        return base(*refs[:n_lead], qs, ks, sl, sd, *refs[i:])
 
     return kernel
 
@@ -126,6 +168,7 @@ def _fwd_kernel(
     qseg_ref,  # [1, block_q, LANES] int32, or None (unpacked)
     kvseg_ref,  # [1, SUBLANES, block_kv] int32, or None
     slope_ref,  # [1, LANES] fp32 per-head ALiBi slope (base-2), or None
+    seed_ref,  # [1, LANES] int32 dropout seed, or None
     o_ref,
     lse_ref,  # None when save_residuals=False
     m_scratch,
@@ -142,7 +185,9 @@ def _fwd_kernel(
     band_w: int = 0,  # >0: banded grid, axis 3 = position within the band
     softcap: float = 0.0,  # Gemma-style logit cap (natural units); 0 = off
     q_off: int = 0,  # kv_len - q_len: bottom-right causal alignment offset
+    dropout_rate: float = 0.0,  # P-dropout; mask from seed_ref (see below)
 ):
+    _pid_b, _pid_h = pl.program_id(0), pl.program_id(1)
     if band_w:
         # Banded grid for causal sliding-window attention: each q row only
         # enumerates the ≤ band_w kv blocks its window can touch — O(N·w)
@@ -259,6 +304,21 @@ def _fwd_kernel(
         m_scratch[...] = m_next
         l_scratch[...] = l_next
 
+        if dropout_rate:
+            # Dropout on P AFTER the l accumulation (the softmax denominator
+            # is over undropped probabilities — flash-attn semantics); the
+            # mask is a pure function of (seed, b, h, global row, global
+            # col), so the backward regenerates it bit-identically whatever
+            # block geometry it runs with.
+            rowg = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0) + iq * block_q
+            colg = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1) + ikv * block_kv
+            p = p * dropout_keep_mask(
+                seed_ref[0, 0], _pid_b, _pid_h,
+                rowg, colg, dropout_rate,
+            )
+
         # Unnormalized accumulate: acc = acc * alpha + P V
         # (division deferred to epilogue, ≙ src/flash_attention_kernels.py:105).
         v = v_ref[0, 0]  # [block_kv, d]
@@ -313,6 +373,12 @@ def _fwd_kernel(
             l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
             m_scratch[sl, :] = m_next
             l_scratch[sl, :] = l_next
+            if dropout_rate:
+                p = p * dropout_keep_mask(
+                    seed_ref[0, 0], _pid_b, _pid_h,
+                    row + iq * block_q + i * sub_d, col + ikv * block_kv,
+                    dropout_rate,
+                )
             pv = mxu_dot(
                 p.astype(v_all.dtype), v_all[:w, :], (((1,), (0,)), ((), ()))
             )
@@ -385,6 +451,7 @@ def _fwd_kernel(
         "interpret",
         "q_off",
         "alibi_slopes",
+        "dropout_rate",
     ),
 )
 def fwd_pallas(
@@ -393,6 +460,7 @@ def fwd_pallas(
     v,
     q_seg=None,
     kv_seg=None,
+    dropout_seed=None,
     *,
     sm_scale: float,
     causal: bool,
@@ -405,6 +473,7 @@ def fwd_pallas(
     interpret: bool = False,
     q_off: int = 0,
     alibi_slopes=None,
+    dropout_rate: float = 0.0,
 ):
     """Launch the forward kernel on padded inputs.
 
@@ -462,6 +531,7 @@ def fwd_pallas(
         band_w=band_w,
         softcap=softcap,
         q_off=q_off,
+        dropout_rate=float(dropout_rate),
     )
     # Adapt the positional pallas argument list to the full kernel signature:
     # optional (qseg, kvseg, slope) inputs via the shared shim, plus the
@@ -469,12 +539,14 @@ def fwd_pallas(
     if save_residuals:
         base2 = base
     else:
-        def base2(q_r, k_r, v_r, qs_r, ks_r, sl_r, o_r, m_s, l_s, acc_s):
-            return base(q_r, k_r, v_r, qs_r, ks_r, sl_r, o_r, None,
+        def base2(q_r, k_r, v_r, qs_r, ks_r, sl_r, sd_r, o_r, m_s, l_s,
+                  acc_s):
+            return base(q_r, k_r, v_r, qs_r, ks_r, sl_r, sd_r, o_r, None,
                         m_s, l_s, acc_s)
     kernel = adapt_optional_refs(
         base2, n_lead=3, segmented=segmented,
         has_slope=alibi_slopes is not None,
+        has_seed=dropout_rate > 0.0,
     )
 
     if banded:
@@ -554,6 +626,9 @@ def fwd_pallas(
     if alibi_slopes is not None:
         in_specs.append(slope_block_spec())
         inputs.append(slope_input(alibi_slopes, num_q_heads))
+    if dropout_rate > 0.0:
+        in_specs.append(seed_block_spec())
+        inputs.append(seed_input(dropout_seed))
     o_spec = pl.BlockSpec((1, 1, block_q, head_dim), q_index)
     out_specs = [o_spec]
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]

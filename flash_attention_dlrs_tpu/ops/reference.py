@@ -44,6 +44,8 @@ def reference_attention(
     window: int = 0,
     logit_softcap: float = 0.0,
     alibi_slopes=None,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
     with_lse: bool = False,
     precision=None,
 ):
@@ -105,6 +107,21 @@ def reference_attention(
     l = jnp.sum(e, axis=-1, keepdims=True)
     lse = (m + jnp.log(l))[..., 0]
     p = e / l
+    if dropout_rate:
+        # Same element-indexed mask the kernels generate (the oracle must be
+        # bit-identical in WHICH elements drop; see fwd_kernel).  Applied
+        # after normalization — the lse and softmax denominator are over
+        # undropped probabilities, flash-attn semantics.
+        from .fwd_kernel import dropout_keep_mask
+
+        bi = jnp.arange(b, dtype=jnp.int32)[:, None, None, None]
+        hi = jnp.arange(hq, dtype=jnp.int32)[None, :, None, None]
+        rows = jnp.arange(n_q, dtype=jnp.int32)[None, None, :, None]
+        cols = jnp.arange(n_kv, dtype=jnp.int32)[None, None, None, :]
+        p = p * dropout_keep_mask(
+            jnp.asarray(dropout_seed, jnp.int32), bi, hi, rows, cols,
+            float(dropout_rate),
+        )
     o = jnp.einsum(
         "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
@@ -117,7 +134,8 @@ def reference_attention(
 
 def reference_attention_grads(
     q, k, v, do, *, causal=False, sm_scale=1.0, segment_ids=None, window=0,
-    logit_softcap=0.0, alibi_slopes=None,
+    logit_softcap=0.0, alibi_slopes=None, dropout_rate=0.0,
+    dropout_seed=None,
 ):
     """Oracle gradients via jax.vjp through the naive attention
     (role of torch.autograd.grad in src/test_correctness.py:48)."""
@@ -127,6 +145,7 @@ def reference_attention_grads(
             q_, k_, v_, causal=causal, sm_scale=sm_scale,
             segment_ids=segment_ids, window=window,
             logit_softcap=logit_softcap, alibi_slopes=alibi_slopes,
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         )
 
     _, vjp = jax.vjp(f, q, k, v)

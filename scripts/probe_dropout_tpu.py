@@ -1,0 +1,113 @@
+"""Hardware probe: compile + oracle-check in-kernel attention dropout.
+
+The lowbias32 mixer is int32 mul/xor/logical-shift — interpret-clean, but
+Mosaic legality (esp. wrap-around int32 multiply and shift_right_logical on
+vectors) and the seed-ref scalar read need a real compile.  Checks forward,
+fused backward, and the two-sweep backward's cross-geometry mask replay.
+
+Usage: python scripts/probe_dropout_tpu.py
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from flash_attention_dlrs_tpu import flash_attention
+from flash_attention_dlrs_tpu.ops import (
+    bwd_fused,
+    flash_attention_backward,
+    flash_attention_forward,
+    reference,
+)
+
+
+def _check(name, got, want, tol, t0):
+    err = float(jnp.max(jnp.abs(
+        jnp.asarray(got, jnp.float32) - jnp.asarray(want, jnp.float32))))
+    ok = err < tol
+    print(f"{'OK ' if ok else 'FAIL'} {name}: err {err:.2e} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    return ok
+
+
+def main():
+    print("device:", jax.devices()[0].device_kind, flush=True)
+    ok = True
+    b, h, n, d = 2, 4, 1024, 128
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(ks[0], (b, h, n, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, h, n, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, h, n, d), jnp.bfloat16)
+    do = jax.random.normal(ks[3], (b, h, n, d), jnp.bfloat16)
+
+    # 1. Forward vs dense same-mask oracle, bf16 tri grid.
+    t0 = time.time()
+    o = flash_attention(q, k, v, causal=True, dropout_rate=0.3,
+                        dropout_seed=7)
+    oref = reference.reference_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        causal=True, sm_scale=d ** -0.5, dropout_rate=0.3, dropout_seed=7,
+    )
+    ok &= _check("fwd dropout bf16", o, oref, 4e-2, t0)
+
+    # 2. Determinism on hardware.
+    t0 = time.time()
+    o2 = flash_attention(q, k, v, causal=True, dropout_rate=0.3,
+                         dropout_seed=7)
+    same = bool(jnp.all(o == o2))
+    print(f"{'OK ' if same else 'FAIL'} bitwise repeat ({time.time()-t0:.0f}s)",
+          flush=True)
+    ok &= same
+
+    # 3. Fused backward via jax.grad.
+    t0 = time.time()
+
+    def loss(q_, k_, v_):
+        out = flash_attention(q_, k_, v_, causal=True, dropout_rate=0.3,
+                              dropout_seed=7)
+        return jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32))
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    rq, rk, rv = reference.reference_attention_grads(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        do.astype(jnp.float32), causal=True, sm_scale=d ** -0.5,
+        dropout_rate=0.3, dropout_seed=7,
+    )
+    ok &= _check("bwd fused dq", dq, rq, 8e-2, t0)
+    ok &= _check("bwd fused dk", dk, rk, 8e-2, t0)
+    ok &= _check("bwd fused dv", dv, rv, 8e-2, t0)
+
+    # 4. Two-sweep backward: different block geometry, same mask.
+    t0 = time.time()
+    orig = bwd_fused.pick_fused_blocks, bwd_fused.fused_bwd_fits_vmem
+    bwd_fused.pick_fused_blocks = lambda *a, **kw: None
+    bwd_fused.fused_bwd_fits_vmem = lambda *a, **kw: False
+    try:
+        qf = q.astype(jnp.float32)[:1, :2, :512]
+        kf = k.astype(jnp.float32)[:1, :2, :512]
+        vf = v.astype(jnp.float32)[:1, :2, :512]
+        dof = do.astype(jnp.float32)[:1, :2, :512]
+        of, lse = flash_attention_forward(qf, kf, vf, causal=True,
+                                          sm_scale=1.0, dropout_rate=0.25,
+                                          dropout_seed=9)
+        dq2, dk2, dv2 = flash_attention_backward(
+            qf, kf, vf, of, dof, lse, causal=True, sm_scale=1.0,
+            dropout_rate=0.25, dropout_seed=9,
+        )
+    finally:
+        bwd_fused.pick_fused_blocks, bwd_fused.fused_bwd_fits_vmem = orig
+    rq2, rk2, rv2 = reference.reference_attention_grads(
+        qf, kf, vf, dof, causal=True, sm_scale=1.0, dropout_rate=0.25,
+        dropout_seed=9,
+    )
+    ok &= _check("bwd two-sweep dq", dq2, rq2, 2e-3, t0)
+    ok &= _check("bwd two-sweep dk", dk2, rk2, 2e-3, t0)
+    ok &= _check("bwd two-sweep dv", dv2, rv2, 2e-3, t0)
+
+    print("ALL OK" if ok else "FAILURES", flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

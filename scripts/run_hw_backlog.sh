@@ -38,6 +38,11 @@ step probe_alibi 1800 scripts/probe_alibi_tpu.py || {
   echo "ALIBI PROBE FAILED — see $LOG/probe_alibi.log, continuing" | tee -a "$LOG/summary.log"
 }
 
+# 1d. Dropout probe (lowbias32 int32 mixer legality + cross-geometry replay).
+step probe_dropout 1800 scripts/probe_dropout_tpu.py || {
+  echo "DROPOUT PROBE FAILED — see $LOG/probe_dropout.log, continuing" | tee -a "$LOG/summary.log"
+}
+
 # 2. Golden gates, both mask variants (fp32 kernels changed with the layout).
 step gate_noncausal 2400 scripts/run_golden_gate.py || exit 1
 step gate_causal 2400 scripts/run_golden_gate.py --causal || exit 1

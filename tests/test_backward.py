@@ -274,7 +274,8 @@ def test_bwd_fused_segmented_matches_oracle():
     for seg_n in (512, 768):
         dq, dk, dv = fam._backward_fused_segmented(
             q, k, v, o, do, lse, seg_n,
-            sm_scale=1.0, softcap=0.0, alibi=None, num_kv_heads=hkv, d_est=d,
+            sm_scale=1.0, softcap=0.0, alibi=None, rate=0.0, seed=None,
+            num_kv_heads=hkv, d_est=d,
             interpret=True,
         )
         np.testing.assert_allclose(dq, dq_r, atol=DQ_ATOL, rtol=RTOL)
