@@ -42,6 +42,8 @@ def param_shardings(params: Dict, mesh: Mesh, model_axis: str = "model") -> Dict
         "layers": [spec_for_layer(l) for l in params["layers"]],
         "final_norm": P(None),
     }
+    if "unembed" in params:  # untied output embedding (models/convert.py)
+        specs["unembed"] = P(None, None)
     return jax.tree.map(
         lambda s: NamedSharding(mesh, s),
         specs,
@@ -86,15 +88,31 @@ def make_train_step(
     data_axis: str = "data",
     interpret: Optional[bool] = None,
 ):
-    """Jitted (params, opt_state, tokens) -> (params, opt_state, loss)."""
+    """Jitted (params, opt_state, tokens) -> (params, opt_state, loss).
 
-    def step(params, opt_state, tokens):
-        loss, grads = jax.value_and_grad(
-            functools.partial(loss_fn, cfg=cfg, interpret=interpret)
-        )(params, tokens)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    With ``cfg.attn_dropout > 0`` the step takes a 4th argument — an int32
+    ``dropout_seed`` (pass the step index): attention dropout masks are a
+    pure function of it, so training stays bitwise reproducible."""
+
+    if cfg.attn_dropout:
+        def step(params, opt_state, tokens, dropout_seed):
+            loss, grads = jax.value_and_grad(
+                functools.partial(
+                    loss_fn, cfg=cfg, dropout_seed=dropout_seed,
+                    interpret=interpret,
+                )
+            )(params, tokens)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+    else:
+        def step(params, opt_state, tokens):
+            loss, grads = jax.value_and_grad(
+                functools.partial(loss_fn, cfg=cfg, interpret=interpret)
+            )(params, tokens)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
 
     # params and opt_state are donated: the updated state aliases the old
     # buffers instead of doubling the largest allocations in HBM (at the
@@ -104,7 +122,10 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, 1))
     token_sharding = NamedSharding(mesh, P(data_axis, None))
+    in_shardings = (None, None, token_sharding)
+    if cfg.attn_dropout:
+        in_shardings += (None,)  # the replicated dropout_seed scalar
     return jax.jit(
-        step, in_shardings=(None, None, token_sharding),
+        step, in_shardings=in_shardings,
         donate_argnums=(0, 1),
     )

@@ -36,11 +36,28 @@ class ModelConfig:
     head_dim: int = 64
     d_ff: int = 1408
     rope_theta: float = 10000.0
+    # Sliding-window attention (Mistral-style): each token attends the last
+    # `window` tokens including itself; 0 = full causal.  Runs on the
+    # banded O(N·w) kernel grid.  Training/forward paths only — the paged
+    # serving engine requires the window to cover its max context (see
+    # runtime/engine.py).
+    window: int = 0
+    # RMSNorm epsilon (HF checkpoints vary: Llama-2/3 use 1e-5, older 1e-6).
+    norm_eps: float = 1e-6
+    # Tied unembedding (logits = x @ embed.T) by default; imported
+    # checkpoints with a separate lm_head set False and carry a
+    # params["unembed"] of shape [vocab, d_model] (see models/convert.py).
+    tie_embeddings: bool = True
     # Position encoding: "rope" (rotary, default) or "alibi" (MPT/BLOOM-style
     # per-head linear bias — no rotation; the bias is applied inside the
     # flash kernel in separable form, see ops.flash_attention).  ALiBi
     # assumes contiguous positions; explicit `positions` only feed RoPE.
     position_encoding: str = "rope"
+    # Attention-probability dropout (flash-attn dropout_p semantics; the
+    # counter-based in-kernel mask, see ops.flash_attention).  Active only
+    # when the caller passes dropout_seed (train steps thread the step
+    # index); eval/serving paths pass no seed and run deterministic.
+    attn_dropout: float = 0.0
     dtype: Any = jnp.bfloat16
     remat: bool = True  # jax.checkpoint each block (HBM ⇄ FLOPs trade)
     # remat policy: "block" recomputes everything in the block (max HBM
@@ -108,13 +125,19 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Dict:
             "w_down": dense(ks[6], dff, dm),
         }
 
-    return {
+    params = {
         "embed": (
             jax.random.normal(keys[0], (cfg.vocab_size, dm), jnp.float32) * 0.02
         ).astype(cfg.dtype),
         "layers": [layer(keys[2 + i]) for i in range(cfg.n_layers)],
         "final_norm": jnp.ones((dm,), jnp.float32),
     }
+    if not cfg.tie_embeddings:
+        params["unembed"] = (
+            jax.random.normal(keys[1], (cfg.vocab_size, dm), jnp.float32)
+            * dm ** -0.5
+        ).astype(cfg.dtype)
+    return params
 
 
 def quantize_params(params: Dict) -> Dict:
@@ -158,9 +181,10 @@ def rope(x, positions, theta: float):
     ).astype(x.dtype)
 
 
-def attention_block(layer, x, positions, cfg: ModelConfig, *, interpret=None):
+def attention_block(layer, x, positions, cfg: ModelConfig, *,
+                    dropout_seed=None, interpret=None):
     b, n, dm = x.shape
-    h = rms_norm(x, layer["attn_norm"])
+    h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
     q = _proj(h, layer["wq"]).reshape(b, n, cfg.n_q_heads, cfg.head_dim)
     k = _proj(h, layer["wk"]).reshape(b, n, cfg.n_kv_heads, cfg.head_dim)
     v = _proj(h, layer["wv"]).reshape(b, n, cfg.n_kv_heads, cfg.head_dim)
@@ -171,22 +195,26 @@ def attention_block(layer, x, positions, cfg: ModelConfig, *, interpret=None):
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
     # [B, H, N, d] for the kernel
+    rate = cfg.attn_dropout if dropout_seed is not None else 0.0
     o = flash_attention(
         q.transpose(0, 2, 1, 3),
         k.transpose(0, 2, 1, 3),
         v.transpose(0, 2, 1, 3),
         causal=True,
+        window=cfg.window,
         alibi_slopes=slopes,
+        dropout_rate=rate,
+        dropout_seed=dropout_seed if rate else None,
         interpret=interpret,
     )
     o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.n_q_heads * cfg.head_dim)
     return x + _proj(o, layer["wo"])
 
 
-def mlp_block(layer, x):
+def mlp_block(layer, x, eps: float = 1e-6):
     from jax.ad_checkpoint import checkpoint_name
 
-    h = rms_norm(x, layer["mlp_norm"])
+    h = rms_norm(x, layer["mlp_norm"], eps)
     # Named so remat_policy="save_dots" can pin them: gate+up are 2/3 of
     # the block's matmul FLOPs — saving them (plus the flash outputs)
     # drops the backward recompute to just qkv/wo projections + elementwise.
@@ -202,17 +230,23 @@ def forward_hidden(
     cfg: ModelConfig,
     *,
     positions: Optional[jax.Array] = None,
+    dropout_seed=None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Token ids → final-norm hidden states [B, N, d_model]."""
+    """Token ids → final-norm hidden states [B, N, d_model].
+
+    ``dropout_seed`` (int32 scalar, e.g. the train-step index) activates
+    ``cfg.attn_dropout``; each layer derives a distinct sub-seed so masks
+    are independent across depth."""
     b, n = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(n), (b, n))
     x = params["embed"][tokens]
 
-    def block(x, layer):
-        x = attention_block(layer, x, positions, cfg, interpret=interpret)
-        return mlp_block(layer, x)
+    def block(x, layer, seed_l):
+        x = attention_block(layer, x, positions, cfg, dropout_seed=seed_l,
+                            interpret=interpret)
+        return mlp_block(layer, x, cfg.norm_eps)
 
     ckpt_block = block
     if cfg.remat:
@@ -234,9 +268,14 @@ def forward_hidden(
         else:
             ckpt_block = jax.checkpoint(block, static_argnums=())
     n_ckpt = cfg.n_layers - max(0, cfg.remat_skip)
+    if dropout_seed is not None and cfg.attn_dropout:
+        base_seed = jnp.asarray(dropout_seed, jnp.int32)
+    else:
+        base_seed = None
     for i, layer in enumerate(params["layers"]):
-        x = (ckpt_block if i < n_ckpt else block)(x, layer)
-    return rms_norm(x, params["final_norm"])
+        seed_l = None if base_seed is None else base_seed + i * 1299709
+        x = (ckpt_block if i < n_ckpt else block)(x, layer, seed_l)
+    return rms_norm(x, params["final_norm"], cfg.norm_eps)
 
 
 def forward(
@@ -245,15 +284,24 @@ def forward(
     cfg: ModelConfig,
     *,
     positions: Optional[jax.Array] = None,
+    dropout_seed=None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Token ids → logits [B, N, vocab] (tied unembedding)."""
+    """Token ids → logits [B, N, vocab] (tied or imported unembedding)."""
     x = forward_hidden(
-        params, tokens, cfg, positions=positions, interpret=interpret
+        params, tokens, cfg, positions=positions, dropout_seed=dropout_seed,
+        interpret=interpret,
     )
     return jnp.dot(
-        x, params["embed"].T, preferred_element_type=jnp.float32
+        x, unembed_matrix(params).T, preferred_element_type=jnp.float32
     )
+
+
+def unembed_matrix(params: Dict) -> jax.Array:
+    """[V, d_model] output embedding: the separate ``unembed`` when the
+    checkpoint unties it (models/convert.py), the input embedding
+    otherwise."""
+    return params.get("unembed", params["embed"])
 
 
 def chunked_cross_entropy(
@@ -294,15 +342,18 @@ def chunked_cross_entropy(
     return total / (b * n)
 
 
-def loss_fn(params, tokens, cfg: ModelConfig, *, interpret=None):
+def loss_fn(params, tokens, cfg: ModelConfig, *, dropout_seed=None,
+            interpret=None):
     """Next-token cross entropy over tokens[:, :-1] → tokens[:, 1:]."""
     targets = tokens[:, 1:]
     if cfg.loss_chunk:
-        x = forward_hidden(params, tokens[:, :-1], cfg, interpret=interpret)
+        x = forward_hidden(params, tokens[:, :-1], cfg,
+                           dropout_seed=dropout_seed, interpret=interpret)
         return chunked_cross_entropy(
-            x, params["embed"], targets, cfg.loss_chunk
+            x, unembed_matrix(params), targets, cfg.loss_chunk
         )
-    logits = forward(params, tokens[:, :-1], cfg, interpret=interpret)
+    logits = forward(params, tokens[:, :-1], cfg, dropout_seed=dropout_seed,
+                     interpret=interpret)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     return jnp.mean(nll)

@@ -48,21 +48,42 @@ def merge_partials(o1, lse1, o2, lse2):
     )
 
 
-def _ring_forward(q, k, v, *, axis_name, causal, sm_scale, interpret):
+_SHARD_SEED_PRIME = 15485863  # ≠ the transformer's per-layer 1299709
+
+
+def shard_seed(seed, q_owner, kv_src, n):
+    """Per-(q shard, kv shard) dropout sub-seed.  The in-kernel mask is a
+    function of (seed, b, h, LOCAL row, LOCAL col); folding both shard
+    coordinates into the seed decorrelates entries that share local indices
+    across chips — without it, q-row i on every chip would drop the same
+    columns.  Deterministic in (seed, chip pair), so the backward lap —
+    which visits the same (q_owner, kv_src) pairs — replays exactly."""
+    return (
+        jnp.asarray(seed, jnp.int32)
+        + jnp.int32(_SHARD_SEED_PRIME) * (q_owner * n + kv_src).astype(jnp.int32)
+    )
+
+
+def _ring_forward(q, k, v, seed, *, axis_name, causal, sm_scale, rate,
+                  interpret):
     n = lax.psum(1, axis_name)  # static axis size
     idx = lax.axis_index(axis_name)
 
-    def full_block(q_, k_, v_):
+    def full_block(q_, k_, v_, seed_):
         return flash_attention_forward(
-            q_, k_, v_, causal=False, sm_scale=sm_scale, interpret=interpret
+            q_, k_, v_, causal=False, sm_scale=sm_scale,
+            dropout_rate=rate, dropout_seed=seed_ if rate else None,
+            interpret=interpret,
         )
 
-    def diag_block(q_, k_, v_):
+    def diag_block(q_, k_, v_, seed_):
         return flash_attention_forward(
-            q_, k_, v_, causal=True, sm_scale=sm_scale, interpret=interpret
+            q_, k_, v_, causal=True, sm_scale=sm_scale,
+            dropout_rate=rate, dropout_seed=seed_ if rate else None,
+            interpret=interpret,
         )
 
-    def skip_block(q_, k_, v_):
+    def skip_block(q_, k_, v_, seed_):
         o = jnp.zeros(q_.shape, q_.dtype)
         lse = jnp.full(q_.shape[:-1], DEFAULT_MASK_VALUE, jnp.float32)
         return o, lse
@@ -74,13 +95,15 @@ def _ring_forward(q, k, v, *, axis_name, causal, sm_scale, interpret):
 
     for step in range(n):
         src = lax.rem(idx - step + n, n)  # which chip this KV block came from
+        seed_step = shard_seed(seed, idx, src, n)
         if causal:
             case = jnp.where(src < idx, 0, jnp.where(src == idx, 1, 2))
             o_b, lse_b = lax.switch(
-                case, [full_block, diag_block, skip_block], q, k_blk, v_blk
+                case, [full_block, diag_block, skip_block],
+                q, k_blk, v_blk, seed_step,
             )
         else:
-            o_b, lse_b = full_block(q, k_blk, v_blk)
+            o_b, lse_b = full_block(q, k_blk, v_blk, seed_step)
         o, lse = merge_partials(o, lse, o_b, lse_b)
         if step != n - 1:
             # Rotate the KV block to the next chip; XLA schedules this
@@ -91,24 +114,27 @@ def _ring_forward(q, k, v, *, axis_name, causal, sm_scale, interpret):
     return o, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _ring_attention(q, k, v, axis_name, causal, sm_scale, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _ring_attention(q, k, v, seed, axis_name, causal, sm_scale, rate,
+                    interpret):
     o, _ = _ring_forward(
-        q, k, v, axis_name=axis_name, causal=causal, sm_scale=sm_scale,
-        interpret=interpret,
+        q, k, v, seed, axis_name=axis_name, causal=causal, sm_scale=sm_scale,
+        rate=rate, interpret=interpret,
     )
     return o
 
 
-def _ring_attention_fwd(q, k, v, axis_name, causal, sm_scale, interpret):
+def _ring_attention_fwd(q, k, v, seed, axis_name, causal, sm_scale, rate,
+                        interpret):
     o, lse = _ring_forward(
-        q, k, v, axis_name=axis_name, causal=causal, sm_scale=sm_scale,
-        interpret=interpret,
+        q, k, v, seed, axis_name=axis_name, causal=causal, sm_scale=sm_scale,
+        rate=rate, interpret=interpret,
     )
-    return o, (q, k, v, o, lse)
+    return o, (q, k, v, seed, o, lse)
 
 
-def _ring_attention_bwd(axis_name, causal, sm_scale, interpret, res, do):
+def _ring_attention_bwd(axis_name, causal, sm_scale, rate, interpret, res,
+                        do):
     """Ring backward: K/V blocks rotate a second lap; each device's partial
     (dK, dV) for the resident block travels WITH the block, so after n
     rotations every gradient accumulator is back on its owner — the ring
@@ -121,24 +147,26 @@ def _ring_attention_bwd(axis_name, causal, sm_scale, interpret, res, do):
     """
     from ..ops.flash_attention import flash_attention_backward
 
-    q, k, v, o, lse = res
+    q, k, v, seed, o, lse = res
     n = lax.psum(1, axis_name)
     idx = lax.axis_index(axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    def grads(q_, k_, v_, do_, causal_):
+    def grads(q_, k_, v_, do_, seed_, causal_):
         return flash_attention_backward(
             q_, k_, v_, o, do_, lse,
-            causal=causal_, sm_scale=sm_scale, interpret=interpret,
+            causal=causal_, sm_scale=sm_scale,
+            dropout_rate=rate, dropout_seed=seed_ if rate else None,
+            interpret=interpret,
         )
 
-    def full_block(q_, k_, v_, do_):
-        return grads(q_, k_, v_, do_, False)
+    def full_block(q_, k_, v_, do_, seed_):
+        return grads(q_, k_, v_, do_, seed_, False)
 
-    def diag_block(q_, k_, v_, do_):
-        return grads(q_, k_, v_, do_, True)
+    def diag_block(q_, k_, v_, do_, seed_):
+        return grads(q_, k_, v_, do_, seed_, True)
 
-    def skip_block(q_, k_, v_, do_):
+    def skip_block(q_, k_, v_, do_, seed_):
         return (
             jnp.zeros(q_.shape, q_.dtype),
             jnp.zeros(k.shape, k.dtype),
@@ -152,13 +180,15 @@ def _ring_attention_bwd(axis_name, causal, sm_scale, interpret, res, do):
 
     for step in range(n):
         src = lax.rem(idx - step + n, n)
+        seed_step = shard_seed(seed, idx, src, n)  # same pair ⇒ same mask
         if causal:
             case = jnp.where(src < idx, 0, jnp.where(src == idx, 1, 2))
             dq_p, dk_p, dv_p = lax.switch(
-                case, [full_block, diag_block, skip_block], q, k_blk, v_blk, do
+                case, [full_block, diag_block, skip_block],
+                q, k_blk, v_blk, do, seed_step,
             )
         else:
-            dq_p, dk_p, dv_p = full_block(q, k_blk, v_blk, do)
+            dq_p, dk_p, dv_p = full_block(q, k_blk, v_blk, do, seed_step)
         dq = dq + dq_p.astype(jnp.float32)
         dk_blk = dk_blk + dk_p.astype(jnp.float32)
         dv_blk = dv_blk + dv_p.astype(jnp.float32)
@@ -168,7 +198,10 @@ def _ring_attention_bwd(axis_name, causal, sm_scale, interpret, res, do):
         v_blk = lax.ppermute(v_blk, axis_name, perm)
         dk_blk = lax.ppermute(dk_blk, axis_name, perm)
         dv_blk = lax.ppermute(dv_blk, axis_name, perm)
-    return dq.astype(q.dtype), dk_blk.astype(k.dtype), dv_blk.astype(v.dtype)
+    return (
+        dq.astype(q.dtype), dk_blk.astype(k.dtype), dv_blk.astype(v.dtype),
+        None,  # seed (int) carries no cotangent
+    )
 
 
 _ring_attention.defvjp(_ring_attention_fwd, _ring_attention_bwd)
@@ -182,6 +215,8 @@ def ring_attention(
     axis_name: str,
     causal: bool = False,
     sm_scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
     interpret: Optional[bool] = None,
 ):
     """Differentiable context-parallel attention over `axis_name` (call
@@ -191,10 +226,24 @@ def ring_attention(
     the global sequence is the concatenation over the axis.  For causal,
     Nq_shard must equal Nkv_shard (token-aligned context sharding).
     Returns the local O shard [B, H, Nq_shard, d].
+
+    ``dropout_rate``/``dropout_seed`` apply attention dropout with a
+    per-(q shard, kv shard) sub-seed (``shard_seed``); the custom backward
+    replays the identical masks on its rotation lap.  The pattern depends
+    on the mesh layout (unlike single-device runs, which replay across
+    block geometries) — fixed seed + fixed mesh ⇒ bitwise repeatable.
     """
     if sm_scale is None:
         sm_scale = float(q.shape[-1]) ** -0.5
-    return _ring_attention(q, k, v, axis_name, causal, float(sm_scale), interpret)
+    rate = float(dropout_rate)
+    if rate and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    seed = jnp.asarray(
+        dropout_seed if dropout_seed is not None else 0, jnp.int32
+    ).reshape(())
+    return _ring_attention(
+        q, k, v, seed, axis_name, causal, float(sm_scale), rate, interpret
+    )
 
 
 def context_parallel_attention(
@@ -205,6 +254,8 @@ def context_parallel_attention(
     axis_name: str,
     causal: bool = False,
     sm_scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
     interpret: Optional[bool] = None,
 ):
     """All-gather-free context parallelism WITHOUT the ring: each chip
@@ -230,8 +281,19 @@ def context_parallel_attention(
             "than all resident KV, so causal masking is vacuous — pass "
             "causal=False; for sharded-q causal training use ring_attention"
         )
+    rate = float(dropout_rate)
+    if rate and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    seed_l = None
+    if rate:
+        # Q is replicated (rows global) but KV cols are shard-local: fold
+        # only the kv-owner coordinate so shards drop independent columns.
+        n = lax.psum(1, axis_name)
+        seed_l = shard_seed(dropout_seed, jnp.int32(0),
+                            lax.axis_index(axis_name), n)
     o_l, lse_l = flash_attention_forward(
-        q, k, v, causal=False, sm_scale=sm_scale, interpret=interpret
+        q, k, v, causal=False, sm_scale=sm_scale,
+        dropout_rate=rate, dropout_seed=seed_l, interpret=interpret,
     )
     lse_max = lax.pmax(lse_l, axis_name)
     w = jnp.exp(lse_l - lse_max)

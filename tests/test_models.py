@@ -253,3 +253,51 @@ def test_unknown_position_encoding_refused():
     cfg = ModelConfig.tiny(position_encoding="sinusoidal")
     with pytest.raises(ValueError, match="position_encoding"):
         make_prefill(cfg)
+
+
+def test_attn_dropout_training():
+    import dataclasses
+
+    from flash_attention_dlrs_tpu.models import make_train_state, make_train_step
+
+    cfg = ModelConfig.tiny(dtype=jnp.float32, remat=False, attn_dropout=0.2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    toks = _tokens(3)
+    # seeded loss is deterministic, differs across seeds, and differs from
+    # the no-dropout loss
+    l1 = float(loss_fn(params, toks, cfg, dropout_seed=5))
+    l1b = float(loss_fn(params, toks, cfg, dropout_seed=5))
+    l2 = float(loss_fn(params, toks, cfg, dropout_seed=6))
+    l0 = float(loss_fn(params, toks, cfg))  # no seed -> deterministic eval
+    assert l1 == l1b and l1 != l2 and l1 != l0
+    cfg_nd = dataclasses.replace(cfg, attn_dropout=0.0)
+    assert abs(l0 - float(loss_fn(params, toks, cfg_nd))) < 1e-9
+    # the 4-arg train step runs and learns
+    params2, opt_state, optimizer = make_train_state(
+        jax.random.PRNGKey(0), cfg, optimizer_name="adamw"
+    )
+    step = make_train_step(cfg, optimizer)
+    losses = []
+    for i in range(3):
+        params2, opt_state, loss = step(params2, opt_state, toks,
+                                        jnp.int32(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_attn_dropout_with_remat_policies():
+    # dropout under jax.checkpoint: the rematerialized backward must replay
+    # the same mask (it does — the mask is a pure function of the seed).
+    import dataclasses
+
+    cfg = ModelConfig.tiny(dtype=jnp.float32, remat=True, attn_dropout=0.3)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    toks = _tokens(4)
+    for policy in ("block", "save_flash", "save_dots"):
+        c = dataclasses.replace(cfg, remat_policy=policy)
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(p, toks, c, dropout_seed=9)
+        )(params)
+        assert bool(jnp.isfinite(loss))
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(bool(jnp.all(jnp.isfinite(g))) for g in flat)

@@ -215,3 +215,126 @@ def test_context_sharded_paged_decode_matches_single_device():
     )
     np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
                                atol=2e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Attention dropout over the mesh.  The oracle reconstructs the exact masks
+# the sharded paths generate — dropout_keep_mask on LOCAL indices with the
+# per-shard sub-seeds (ring.shard_seed / sharded_attention._fold_axes) —
+# and applies them to dense softmax attention (denominator undropped,
+# flash-attn semantics).
+# ---------------------------------------------------------------------------
+
+
+def _dense_dropped(q, k, v, M, causal, sm_scale):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * sm_scale
+    if causal:
+        n = s.shape[-1]
+        tri = jnp.tril(jnp.ones((n, n), bool))
+        s = jnp.where(tri, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p * M, v)
+
+
+def _ring_oracle_mask(seed, b, h, n_dev, m, rate):
+    """Masks as the ring wrapper generates them on a (data=b, context=n_dev)
+    mesh: batch bi lives alone on data shard bi (local b index 0) with
+    sub-seed seed + _DM_SEED_PRIME·bi, then ring folds the (q, kv) pair."""
+    from flash_attention_dlrs_tpu.ops.fwd_kernel import dropout_keep_mask
+    from flash_attention_dlrs_tpu.parallel.ring import shard_seed
+    from flash_attention_dlrs_tpu.parallel.sharded_attention import (
+        _DM_SEED_PRIME,
+    )
+
+    rows = jnp.arange(m, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(m, dtype=jnp.int32)[None, :]
+    M = np.zeros((b, h, n_dev * m, n_dev * m), np.float32)
+    for bi in range(b):
+        seed_dm = jnp.int32(seed) + jnp.int32(_DM_SEED_PRIME) * bi
+        for hi in range(h):
+            for i in range(n_dev):
+                for s in range(n_dev):
+                    sd = shard_seed(seed_dm, jnp.int32(i),
+                                    jnp.int32(s), n_dev)
+                    blk = dropout_keep_mask(
+                        sd, jnp.int32(0), jnp.int32(hi), rows, cols, rate)
+                    M[bi, hi, i * m:(i + 1) * m, s * m:(s + 1) * m] = blk
+    return jnp.asarray(M)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_dropout_matches_blockwise_oracle(causal):
+    mesh = make_mesh([2, 4], ("data", "context"))
+    n_dev, m, rate, seed = 4, 64, 0.3, 11
+    q, k, v = _qkv(8, 2, 2, n_dev * m, 64)
+    fn = sharded_attention(
+        mesh, "ring", causal=causal, sm_scale=1.0, model_axis=None,
+        dropout_rate=rate,
+    )
+    M = _ring_oracle_mask(seed, 2, 2, n_dev, m, rate)
+    o = fn(q, k, v, jnp.int32(seed))
+    o_ref = _dense_dropped(q, k, v, M, causal, 1.0)
+    np.testing.assert_allclose(o, o_ref, atol=3e-4, rtol=1e-4)
+    # bitwise repeatable; different seed reshuffles
+    np.testing.assert_array_equal(o, fn(q, k, v, jnp.int32(seed)))
+    assert not np.allclose(o, fn(q, k, v, jnp.int32(seed + 1)))
+    # gradients replay the identical masks on the backward lap
+    do = jax.random.normal(jax.random.PRNGKey(3), q.shape, q.dtype)
+    _, vjp = jax.vjp(lambda a, b_, c: fn(a, b_, c, jnp.int32(seed)), q, k, v)
+    dq, dk, dv = vjp(do)
+    _, vjp_r = jax.vjp(
+        lambda a, b_, c: _dense_dropped(a, b_, c, M, causal, 1.0), q, k, v)
+    dq_r, dk_r, dv_r = vjp_r(do)
+    np.testing.assert_allclose(dq, dq_r, atol=2e-3, rtol=1e-4)
+    np.testing.assert_allclose(dk, dk_r, atol=2e-3, rtol=1e-4)
+    np.testing.assert_allclose(dv, dv_r, atol=3e-4, rtol=1e-4)
+
+
+def test_combine_context_dropout_matches_oracle():
+    from flash_attention_dlrs_tpu.ops.fwd_kernel import dropout_keep_mask
+    from flash_attention_dlrs_tpu.parallel.ring import shard_seed
+
+    from flash_attention_dlrs_tpu.parallel.sharded_attention import (
+        _DM_SEED_PRIME,
+    )
+
+    mesh = make_mesh([2, 4], ("data", "context"))
+    n_dev, m, rate, seed = 4, 64, 0.25, 5
+    q, k, v = _qkv(9, 2, 2, n_dev * m, 64)
+    fn = sharded_attention(mesh, "combine", sm_scale=1.0, dropout_rate=rate)
+    o = fn(q, k, v, jnp.int32(seed))
+    # q replicated over context: rows are global; cols are shard-local with
+    # sub-seed shard_seed(seed_dm, 0, shard, n); batch bi sits alone on data
+    # shard bi (local b = 0) with seed_dm = seed + _DM_SEED_PRIME*bi.
+    rows = jnp.arange(n_dev * m, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(m, dtype=jnp.int32)[None, :]
+    M = np.zeros((2, 2, n_dev * m, n_dev * m), np.float32)
+    for bi in range(2):
+        seed_dm = jnp.int32(seed) + jnp.int32(_DM_SEED_PRIME) * bi
+        for hi in range(2):
+            for s in range(n_dev):
+                sd = shard_seed(seed_dm, jnp.int32(0), jnp.int32(s), n_dev)
+                M[bi, hi, :, s * m:(s + 1) * m] = dropout_keep_mask(
+                    sd, jnp.int32(0), jnp.int32(hi), rows, cols, rate)
+    o_ref = _dense_dropped(q, k, v, jnp.asarray(M), False, 1.0)
+    np.testing.assert_allclose(o, o_ref, atol=3e-4, rtol=1e-4)
+
+
+def test_head_parallel_dropout_decorrelated_across_shards():
+    # Identical batch halves land on different data shards: independent
+    # sub-seeds must produce DIFFERENT dropped outputs (a correlated mask
+    # would reproduce the same output twice).  Heads likewise.
+    mesh = make_mesh([2, 4], ("data", "model"))
+    q, k, v = _qkv(10, 1, 8, 128, 64)
+    q = jnp.concatenate([q, q]); k = jnp.concatenate([k, k])
+    v = jnp.concatenate([v, v])
+    fn = sharded_attention(mesh, "head", causal=True, sm_scale=1.0,
+                           dropout_rate=0.4)
+    o = fn(q, k, v, jnp.int32(21))
+    assert not np.allclose(o[0], o[1])
+    np.testing.assert_array_equal(o, fn(q, k, v, jnp.int32(21)))
+    # zero-rate builder keeps the 3-arg signature and the exact output
+    fn0 = sharded_attention(mesh, "head", causal=True, sm_scale=1.0)
+    np.testing.assert_allclose(
+        fn0(q, k, v), reference_attention(q, k, v, causal=True, sm_scale=1.0),
+        atol=1e-4, rtol=1e-5)
