@@ -17,40 +17,28 @@ runtime falls back to the pure-Python allocator transparently
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 from typing import Optional
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
-_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libfa_tpu_native.so")
+from . import _native
 
 _lib = None
 _lib_lock = threading.Lock()
-_build_failed = False
 
 
 def _load_lib():
-    """Build (once, if needed) and dlopen the native library; None on failure."""
-    global _lib, _build_failed
-    if _lib is not None or _build_failed:
+    """dlopen the shared native lib (built on demand by runtime._native)
+    and declare the pa_* signatures once; None when the toolchain is out."""
+    global _lib
+    if _lib is not None:
         return _lib
     with _lib_lock:
-        if _lib is not None or _build_failed:
+        if _lib is not None:
             return _lib
-        try:
-            if not os.path.exists(_LIB_PATH):
-                subprocess.run(
-                    ["make", "-s"], cwd=_NATIVE_DIR, check=True,
-                    capture_output=True, timeout=120,
-                )
-            lib = ctypes.CDLL(_LIB_PATH)
-        except Exception:
-            _build_failed = True
+        lib = _native.load_lib()
+        if lib is None:
             return None
         lib.pa_create.restype = ctypes.c_void_p
         lib.pa_create.argtypes = [ctypes.c_int32, ctypes.c_int32]
