@@ -1,3 +1,4 @@
+from .convert import config_from_hf, import_hf_llama
 from .optim import adamw8bit
 from .transformer import (
     ModelConfig,
@@ -5,16 +6,20 @@ from .transformer import (
     init_params,
     loss_fn,
     quantize_params,
+    unembed_matrix,
 )
 from .train import make_train_state, make_train_step, param_shardings
 
 __all__ = [
     "ModelConfig",
     "adamw8bit",
+    "config_from_hf",
+    "import_hf_llama",
     "init_params",
     "forward",
     "loss_fn",
     "quantize_params",
+    "unembed_matrix",
     "make_train_state",
     "make_train_step",
     "param_shardings",

@@ -1,0 +1,135 @@
+"""Checkpoint import: HuggingFace Llama-family weights → this framework.
+
+The reference ships no models at all (SURVEY.md §0); this converter makes
+the flagship transformer a drop-in executor for the dominant open
+checkpoint family (Llama / Llama-2/3 / Mistral / TinyLlama / ...), whose
+architecture — RMSNorm → RoPE GQA attention → RMSNorm → SwiGLU, no biases —
+is exactly what `models.transformer` implements:
+
+- RoPE convention matches (split-half rotate_half, GPT-NeoX style);
+- projections transpose from torch's [out, in] to our [in, out] x@W layout;
+- `lm_head` maps to the optional `params["unembed"]` ([V, d_model]) when
+  the checkpoint unties it (`ModelConfig.tie_embeddings=False`);
+- `rms_norm_eps` maps to `ModelConfig.norm_eps`.
+
+No torch at run time: tensors are pulled through numpy at import, the
+returned pytree is plain jax arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .transformer import ModelConfig
+
+_REQUIRED_KEYS = (
+    "model.embed_tokens.weight",
+    "model.norm.weight",
+    "model.layers.0.self_attn.q_proj.weight",
+)
+
+
+def _to_np(t) -> np.ndarray:
+    """torch.Tensor / np.ndarray / jax.Array → float32 numpy."""
+    if hasattr(t, "detach"):  # torch without importing torch
+        t = t.detach().cpu().float().numpy()
+    return np.asarray(t, np.float32)
+
+
+def config_from_hf(hf_config, *, dtype=jnp.bfloat16, **overrides) -> ModelConfig:
+    """ModelConfig from a transformers LlamaConfig/MistralConfig."""
+    c = hf_config
+    head_dim = getattr(c, "head_dim", None) or (
+        c.hidden_size // c.num_attention_heads
+    )
+    kw = dict(
+        vocab_size=c.vocab_size,
+        d_model=c.hidden_size,
+        n_layers=c.num_hidden_layers,
+        n_q_heads=c.num_attention_heads,
+        n_kv_heads=getattr(c, "num_key_value_heads", c.num_attention_heads),
+        head_dim=head_dim,
+        d_ff=c.intermediate_size,
+        rope_theta=float(getattr(c, "rope_theta", 10000.0)),
+        # Mistral-style sliding window (None/absent on Llama).  Conventions
+        # agree: both keep key j for query i iff i - j < window (self
+        # included), so the value maps through unchanged.
+        window=int(getattr(c, "sliding_window", None) or 0),
+        norm_eps=float(getattr(c, "rms_norm_eps", 1e-6)),
+        tie_embeddings=bool(getattr(c, "tie_word_embeddings", False)),
+        position_encoding="rope",
+        dtype=dtype,
+    )
+    kw.update(overrides)
+    return ModelConfig(**kw)
+
+
+def import_hf_llama(
+    model_or_state: Any,
+    *,
+    dtype=jnp.bfloat16,
+    cfg: Optional[ModelConfig] = None,
+) -> Tuple[Dict, ModelConfig]:
+    """(params, cfg) from a transformers LlamaForCausalLM-style model or its
+    ``state_dict()``.
+
+    Pass ``cfg`` to skip config inference (required when handing a bare
+    state_dict, whose hyperparameters are only partially recoverable)."""
+    if hasattr(model_or_state, "state_dict"):
+        state = model_or_state.state_dict()
+        if cfg is None:
+            cfg = config_from_hf(model_or_state.config, dtype=dtype)
+    else:
+        state = dict(model_or_state)
+        if cfg is None:
+            raise ValueError("cfg is required when importing a raw state_dict")
+    missing = [k for k in _REQUIRED_KEYS if k not in state]
+    if missing:
+        raise ValueError(
+            f"not a Llama-family state dict (missing {missing}); expected "
+            "model.embed_tokens / model.layers.N.self_attn.* / model.norm"
+        )
+
+    def w(name):  # [out, in] torch linear → [in, out] x@W
+        return jnp.asarray(_to_np(state[name]).T, dtype)
+
+    def vec(name):  # norm gains stay fp32 (rms_norm computes in fp32)
+        return jnp.asarray(_to_np(state[name]), jnp.float32)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        if p + "self_attn.q_proj.weight" not in state:
+            raise ValueError(
+                f"cfg.n_layers={cfg.n_layers} but layer {i} is missing "
+                "from the state dict"
+            )
+        layers.append({
+            "attn_norm": vec(p + "input_layernorm.weight"),
+            "wq": w(p + "self_attn.q_proj.weight"),
+            "wk": w(p + "self_attn.k_proj.weight"),
+            "wv": w(p + "self_attn.v_proj.weight"),
+            "wo": w(p + "self_attn.o_proj.weight"),
+            "mlp_norm": vec(p + "post_attention_layernorm.weight"),
+            "w_gate": w(p + "mlp.gate_proj.weight"),
+            "w_up": w(p + "mlp.up_proj.weight"),
+            "w_down": w(p + "mlp.down_proj.weight"),
+        })
+
+    params = {
+        "embed": jnp.asarray(_to_np(state["model.embed_tokens.weight"]), dtype),
+        "layers": layers,
+        "final_norm": vec("model.norm.weight"),
+    }
+    if not cfg.tie_embeddings:
+        head = state.get("lm_head.weight")
+        if head is None:  # some exports drop the tied head tensor
+            raise ValueError(
+                "cfg.tie_embeddings=False but the state dict has no "
+                "lm_head.weight"
+            )
+        params["unembed"] = jnp.asarray(_to_np(head), dtype)  # [V, dm]
+    return params, cfg

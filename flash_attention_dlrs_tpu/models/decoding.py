@@ -27,7 +27,7 @@ from ..ops.quantization import (
     qmax_for,
 )
 from ..ops.reference import alibi_slopes_for
-from .transformer import ModelConfig, _proj, mlp_block, rms_norm, rope
+from .transformer import unembed_matrix, ModelConfig, _proj, mlp_block, rms_norm, rope
 
 
 class KVPools(NamedTuple):
@@ -178,7 +178,7 @@ def make_prefill(cfg: ModelConfig, *, interpret: Optional[bool] = None):
             x, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1
         )[:, 0]
         logits = jnp.dot(
-            last, params["embed"].T, preferred_element_type=jnp.float32
+            last, unembed_matrix(params).T, preferred_element_type=jnp.float32
         )
         return logits, kvs
 
@@ -270,7 +270,7 @@ def make_decode_step(
 
         x = rms_norm(x, params["final_norm"])
         logits = jnp.dot(
-            x, params["embed"].T, preferred_element_type=jnp.float32
+            x, unembed_matrix(params).T, preferred_element_type=jnp.float32
         )
         pools_out = KVPools(
             tuple(new_k), tuple(new_v),
@@ -381,7 +381,7 @@ def make_verify_step(
 
         x = rms_norm(x, params["final_norm"])
         logits = jnp.einsum(
-            "btd,vd->btv", x, params["embed"],
+            "btd,vd->btv", x, unembed_matrix(params),
             preferred_element_type=jnp.float32,
         )
         pools_out = KVPools(

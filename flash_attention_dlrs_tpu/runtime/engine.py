@@ -87,6 +87,21 @@ class DecodeEngine:
         self.eos_token = eos_token
         self.interpret = interpret
 
+        if getattr(cfg, "window", 0):
+            # The paged decode/prefill kernels attend the FULL resident
+            # context; a sliding-window model is only exact while contexts
+            # cannot outgrow its window.  (Rolling-buffer eviction would lift
+            # this; until then refuse configurations that would silently
+            # change the model's attention pattern.)
+            max_ctx = pages_per_seq * page_size
+            if max_ctx > cfg.window:
+                raise NotImplementedError(
+                    f"sliding-window model (window={cfg.window}) with max "
+                    f"context {max_ctx} (= pages_per_seq*page_size): the "
+                    "serving kernels attend the full context — keep "
+                    f"pages_per_seq*page_size <= {cfg.window}"
+                )
+
         int4_kv = isinstance(kv_dtype, str) and kv_dtype == "int4"
         if int4_kv and not quantized_kv:
             raise ValueError("kv_dtype='int4' requires quantized_kv=True")

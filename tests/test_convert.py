@@ -1,0 +1,139 @@
+"""HF Llama-family checkpoint import: logit parity with transformers.
+
+A randomly-initialized tiny LlamaForCausalLM (offline; no downloads) is
+converted with models.convert.import_hf_llama and must reproduce HF's
+logits through OUR stack — RoPE convention, RMSNorm eps, GQA head layout,
+[out,in]→[in,out] transposes, and the untied lm_head all have to line up
+for this to pass.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from flash_attention_dlrs_tpu.models import forward, loss_fn
+from flash_attention_dlrs_tpu.models.convert import (
+    config_from_hf,
+    import_hf_llama,
+)
+
+
+def _tiny_hf(tie: bool, seed: int = 0, eps: float = 1e-5):
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=eps,
+        rope_theta=10000.0, tie_word_embeddings=tie,
+    )
+    torch.manual_seed(seed)
+    return transformers.LlamaForCausalLM(cfg).eval()
+
+
+@pytest.mark.parametrize("tie", [False, True])
+def test_logit_parity_with_hf(tie):
+    hf = _tiny_hf(tie)
+    params, cfg = import_hf_llama(hf, dtype=jnp.float32)
+    cfg = dataclasses.replace(cfg, remat=False)
+    assert cfg.tie_embeddings == tie
+    assert cfg.norm_eps == 1e-5 and cfg.n_kv_heads == 2
+    assert ("unembed" in params) == (not tie)
+
+    ids = np.array([[3, 17, 99, 4, 4, 56, 120, 7],
+                    [1, 2, 3, 4, 5, 6, 7, 8]], np.int32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids).long()).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_untied_loss_and_grads_flow():
+    hf = _tiny_hf(False)
+    params, cfg = import_hf_llama(hf, dtype=jnp.float32)
+    cfg = dataclasses.replace(cfg, remat=False, loss_chunk=4)
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, 128, (2, 9)))
+    loss, grads = jax.value_and_grad(loss_fn)(params, toks, cfg=cfg)
+    assert np.isfinite(float(loss))
+    # the untied head gets its own gradient
+    assert float(jnp.abs(grads["unembed"]).max()) > 0
+
+
+def test_state_dict_import_requires_cfg_and_validates():
+    hf = _tiny_hf(False)
+    state = hf.state_dict()
+    with pytest.raises(ValueError, match="cfg is required"):
+        import_hf_llama(state)
+    cfg = config_from_hf(hf.config, dtype=jnp.float32)
+    params, _ = import_hf_llama(state, cfg=cfg)
+    assert len(params["layers"]) == 2
+    with pytest.raises(ValueError, match="Llama-family"):
+        import_hf_llama({"foo": 1}, cfg=cfg)
+    short = {k: v for k, v in state.items() if ".layers.1." not in k}
+    with pytest.raises(ValueError, match="layer 1"):
+        import_hf_llama(short, cfg=cfg)
+
+
+def test_untied_model_serves_greedy_parity():
+    """Imported-untied params run the paged serving engine; greedy tokens
+    match the dense forward (unembed_matrix threads through decoding)."""
+    from flash_attention_dlrs_tpu.runtime import DecodeEngine
+
+    hf = _tiny_hf(False, seed=3)
+    params, cfg = import_hf_llama(hf, dtype=jnp.float32)
+    cfg = dataclasses.replace(cfg, remat=False)
+    eng = DecodeEngine(
+        params, cfg, num_pages=16, page_size=128, num_slots=1,
+        pages_per_seq=4, kv_dtype=jnp.float32,
+    )
+    prompt = [5, 7, 11, 13, 17]
+    got = eng.generate([prompt], max_new_tokens=5)[0]
+    toks = list(prompt)
+    want = []
+    for _ in range(5):
+        logits = forward(params, jnp.asarray([toks], jnp.int32), cfg)
+        nxt = int(jnp.argmax(logits[0, len(toks) - 1]))
+        want.append(nxt)
+        toks.append(nxt)
+    assert got == want
+
+
+def test_mistral_sliding_window_parity():
+    """Tiny MistralForCausalLM with a window SHORTER than the sequence:
+    parity requires our banded-window kernels to match HF's sliding mask."""
+    mcfg = transformers.MistralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        sliding_window=8, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(1)
+    hf = transformers.MistralForCausalLM(mcfg).eval()
+    params, cfg = import_hf_llama(hf, dtype=jnp.float32)
+    assert cfg.window == 8
+    cfg = dataclasses.replace(cfg, remat=False)
+    ids = np.random.default_rng(2).integers(0, 128, (2, 24)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids).long()).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_windowed_model_engine_guard():
+    from flash_attention_dlrs_tpu.models import ModelConfig, init_params
+    from flash_attention_dlrs_tpu.runtime import DecodeEngine
+
+    cfg = ModelConfig.tiny(dtype=jnp.float32, remat=False, window=128)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(NotImplementedError, match="sliding-window"):
+        DecodeEngine(params, cfg, num_pages=16, page_size=128,
+                     num_slots=1, pages_per_seq=4, kv_dtype=jnp.float32)
+    # exact when the window covers the max context
+    DecodeEngine(params, cfg, num_pages=4, page_size=128, num_slots=1,
+                 pages_per_seq=1, kv_dtype=jnp.float32)

@@ -18,6 +18,7 @@ EXAMPLES = [
     ("02_train_tiny.py", []),
     ("03_serve_paged.py", []),
     ("04_multichip_mesh.py", ["--cpu-mesh"]),
+    ("05_import_hf.py", []),
 ]
 
 
