@@ -2,12 +2,15 @@
 
 The reference ships no models at all (SURVEY.md §0); this converter makes
 the flagship transformer a drop-in executor for the dominant open
-checkpoint family (Llama / Llama-2/3 / Mistral / TinyLlama / ...), whose
-architecture — RMSNorm → RoPE GQA attention → RMSNorm → SwiGLU, no biases —
+checkpoint families (Llama / Llama-2/3 / Mistral / Qwen2 / TinyLlama ...),
+whose architecture — RMSNorm → RoPE GQA attention → RMSNorm → SwiGLU —
 is exactly what `models.transformer` implements:
 
 - RoPE convention matches (split-half rotate_half, GPT-NeoX style);
 - projections transpose from torch's [out, in] to our [in, out] x@W layout;
+- Qwen2-style QKV biases map to optional `bq`/`bk`/`bv` layer entries;
+- Mistral's `sliding_window` maps to `ModelConfig.window` (Qwen2's
+  `use_sliding_window=False` gate respected);
 - `lm_head` maps to the optional `params["unembed"]` ([V, d_model]) when
   the checkpoint unties it (`ModelConfig.tie_embeddings=False`);
 - `rms_norm_eps` maps to `ModelConfig.norm_eps`.
@@ -56,8 +59,13 @@ def config_from_hf(hf_config, *, dtype=jnp.bfloat16, **overrides) -> ModelConfig
         rope_theta=float(getattr(c, "rope_theta", 10000.0)),
         # Mistral-style sliding window (None/absent on Llama).  Conventions
         # agree: both keep key j for query i iff i - j < window (self
-        # included), so the value maps through unchanged.
-        window=int(getattr(c, "sliding_window", None) or 0),
+        # included), so the value maps through unchanged.  Qwen2 carries a
+        # sliding_window value but gates it off by default
+        # (use_sliding_window=False); respect the gate.
+        window=int(
+            (getattr(c, "sliding_window", None) or 0)
+            if getattr(c, "use_sliding_window", True) else 0
+        ),
         norm_eps=float(getattr(c, "rms_norm_eps", 1e-6)),
         tie_embeddings=bool(getattr(c, "tie_word_embeddings", False)),
         position_encoding="rope",
@@ -107,7 +115,7 @@ def import_hf_llama(
                 f"cfg.n_layers={cfg.n_layers} but layer {i} is missing "
                 "from the state dict"
             )
-        layers.append({
+        layer = {
             "attn_norm": vec(p + "input_layernorm.weight"),
             "wq": w(p + "self_attn.q_proj.weight"),
             "wk": w(p + "self_attn.k_proj.weight"),
@@ -117,7 +125,16 @@ def import_hf_llama(
             "w_gate": w(p + "mlp.gate_proj.weight"),
             "w_up": w(p + "mlp.up_proj.weight"),
             "w_down": w(p + "mlp.down_proj.weight"),
-        })
+        }
+        # Qwen2-style QKV biases (Llama/Mistral have none).
+        if p + "self_attn.q_proj.bias" in state:
+            layer["bq"] = jnp.asarray(
+                _to_np(state[p + "self_attn.q_proj.bias"]), dtype)
+            layer["bk"] = jnp.asarray(
+                _to_np(state[p + "self_attn.k_proj.bias"]), dtype)
+            layer["bv"] = jnp.asarray(
+                _to_np(state[p + "self_attn.v_proj.bias"]), dtype)
+        layers.append(layer)
 
     params = {
         "embed": jnp.asarray(_to_np(state["model.embed_tokens.weight"]), dtype),

@@ -155,9 +155,12 @@ def make_prefill(cfg: ModelConfig, *, interpret: Optional[bool] = None):
         kvs = []
         for layer in params["layers"]:
             h = rms_norm(x, layer["attn_norm"])
-            q = _proj(h, layer["wq"]).reshape(b, t, cfg.n_q_heads, cfg.head_dim)
-            k = _proj(h, layer["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-            v = _proj(h, layer["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+            q = _proj(h, layer["wq"], layer.get("bq")).reshape(
+                b, t, cfg.n_q_heads, cfg.head_dim)
+            k = _proj(h, layer["wk"], layer.get("bk")).reshape(
+                b, t, cfg.n_kv_heads, cfg.head_dim)
+            v = _proj(h, layer["wv"], layer.get("bv")).reshape(
+                b, t, cfg.n_kv_heads, cfg.head_dim)
             if slopes is None:
                 q = rope(q, positions, cfg.rope_theta)
                 k = rope(k, positions, cfg.rope_theta)
@@ -217,9 +220,12 @@ def make_decode_step(
 
         for li, layer in enumerate(params["layers"]):
             h = rms_norm(x, layer["attn_norm"])
-            q = _proj(h, layer["wq"]).reshape(b, cfg.n_q_heads, cfg.head_dim)
-            k = _proj(h, layer["wk"]).reshape(b, cfg.n_kv_heads, cfg.head_dim)
-            v = _proj(h, layer["wv"]).reshape(b, cfg.n_kv_heads, cfg.head_dim)
+            q = _proj(h, layer["wq"], layer.get("bq")).reshape(
+                b, cfg.n_q_heads, cfg.head_dim)
+            k = _proj(h, layer["wk"], layer.get("bk")).reshape(
+                b, cfg.n_kv_heads, cfg.head_dim)
+            v = _proj(h, layer["wv"], layer.get("bv")).reshape(
+                b, cfg.n_kv_heads, cfg.head_dim)
             if slopes is None:
                 # RoPE at absolute positions ([B,1] sequence of length 1).
                 q = rope(q[:, None], positions[:, None], cfg.rope_theta)[:, 0]
@@ -323,9 +329,12 @@ def make_verify_step(
 
         for li, layer in enumerate(params["layers"]):
             h = rms_norm(x, layer["attn_norm"])
-            q = _proj(h, layer["wq"]).reshape(b, t_new, cfg.n_q_heads, cfg.head_dim)
-            k = _proj(h, layer["wk"]).reshape(b, t_new, cfg.n_kv_heads, cfg.head_dim)
-            v = _proj(h, layer["wv"]).reshape(b, t_new, cfg.n_kv_heads, cfg.head_dim)
+            q = _proj(h, layer["wq"], layer.get("bq")).reshape(
+                b, t_new, cfg.n_q_heads, cfg.head_dim)
+            k = _proj(h, layer["wk"], layer.get("bk")).reshape(
+                b, t_new, cfg.n_kv_heads, cfg.head_dim)
+            v = _proj(h, layer["wv"], layer.get("bv")).reshape(
+                b, t_new, cfg.n_kv_heads, cfg.head_dim)
             if slopes is None:
                 q = rope(q, positions, cfg.rope_theta)  # [B, T, Hq, d]
                 k = rope(k, positions, cfg.rope_theta)

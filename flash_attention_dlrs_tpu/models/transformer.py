@@ -162,10 +162,14 @@ def rms_norm(x, weight, eps=1e-6):
     return (x32 * inv * weight).astype(x.dtype)
 
 
-def _proj(x, w):
+def _proj(x, w, b=None):
     if isinstance(w, QuantizedTensor):
-        return int8_matmul(x, w)
-    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+        y = int8_matmul(x, w)
+    else:
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:  # optional bias (Qwen2-style QKV biases)
+        y = y + b.astype(y.dtype)
+    return y
 
 
 def rope(x, positions, theta: float):
@@ -185,9 +189,12 @@ def attention_block(layer, x, positions, cfg: ModelConfig, *,
                     dropout_seed=None, interpret=None):
     b, n, dm = x.shape
     h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-    q = _proj(h, layer["wq"]).reshape(b, n, cfg.n_q_heads, cfg.head_dim)
-    k = _proj(h, layer["wk"]).reshape(b, n, cfg.n_kv_heads, cfg.head_dim)
-    v = _proj(h, layer["wv"]).reshape(b, n, cfg.n_kv_heads, cfg.head_dim)
+    q = _proj(h, layer["wq"], layer.get("bq")).reshape(
+        b, n, cfg.n_q_heads, cfg.head_dim)
+    k = _proj(h, layer["wk"], layer.get("bk")).reshape(
+        b, n, cfg.n_kv_heads, cfg.head_dim)
+    v = _proj(h, layer["wv"], layer.get("bv")).reshape(
+        b, n, cfg.n_kv_heads, cfg.head_dim)
     slopes = None
     if cfg.position_encoding == "alibi":
         slopes = alibi_slopes_for(cfg.n_q_heads)

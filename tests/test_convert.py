@@ -137,3 +137,33 @@ def test_windowed_model_engine_guard():
     # exact when the window covers the max context
     DecodeEngine(params, cfg, num_pages=4, page_size=128, num_slots=1,
                  pages_per_seq=1, kv_dtype=jnp.float32)
+
+
+def test_qwen2_bias_parity():
+    """Tiny Qwen2 (QKV biases, big rope theta): logit parity through the
+    optional-bias projection path; biases land head-sharded in the specs."""
+    qcfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-6,
+        rope_theta=1000000.0, tie_word_embeddings=False,
+        use_sliding_window=False, sliding_window=4096,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(2)
+    hf = transformers.Qwen2ForCausalLM(qcfg).eval()
+    params, cfg = import_hf_llama(hf, dtype=jnp.float32)
+    assert cfg.window == 0  # use_sliding_window=False gates it off
+    assert "bq" in params["layers"][0]
+    cfg = dataclasses.replace(cfg, remat=False)
+    ids = np.random.default_rng(4).integers(0, 128, (2, 12)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids).long()).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+    # head-sharded bias specs exist
+    from jax.sharding import Mesh
+    from flash_attention_dlrs_tpu.models import param_shardings
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
+    specs = param_shardings(params, mesh)
+    assert "bq" in specs["layers"][0]
