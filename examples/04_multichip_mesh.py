@@ -34,8 +34,9 @@ def main():
     print(f"{n_dev} devices ({jax.devices()[0].platform})")
 
     # --- dp x tp training: params sharded over 'model', batch over 'data'.
-    dp = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
-    mesh = make_mesh((dp, n_dev // dp), ("data", "model"))
+    # model axis must divide the head counts (4q/2kv here): tp=2, rest dp.
+    tp = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
+    mesh = make_mesh((n_dev // tp, tp), ("data", "model"))
     cfg = ModelConfig.tiny(dtype=jnp.float32, remat=False)
     params, opt_state, optimizer = make_train_state(
         jax.random.PRNGKey(0), cfg, mesh, learning_rate=1e-3)

@@ -21,21 +21,37 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .transformer import ModelConfig, init_params, loss_fn
 
 
-def param_shardings(params: Dict, mesh: Mesh, model_axis: str = "model") -> Dict:
-    """PartitionSpecs per parameter: head/ff dims on the model axis."""
+def param_shardings(params: Dict, mesh: Mesh, model_axis: str = "model",
+                    n_kv_heads: int | None = None) -> Dict:
+    """PartitionSpecs per parameter: head/ff dims on the model axis.
+
+    ``n_kv_heads``: when the model axis does not divide the KV head count
+    (GQA with few KV heads on a wide mesh), wk/wv/bk/bv REPLICATE instead
+    of sharding — a model-axis split of [d_model, hkv*dh] would cut through
+    head_dim, a sharding the attention op re-gathers anyway (and one GSPMD
+    expresses as sub-axis tilings that break partition callbacks)."""
+    m_size = mesh.shape.get(model_axis, 1)
+    kv_ok = n_kv_heads is None or n_kv_heads % m_size == 0
+
     def spec_for_layer(layer):
         m = model_axis
-        return {
+        kv = m if kv_ok else None
+        spec = {
             "attn_norm": P(None),
             "wq": P(None, m),
-            "wk": P(None, m),
-            "wv": P(None, m),
+            "wk": P(None, kv),
+            "wv": P(None, kv),
             "wo": P(m, None),
             "mlp_norm": P(None),
             "w_gate": P(None, m),
             "w_up": P(None, m),
             "w_down": P(m, None),
         }
+        if "bq" in layer:  # Qwen2-style QKV biases follow their projections
+            spec["bq"] = P(m)
+            spec["bk"] = P(kv)
+            spec["bv"] = P(kv)
+        return spec
 
     specs = {
         "embed": P(None, None),
@@ -64,6 +80,8 @@ def make_train_state(
     ``optimizer_name``: "adamw" (optax, moments in param dtype) or
     "adamw8bit" (blockwise-int8 moments, ~half the optimizer HBM —
     see models/optim.py)."""
+    if mesh is not None:
+        _check_tp_divisibility(cfg, mesh)
     if optimizer_name == "adamw":
         optimizer = optax.adamw(learning_rate, weight_decay=0.01)
     elif optimizer_name == "adamw8bit":
@@ -74,10 +92,27 @@ def make_train_state(
         raise ValueError(f"unknown optimizer {optimizer_name!r}")
     params = init_params(key, cfg)
     if mesh is not None:
-        shardings = param_shardings(params, mesh)
+        shardings = param_shardings(params, mesh, n_kv_heads=cfg.n_kv_heads)
         params = jax.tree.map(jax.device_put, params, shardings)
     opt_state = optimizer.init(params)
     return params, opt_state, optimizer
+
+
+def _check_tp_divisibility(cfg: ModelConfig, mesh: Mesh,
+                           model_axis: str = "model") -> None:
+    """Tensor parallelism requires the model-axis size to divide BOTH head
+    counts: an indivisible split forces XLA to cut projections through
+    head_dim, producing sub-axis tilings the attention partitioner cannot
+    express (deep internal compile errors).  Standard TP practice — reject
+    it up front with guidance instead."""
+    m = mesh.shape.get(model_axis, 1)
+    if cfg.n_q_heads % m or cfg.n_kv_heads % m:
+        raise ValueError(
+            f"model axis size {m} must divide n_q_heads={cfg.n_q_heads} AND "
+            f"n_kv_heads={cfg.n_kv_heads} for tensor-parallel training — "
+            "pick a mesh whose model axis divides both (put the remaining "
+            "devices on the data axis)"
+        )
 
 
 def make_train_step(
@@ -93,6 +128,8 @@ def make_train_step(
     With ``cfg.attn_dropout > 0`` the step takes a 4th argument — an int32
     ``dropout_seed`` (pass the step index): attention dropout masks are a
     pure function of it, so training stays bitwise reproducible."""
+    if mesh is not None:
+        _check_tp_divisibility(cfg, mesh)
 
     if cfg.attn_dropout:
         def step(params, opt_state, tokens, dropout_seed):

@@ -453,7 +453,10 @@ def flash_attention_forward(
     """Forward pass returning (O, L) like the reference functional wrapper
     (src/flash_attention_wrappers.py:7-63).  L is the natural-base logsumexp
     of the scaled+biased scores (dropout-independent), shape [B, H, Nq]
-    fp32."""
+    fp32.
+
+    GSPMD: the Pallas routes go through ops/partitioning, so (batch, head)-
+    sharded operands run on local shards instead of being all-gathered."""
     _validate(q, k, v)
     window = _normalize_window(window, causal, k.shape[2])
     seg = _normalize_segments(segment_ids, q, k)
@@ -462,9 +465,14 @@ def flash_attention_forward(
     small = _use_small(q, k, block_sizes) and alibi is None and rate == 0.0
     xla_small = _use_xla_small(q, k, block_sizes)
     sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
-    return _forward_impl(
-        q, k, v, seg, causal, sm_scale, window, logit_softcap, alibi, rate,
-        seed, bs, small, xla_small, interpret, save_residuals=True,
+    if xla_small:  # pure-XLA route partitions natively
+        return _forward_impl(
+            q, k, v, seg, causal, sm_scale, window, logit_softcap, alibi,
+            rate, seed, bs, small, xla_small, interpret, save_residuals=True,
+        )
+    return _partitioned_fwd_call(
+        q, k, v, seg, seed, causal, sm_scale, window, float(logit_softcap),
+        alibi, rate, bs, small, xla_small, interpret, save_residuals=True,
     )
 
 
@@ -498,7 +506,52 @@ def flash_attention_backward(
     custom_vjp, where the lse is known to come from the matching forward.
 
     ``dropout_rate``/``dropout_seed`` must MATCH the forward's — the kernels
-    regenerate the identical element-indexed mask from them."""
+    regenerate the identical element-indexed mask from them.
+
+    GSPMD: routed through ops/partitioning so (batch, head)-sharded
+    operands run the kernels on local shards (no all-gather).  ALiBi
+    bypasses the wrapper (static slopes lower to jaxpr constants)."""
+    from . import partitioning
+
+    seg = _normalize_segments(segment_ids, q, k)
+    rate, seed = _normalize_dropout(dropout_rate, dropout_seed)
+    alibi = _normalize_alibi(alibi_slopes, q.shape[1], causal)
+    if alibi is not None:
+        return _backward_unpartitioned(
+            q, k, v, o, do, lse,
+            causal=causal, sm_scale=sm_scale, segment_ids=seg, window=window,
+            logit_softcap=logit_softcap, alibi_slopes=alibi,
+            dropout_rate=rate, dropout_seed=seed,
+            block_sizes=block_sizes, interpret=interpret,
+        )
+    cp = partitioning.partitioned_backward_public(
+        causal, sm_scale, window, float(logit_softcap), alibi, rate,
+        block_sizes, interpret, seg is not None, seed is not None,
+    )
+    return cp(q, k, v, o, do, lse, *partitioning._pack(seg, seed))
+
+
+def _backward_unpartitioned(
+    q,
+    k,
+    v,
+    o,
+    do,
+    lse,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    segment_ids: Optional[Union[SegmentIds, jax.Array]] = None,
+    window: int = 0,
+    logit_softcap: float = 0.0,
+    alibi_slopes=None,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
+    block_sizes: Optional[tuning.BlockSizes] = None,
+    interpret: Optional[bool] = None,
+):
+    """flash_attention_backward's dispatch body, shard-local shapes in
+    (the partitioning wrapper lowers to this)."""
     _validate(q, k, v)
     window = _normalize_window(window, causal, k.shape[2])
     seg = _normalize_segments(segment_ids, q, k)
@@ -742,13 +795,50 @@ def _seg_cotangent(seg):
     )
 
 
+def _partitioned_fwd_call(q, k, v, seg, seed, causal, sm_scale, window,
+                          softcap, alibi, rate, block_sizes, small,
+                          xla_small, interpret, save_residuals):
+    """Forward through the GSPMD-partitionable wrapper (ops/partitioning):
+    under jit with (batch, head)-sharded operands the Pallas kernels run on
+    local shards instead of being all-gathered and replicated.  The XLA
+    tiny-N route bypasses it — pure-XLA math partitions natively (and its
+    global iotas keep dropout exact under GSPMD).  ALiBi also bypasses:
+    the static slope tuple lowers to jaxpr constants, which
+    custom_partitioning rejects (and head sharding is unsupported for it
+    regardless — slopes are indexed by local head id)."""
+    from . import partitioning
+
+    if alibi is not None:
+        o, lse = _forward_impl(
+            q, k, v, seg, causal, sm_scale, window, softcap, alibi, rate,
+            seed, block_sizes, small, xla_small, interpret,
+            save_residuals=save_residuals,
+        )
+        return (o, lse)
+
+    cp = partitioning.partitioned_forward(
+        causal, sm_scale, window, softcap, alibi, rate, block_sizes, small,
+        xla_small, interpret, seg is not None, seed is not None,
+        save_residuals,
+    )
+    out = cp(q, k, v, *partitioning._pack(seg, seed))
+    return out if save_residuals else (out, None)
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14)
 )
 def _flash_attention(q, k, v, seg, seed, causal, sm_scale, window, softcap,
                      alibi, rate, block_sizes, small, xla_small, interpret):
-    o, _ = _forward_impl(
-        q, k, v, seg, causal, sm_scale, window, softcap, alibi, rate, seed,
+    if xla_small:
+        o, _ = _forward_impl(
+            q, k, v, seg, causal, sm_scale, window, softcap, alibi, rate,
+            seed, block_sizes, small, xla_small, interpret,
+            save_residuals=False,
+        )
+        return o
+    o, _ = _partitioned_fwd_call(
+        q, k, v, seg, seed, causal, sm_scale, window, softcap, alibi, rate,
         block_sizes, small, xla_small, interpret, save_residuals=False,
     )
     return o
@@ -770,8 +860,8 @@ def _flash_attention_fwd(q, k, v, seg, seed, causal, sm_scale, window,
 
         o = checkpoint_name(o, "flash_o")
         return o, (q, k, v, o, None, seg, seed)
-    o, lse = _forward_impl(
-        q, k, v, seg, causal, sm_scale, window, softcap, alibi, rate, seed,
+    o, lse = _partitioned_fwd_call(
+        q, k, v, seg, seed, causal, sm_scale, window, softcap, alibi, rate,
         block_sizes, small, xla_small, interpret, save_residuals=True,
     )
     # Residuals (Q, K, V, O, L) ≙ ctx.save_for_backward
@@ -813,22 +903,32 @@ def _flash_attention_bwd(causal, sm_scale, window, softcap, alibi, rate,
         _, vjp = jax.vjp(f, q, k, v)
         dq, dk, dv = vjp(do)
         return dq, dk, dv, _seg_cotangent(seg), _seed_cotangent(seed)
-    # The one-shot inline-softmax backward is the numerics champion (no lse
-    # round-trip — it is what lets the 200-seed gate pass unscaled on TPU)
-    # but computes the full n² score block; past ~320 tokens the sub-blocked
-    # bwd_mid path (via flash_attention_backward) wastes less work.
-    if small and max(q.shape[2], k.shape[2]) <= 320:
-        dq, dk, dv = _backward_small(
-            q, k, v, do, seg, causal, sm_scale, window, softcap, interpret
-        )
-    else:
-        dq, dk, dv = flash_attention_backward(
-            q, k, v, o, do, lse,
-            causal=causal, sm_scale=sm_scale, segment_ids=seg, window=window,
-            logit_softcap=softcap, alibi_slopes=alibi,
-            dropout_rate=rate, dropout_seed=seed,
-            block_sizes=block_sizes, interpret=interpret,
-        )
+    # Pallas routes go through the partitioned wrapper (local small-vs-mid
+    # dispatch lives inside it): the one-shot inline-softmax backward is the
+    # numerics champion up to ~320 tokens, the sub-blocked/fused kernels
+    # past that.
+    from . import partitioning
+
+    if alibi is not None:  # static slopes lower to consts — bypass wrapper
+        if small and max(q.shape[2], k.shape[2]) <= 320:
+            dq, dk, dv = _backward_small(
+                q, k, v, do, seg, causal, sm_scale, window, softcap,
+                interpret,
+            )
+        else:
+            dq, dk, dv = _backward_unpartitioned(
+                q, k, v, o, do, lse,
+                causal=causal, sm_scale=sm_scale, segment_ids=seg,
+                window=window, logit_softcap=softcap, alibi_slopes=alibi,
+                dropout_rate=rate, dropout_seed=seed,
+                block_sizes=block_sizes, interpret=interpret,
+            )
+        return dq, dk, dv, _seg_cotangent(seg), _seed_cotangent(seed)
+    cp = partitioning.partitioned_backward(
+        causal, sm_scale, window, softcap, alibi, rate, block_sizes, small,
+        interpret, seg is not None, seed is not None,
+    )
+    dq, dk, dv = cp(q, k, v, o, do, lse, *partitioning._pack(seg, seed))
     return dq, dk, dv, _seg_cotangent(seg), _seed_cotangent(seed)
 
 

@@ -70,7 +70,9 @@ def test_train_step_single_device_loss_decreases():
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_train_step_sharded_matches_single_device():
-    mesh = make_mesh([2, 4], ("data", "model"))
+    # model axis 2 divides both head counts (4q/2kv); an indivisible mesh
+    # is rejected up front — see test below.
+    mesh = make_mesh([4, 2], ("data", "model"))
     params, opt_state, optimizer = make_train_state(
         jax.random.PRNGKey(0), CFG, mesh
     )
@@ -84,6 +86,13 @@ def test_train_step_sharded_matches_single_device():
     np.testing.assert_allclose(
         float(loss_sharded), float(loss_single), rtol=1e-4
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_indivisible_tp_mesh_rejected():
+    mesh = make_mesh([2, 4], ("data", "model"))  # model=4, n_kv_heads=2
+    with pytest.raises(ValueError, match="must divide"):
+        make_train_state(jax.random.PRNGKey(0), CFG, mesh)
 
 
 def test_encoder_bidirectional():

@@ -1,0 +1,153 @@
+"""GSPMD partitioning of the flash-attention op (ops/partitioning.py).
+
+Without these rules XLA all-gathers q/k/v and replicates the Pallas kernel
+on every shard (verified: the dp×tp train step gathered over the model
+axis).  With them, (batch, head)-sharded attention must compile with ZERO
+all-gathers, keep outputs sharded, and match unsharded numerics bitwise on
+local shards — including GQA head co-location and in-kernel dropout with
+per-shard folded seeds.
+
+Runs on the 8-virtual-device CPU mesh (conftest).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flash_attention_dlrs_tpu import flash_attention
+from flash_attention_dlrs_tpu.ops.flash_attention import (
+    flash_attention_forward,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _mesh():
+    return Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "model"))
+
+
+def _sharded_qkv(mesh, b=2, hq=8, hkv=4, n=1024, d=64, dtype=jnp.float32):
+    sh = NamedSharding(mesh, P("data", "model", None, None))
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.device_put(jax.random.normal(ks[0], (b, hq, n, d), dtype), sh)
+    k = jax.device_put(jax.random.normal(ks[1], (b, hkv, n, d), dtype), sh)
+    v = jax.device_put(jax.random.normal(ks[2], (b, hkv, n, d), dtype), sh)
+    return q, k, v
+
+
+def _all_gathers(compiled) -> int:
+    return sum(
+        1 for l in compiled.as_text().splitlines() if "all-gather" in l
+    )
+
+
+def test_forward_shards_without_allgather():
+    mesh = _mesh()
+    q, k, v = _sharded_qkv(mesh)
+
+    f = jax.jit(lambda a, b_, c: flash_attention(a, b_, c, causal=True))
+    compiled = f.lower(q, k, v).compile()
+    assert _all_gathers(compiled) == 0, compiled.as_text()[:2000]
+    o = f(q, k, v)
+    # output stays (data, model)-sharded — not replicated
+    assert o.sharding.spec == P("data", "model")
+
+    o_ref = flash_attention(
+        jax.device_get(q), jax.device_get(k), jax.device_get(v), causal=True)
+    np.testing.assert_array_equal(jax.device_get(o), jax.device_get(o_ref))
+
+
+def test_forward_lse_sharded():
+    mesh = _mesh()
+    q, k, v = _sharded_qkv(mesh)
+    f = jax.jit(lambda a, b_, c: flash_attention_forward(a, b_, c, causal=True))
+    compiled = f.lower(q, k, v).compile()
+    assert _all_gathers(compiled) == 0
+    o, lse = f(q, k, v)
+    o_ref, lse_ref = flash_attention_forward(
+        jax.device_get(q), jax.device_get(k), jax.device_get(v), causal=True)
+    np.testing.assert_array_equal(jax.device_get(o), jax.device_get(o_ref))
+    np.testing.assert_allclose(jax.device_get(lse), jax.device_get(lse_ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_grads_shard_without_allgather():
+    mesh = _mesh()
+    q, k, v = _sharded_qkv(mesh)
+
+    def loss(a, b_, c):
+        return jnp.sum(flash_attention(a, b_, c, causal=True) ** 2)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    compiled = g.lower(q, k, v).compile()
+    assert _all_gathers(compiled) == 0, "backward re-gathered an operand"
+    dq, dk, dv = g(q, k, v)
+    assert dq.sharding.spec == P("data", "model")
+    assert dk.sharding.spec == P("data", "model")
+    dq_r, dk_r, dv_r = jax.grad(loss, argnums=(0, 1, 2))(
+        jax.device_get(q), jax.device_get(k), jax.device_get(v))
+    np.testing.assert_allclose(dq, dq_r, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(dk, dk_r, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(dv, dv_r, atol=2e-5, rtol=1e-5)
+
+
+def test_indivisible_head_sharding_falls_back():
+    # q sharded 4-way over heads but hkv=2 % 4 != 0: the partition plan
+    # must drop the head sharding (correctness over parallelism) and still
+    # match the unsharded op.
+    mesh = _mesh()
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.device_put(
+        jax.random.normal(ks[0], (2, 8, 1024, 64), jnp.float32),
+        NamedSharding(mesh, P("data", "model", None, None)))
+    kv_sh = NamedSharding(mesh, P("data", None, None, None))
+    k = jax.device_put(jax.random.normal(ks[1], (2, 2, 1024, 64)), kv_sh)
+    v = jax.device_put(jax.random.normal(ks[2], (2, 2, 1024, 64)), kv_sh)
+    f = jax.jit(lambda a, b_, c: flash_attention(a, b_, c, causal=True))
+    o = f(q, k, v)
+    o_ref = flash_attention(
+        jax.device_get(q), jax.device_get(k), jax.device_get(v), causal=True)
+    np.testing.assert_allclose(jax.device_get(o), jax.device_get(o_ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_dropout_shards_and_decorrelates():
+    from flash_attention_dlrs_tpu.ops.fwd_kernel import dropout_keep_mask
+    from flash_attention_dlrs_tpu.ops.partitioning import _CP_SEED_PRIME
+
+    mesh = _mesh()
+    b, hq, hkv, n, d = 2, 8, 4, 1024, 64
+    q, k, v = _sharded_qkv(mesh, b=b, hq=hq, hkv=hkv, n=n, d=d)
+    seed = 13
+
+    f = jax.jit(lambda a, b_, c: flash_attention(
+        a, b_, c, causal=True, dropout_rate=0.3, dropout_seed=seed))
+    compiled = f.lower(q, k, v).compile()
+    assert _all_gathers(compiled) == 0
+    o = f(q, k, v)
+    np.testing.assert_array_equal(o, f(q, k, v))  # deterministic
+
+    # Oracle: each shard (bi over data=2, hs over model=4) folds
+    # seed + PRIME*(bi*4 + hs) and masks with LOCAL (b=0, h∈[0,2), rows).
+    qf, kf, vf = map(jax.device_get, (q, k, v))
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf,
+                   jnp.repeat(kf, hq // hkv, 1)) * d ** -0.5
+    tri = jnp.tril(jnp.ones((n, n), bool))
+    p = jax.nn.softmax(jnp.where(tri, s, -1e30), axis=-1)
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(n, dtype=jnp.int32)[None, :]
+    h_per = hq // 4
+    M = np.zeros((b, hq, n, n), np.float32)
+    for bi in range(b):
+        for hs in range(4):
+            sd = jnp.int32(seed) + jnp.int32(_CP_SEED_PRIME) * (bi * 4 + hs)
+            for hl in range(h_per):
+                M[bi, hs * h_per + hl] = dropout_keep_mask(
+                    sd, jnp.int32(0), jnp.int32(hl), rows, cols, 0.3)
+    o_ref = jnp.einsum("bhqk,bhkd->bhqd", p * jnp.asarray(M),
+                       jnp.repeat(vf, hq // hkv, 1))
+    np.testing.assert_allclose(jax.device_get(o), o_ref, atol=3e-4, rtol=1e-3)
