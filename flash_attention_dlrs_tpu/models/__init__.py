@@ -1,4 +1,9 @@
-from .convert import config_from_hf, import_hf_llama
+from .convert import (
+    config_from_hf,
+    config_from_hf_gemma,
+    import_hf_gemma,
+    import_hf_llama,
+)
 from .optim import adamw8bit
 from .transformer import (
     ModelConfig,
@@ -14,6 +19,8 @@ __all__ = [
     "ModelConfig",
     "adamw8bit",
     "config_from_hf",
+    "config_from_hf_gemma",
+    "import_hf_gemma",
     "import_hf_llama",
     "init_params",
     "forward",

@@ -150,3 +150,113 @@ def import_hf_llama(
             )
         params["unembed"] = jnp.asarray(_to_np(head), dtype)  # [V, dm]
     return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# Gemma family
+# ---------------------------------------------------------------------------
+
+_GEMMA_REQUIRED = (
+    "model.embed_tokens.weight",
+    "model.layers.0.input_layernorm.weight",
+)
+
+
+def config_from_hf_gemma(hf_config, *, dtype=jnp.bfloat16,
+                         **overrides) -> ModelConfig:
+    """ModelConfig from a transformers GemmaConfig / Gemma2Config."""
+    c = hf_config
+    is_g2 = bool(getattr(c, "attn_logit_softcapping", None))
+    kw = dict(
+        vocab_size=c.vocab_size,
+        d_model=c.hidden_size,
+        n_layers=c.num_hidden_layers,
+        n_q_heads=c.num_attention_heads,
+        n_kv_heads=getattr(c, "num_key_value_heads", c.num_attention_heads),
+        head_dim=c.head_dim,
+        d_ff=c.intermediate_size,
+        rope_theta=float(getattr(c, "rope_theta", 10000.0)),
+        norm_eps=float(getattr(c, "rms_norm_eps", 1e-6)),
+        tie_embeddings=True,  # every Gemma ties
+        position_encoding="rope",
+        mlp_act="gelu_tanh",
+        embed_scale=True,
+        # Gemma scales queries by query_pre_attn_scalar**-0.5, not
+        # head_dim**-0.5 (they differ on Gemma-2 9B/27B).
+        sm_scale=float(
+            getattr(c, "query_pre_attn_scalar", c.head_dim)) ** -0.5,
+        attn_softcap=float(getattr(c, "attn_logit_softcapping", 0) or 0),
+        final_softcap=float(getattr(c, "final_logit_softcapping", 0) or 0),
+        # Gemma-2 slides on EVEN layers (HF: is_sliding = not layer_idx % 2)
+        window=int(getattr(c, "sliding_window", None) or 0) if is_g2 else 0,
+        window_pattern="even" if is_g2 else "all",
+        dtype=dtype,
+    )
+    kw.update(overrides)
+    return ModelConfig(**kw)
+
+
+def import_hf_gemma(
+    model_or_state: Any,
+    *,
+    dtype=jnp.bfloat16,
+    cfg: Optional[ModelConfig] = None,
+) -> Tuple[Dict, ModelConfig]:
+    """(params, cfg) from a transformers GemmaForCausalLM /
+    Gemma2ForCausalLM (or its state_dict, with an explicit cfg).
+
+    Beyond the Llama-family mapping: Gemma's RMSNorm multiplies by (1 + w)
+    — folded into the stored gains at import so the runtime norm stays
+    ``x·rsqrt(mean x²)·w``; Gemma-2's sandwich norms map to the optional
+    ``post_attn_norm`` / ``post_mlp_norm`` layer entries (its
+    post_attention_layernorm is a TRUE post-norm, unlike Llama's, whose
+    same-named tensor is the MLP pre-norm)."""
+    if hasattr(model_or_state, "state_dict"):
+        state = model_or_state.state_dict()
+        if cfg is None:
+            cfg = config_from_hf_gemma(model_or_state.config, dtype=dtype)
+    else:
+        state = dict(model_or_state)
+        if cfg is None:
+            raise ValueError("cfg is required when importing a raw state_dict")
+    missing = [k for k in _GEMMA_REQUIRED if k not in state]
+    if missing:
+        raise ValueError(f"not a Gemma-family state dict (missing {missing})")
+
+    def w(name):
+        return jnp.asarray(_to_np(state[name]).T, dtype)
+
+    def gain(name):  # Gemma (1+w) convention folded in, fp32
+        return jnp.asarray(1.0 + _to_np(state[name]), jnp.float32)
+
+    sandwich = "model.layers.0.pre_feedforward_layernorm.weight" in state
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        if p + "self_attn.q_proj.weight" not in state:
+            raise ValueError(
+                f"cfg.n_layers={cfg.n_layers} but layer {i} is missing")
+        layer = {
+            "attn_norm": gain(p + "input_layernorm.weight"),
+            "wq": w(p + "self_attn.q_proj.weight"),
+            "wk": w(p + "self_attn.k_proj.weight"),
+            "wv": w(p + "self_attn.v_proj.weight"),
+            "wo": w(p + "self_attn.o_proj.weight"),
+            "w_gate": w(p + "mlp.gate_proj.weight"),
+            "w_up": w(p + "mlp.up_proj.weight"),
+            "w_down": w(p + "mlp.down_proj.weight"),
+        }
+        if sandwich:  # Gemma-2
+            layer["post_attn_norm"] = gain(p + "post_attention_layernorm.weight")
+            layer["mlp_norm"] = gain(p + "pre_feedforward_layernorm.weight")
+            layer["post_mlp_norm"] = gain(p + "post_feedforward_layernorm.weight")
+        else:  # Gemma-1: Llama-shaped norm placement
+            layer["mlp_norm"] = gain(p + "post_attention_layernorm.weight")
+        layers.append(layer)
+
+    params = {
+        "embed": jnp.asarray(_to_np(state["model.embed_tokens.weight"]), dtype),
+        "layers": layers,
+        "final_norm": gain("model.norm.weight"),
+    }
+    return params, cfg

@@ -27,7 +27,10 @@ from ..ops.quantization import (
     qmax_for,
 )
 from ..ops.reference import alibi_slopes_for
-from .transformer import unembed_matrix, ModelConfig, _proj, mlp_block, rms_norm, rope
+from .transformer import (
+    ModelConfig, _proj, layer_window, mlp_block, rms_norm, rope,
+    unembed_matrix,
+)
 
 
 class KVPools(NamedTuple):
@@ -152,9 +155,11 @@ def make_prefill(cfg: ModelConfig, *, interpret: Optional[bool] = None):
         b, t = tokens.shape
         positions = jnp.broadcast_to(jnp.arange(t), (b, t))
         x = params["embed"][tokens]
+        if cfg.embed_scale:
+            x = x * jnp.asarray(cfg.d_model ** 0.5, x.dtype)
         kvs = []
-        for layer in params["layers"]:
-            h = rms_norm(x, layer["attn_norm"])
+        for li, layer in enumerate(params["layers"]):
+            h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
             q = _proj(h, layer["wq"], layer.get("bq")).reshape(
                 b, t, cfg.n_q_heads, cfg.head_dim)
             k = _proj(h, layer["wk"], layer.get("bk")).reshape(
@@ -170,19 +175,28 @@ def make_prefill(cfg: ModelConfig, *, interpret: Optional[bool] = None):
                 kvs[-1][0],
                 kvs[-1][1],
                 causal=True,
+                sm_scale=cfg.sm_scale,
+                window=layer_window(cfg, li),
+                logit_softcap=cfg.attn_softcap,
                 alibi_slopes=slopes,
                 interpret=interpret,
             )
             o = o.transpose(0, 2, 1, 3).reshape(b, t, -1)
-            x = x + _proj(o, layer["wo"])
-            x = mlp_block(layer, x)
-        x = rms_norm(x, params["final_norm"])
+            out = _proj(o, layer["wo"])
+            if "post_attn_norm" in layer:
+                out = rms_norm(out, layer["post_attn_norm"], cfg.norm_eps)
+            x = x + out
+            x = mlp_block(layer, x, cfg.norm_eps, cfg.mlp_act)
+        x = rms_norm(x, params["final_norm"], cfg.norm_eps)
         last = jnp.take_along_axis(
             x, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1
         )[:, 0]
         logits = jnp.dot(
             last, unembed_matrix(params).T, preferred_element_type=jnp.float32
         )
+        if cfg.final_softcap:
+            c = cfg.final_softcap
+            logits = c * jnp.tanh(logits / c)
         return logits, kvs
 
     return prefill
@@ -214,12 +228,14 @@ def make_decode_step(
                     page_offs, page_tbl, lengths):
         b = tokens.shape[0]
         x = params["embed"][tokens]  # [B, dm]
+        if cfg.embed_scale:
+            x = x * jnp.asarray(cfg.d_model ** 0.5, x.dtype)
         new_k, new_v = list(pools.k), list(pools.v)
         new_ks = list(pools.k_scales) if pools.quantized else None
         new_vs = list(pools.v_scales) if pools.quantized else None
 
         for li, layer in enumerate(params["layers"]):
-            h = rms_norm(x, layer["attn_norm"])
+            h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
             q = _proj(h, layer["wq"], layer.get("bq")).reshape(
                 b, cfg.n_q_heads, cfg.head_dim)
             k = _proj(h, layer["wk"], layer.get("bk")).reshape(
@@ -268,16 +284,24 @@ def make_decode_step(
 
             o = paged_decode_attention(
                 q, k_att, v_att, lengths, page_tbl,
+                sm_scale=cfg.sm_scale,
+                logit_softcap=cfg.attn_softcap,
                 pages_per_block=pages_per_block, alibi_slopes=slopes,
                 interpret=interpret,
             )  # [B, Hq, d]
-            x = x + _proj(o.reshape(b, -1), layer["wo"])
-            x = mlp_block(layer, x[:, None, :])[:, 0]
+            out = _proj(o.reshape(b, -1), layer["wo"])
+            if "post_attn_norm" in layer:
+                out = rms_norm(out, layer["post_attn_norm"], cfg.norm_eps)
+            x = x + out
+            x = mlp_block(layer, x[:, None, :], cfg.norm_eps, cfg.mlp_act)[:, 0]
 
-        x = rms_norm(x, params["final_norm"])
+        x = rms_norm(x, params["final_norm"], cfg.norm_eps)
         logits = jnp.dot(
             x, unembed_matrix(params).T, preferred_element_type=jnp.float32
         )
+        if cfg.final_softcap:
+            c = cfg.final_softcap
+            logits = c * jnp.tanh(logits / c)
         pools_out = KVPools(
             tuple(new_k), tuple(new_v),
             tuple(new_ks) if new_ks is not None else None,
@@ -320,6 +344,8 @@ def make_verify_step(
                     page_offs, page_tbl, lengths):
         b = tokens.shape[0]
         x = params["embed"][tokens.reshape(-1)].reshape(b, t_new, -1)
+        if cfg.embed_scale:
+            x = x * jnp.asarray(cfg.d_model ** 0.5, x.dtype)
         new_k, new_v = list(pools.k), list(pools.v)
         new_ks = list(pools.k_scales) if pools.quantized else None
         new_vs = list(pools.v_scales) if pools.quantized else None
@@ -328,7 +354,7 @@ def make_verify_step(
         offs_f = page_offs.reshape(-1)
 
         for li, layer in enumerate(params["layers"]):
-            h = rms_norm(x, layer["attn_norm"])
+            h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
             q = _proj(h, layer["wq"], layer.get("bq")).reshape(
                 b, t_new, cfg.n_q_heads, cfg.head_dim)
             k = _proj(h, layer["wk"], layer.get("bk")).reshape(
@@ -381,18 +407,26 @@ def make_verify_step(
             o = paged_verify_attention(
                 q.transpose(0, 2, 1, 3),  # [B, Hq, T, d]
                 k_att, v_att, lengths, page_tbl,
+                sm_scale=cfg.sm_scale,
+                logit_softcap=cfg.attn_softcap,
                 pages_per_block=pages_per_block, alibi_slopes=slopes,
                 interpret=interpret,
             )
             o = o.transpose(0, 2, 1, 3).reshape(b, t_new, -1)
-            x = x + _proj(o, layer["wo"])
-            x = mlp_block(layer, x)
+            out = _proj(o, layer["wo"])
+            if "post_attn_norm" in layer:
+                out = rms_norm(out, layer["post_attn_norm"], cfg.norm_eps)
+            x = x + out
+            x = mlp_block(layer, x, cfg.norm_eps, cfg.mlp_act)
 
-        x = rms_norm(x, params["final_norm"])
+        x = rms_norm(x, params["final_norm"], cfg.norm_eps)
         logits = jnp.einsum(
             "btd,vd->btv", x, unembed_matrix(params),
             preferred_element_type=jnp.float32,
         )
+        if cfg.final_softcap:
+            c = cfg.final_softcap
+            logits = c * jnp.tanh(logits / c)
         pools_out = KVPools(
             tuple(new_k), tuple(new_v),
             tuple(new_ks) if new_ks is not None else None,

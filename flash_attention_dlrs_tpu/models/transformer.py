@@ -42,8 +42,24 @@ class ModelConfig:
     # serving engine requires the window to cover its max context (see
     # runtime/engine.py).
     window: int = 0
+    # Which layers slide: "all" (Mistral) or "even" (Gemma-2 alternates —
+    # layers 0, 2, ... use the window, odd layers attend fully).
+    window_pattern: str = "all"
     # RMSNorm epsilon (HF checkpoints vary: Llama-2/3 use 1e-5, older 1e-6).
     norm_eps: float = 1e-6
+    # MLP gate activation: "silu" (Llama/Mistral/Qwen) or "gelu_tanh"
+    # (Gemma GeGLU).
+    mlp_act: str = "silu"
+    # Gemma-isms: embeddings scaled by sqrt(d_model); attention-logit and
+    # final-logit soft-capping (cap*tanh(x/cap)); an explicit softmax scale
+    # (query_pre_attn_scalar**-0.5) instead of head_dim**-0.5.  Sandwich
+    # (post-attn / post-mlp) norms ride optional per-layer weights
+    # ("post_attn_norm"/"post_mlp_norm"), and Gemma's (1+w) norm convention
+    # folds into the stored weights at import (models/convert.py).
+    embed_scale: bool = False
+    attn_softcap: float = 0.0
+    final_softcap: float = 0.0
+    sm_scale: Optional[float] = None
     # Tied unembedding (logits = x @ embed.T) by default; imported
     # checkpoints with a separate lm_head set False and carry a
     # params["unembed"] of shape [vocab, d_model] (see models/convert.py).
@@ -185,8 +201,18 @@ def rope(x, positions, theta: float):
     ).astype(x.dtype)
 
 
+def layer_window(cfg: ModelConfig, layer_idx: int) -> int:
+    """This layer's sliding window: cfg.window gated by window_pattern
+    ("even" = Gemma-2's alternating layout)."""
+    if not cfg.window:
+        return 0
+    if cfg.window_pattern == "even" and layer_idx % 2 != 0:
+        return 0
+    return cfg.window
+
+
 def attention_block(layer, x, positions, cfg: ModelConfig, *,
-                    dropout_seed=None, interpret=None):
+                    layer_idx: int = 0, dropout_seed=None, interpret=None):
     b, n, dm = x.shape
     h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
     q = _proj(h, layer["wq"], layer.get("bq")).reshape(
@@ -208,17 +234,22 @@ def attention_block(layer, x, positions, cfg: ModelConfig, *,
         k.transpose(0, 2, 1, 3),
         v.transpose(0, 2, 1, 3),
         causal=True,
-        window=cfg.window,
+        sm_scale=cfg.sm_scale,
+        window=layer_window(cfg, layer_idx),
+        logit_softcap=cfg.attn_softcap,
         alibi_slopes=slopes,
         dropout_rate=rate,
         dropout_seed=dropout_seed if rate else None,
         interpret=interpret,
     )
     o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.n_q_heads * cfg.head_dim)
-    return x + _proj(o, layer["wo"])
+    out = _proj(o, layer["wo"])
+    if "post_attn_norm" in layer:  # Gemma-2 sandwich norm
+        out = rms_norm(out, layer["post_attn_norm"], cfg.norm_eps)
+    return x + out
 
 
-def mlp_block(layer, x, eps: float = 1e-6):
+def mlp_block(layer, x, eps: float = 1e-6, act: str = "silu"):
     from jax.ad_checkpoint import checkpoint_name
 
     h = rms_norm(x, layer["mlp_norm"], eps)
@@ -227,8 +258,16 @@ def mlp_block(layer, x, eps: float = 1e-6):
     # drops the backward recompute to just qkv/wo projections + elementwise.
     gate = checkpoint_name(_proj(h, layer["w_gate"]), "mlp_gate")
     up = checkpoint_name(_proj(h, layer["w_up"]), "mlp_up")
-    gated = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
-    return x + _proj(gated, layer["w_down"])
+    g32 = gate.astype(jnp.float32)
+    if act == "gelu_tanh":  # Gemma GeGLU
+        g32 = jax.nn.gelu(g32, approximate=True)
+    else:
+        g32 = jax.nn.silu(g32)
+    gated = g32.astype(x.dtype) * up
+    out = _proj(gated, layer["w_down"])
+    if "post_mlp_norm" in layer:  # Gemma-2 sandwich norm
+        out = rms_norm(out, layer["post_mlp_norm"], eps)
+    return x + out
 
 
 def forward_hidden(
@@ -249,11 +288,13 @@ def forward_hidden(
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(n), (b, n))
     x = params["embed"][tokens]
+    if cfg.embed_scale:  # Gemma: embeddings scaled by sqrt(d_model)
+        x = x * jnp.asarray(cfg.d_model ** 0.5, x.dtype)
 
-    def block(x, layer, seed_l):
-        x = attention_block(layer, x, positions, cfg, dropout_seed=seed_l,
-                            interpret=interpret)
-        return mlp_block(layer, x, cfg.norm_eps)
+    def block(x, layer, seed_l, layer_idx):
+        x = attention_block(layer, x, positions, cfg, layer_idx=layer_idx,
+                            dropout_seed=seed_l, interpret=interpret)
+        return mlp_block(layer, x, cfg.norm_eps, cfg.mlp_act)
 
     ckpt_block = block
     if cfg.remat:
@@ -281,7 +322,7 @@ def forward_hidden(
         base_seed = None
     for i, layer in enumerate(params["layers"]):
         seed_l = None if base_seed is None else base_seed + i * 1299709
-        x = (ckpt_block if i < n_ckpt else block)(x, layer, seed_l)
+        x = (ckpt_block if i < n_ckpt else block)(x, layer, seed_l, i)
     return rms_norm(x, params["final_norm"], cfg.norm_eps)
 
 
@@ -299,9 +340,13 @@ def forward(
         params, tokens, cfg, positions=positions, dropout_seed=dropout_seed,
         interpret=interpret,
     )
-    return jnp.dot(
+    logits = jnp.dot(
         x, unembed_matrix(params).T, preferred_element_type=jnp.float32
     )
+    if cfg.final_softcap:  # Gemma-2 final-logit soft-capping
+        c = cfg.final_softcap
+        logits = c * jnp.tanh(logits / c)
+    return logits
 
 
 def unembed_matrix(params: Dict) -> jax.Array:
@@ -316,6 +361,7 @@ def chunked_cross_entropy(
     embed: jax.Array,  # [V, d] tied unembedding
     targets: jax.Array,  # [B, N] int
     chunk: int,
+    softcap: float = 0.0,  # Gemma-2 final-logit cap
 ) -> jax.Array:
     """Mean next-token NLL without materializing the full logits tensor.
 
@@ -335,6 +381,8 @@ def chunked_cross_entropy(
         logits = jnp.einsum(
             "bnd,vd->bnv", x_c, embed, preferred_element_type=jnp.float32
         )
+        if softcap:
+            logits = softcap * jnp.tanh(logits / softcap)
         logz = jax.nn.logsumexp(logits, axis=-1)
         tgt = jnp.take_along_axis(logits, t_c[..., None], axis=-1)[..., 0]
         return jnp.sum(logz - tgt)
@@ -357,7 +405,8 @@ def loss_fn(params, tokens, cfg: ModelConfig, *, dropout_seed=None,
         x = forward_hidden(params, tokens[:, :-1], cfg,
                            dropout_seed=dropout_seed, interpret=interpret)
         return chunked_cross_entropy(
-            x, unembed_matrix(params), targets, cfg.loss_chunk
+            x, unembed_matrix(params), targets, cfg.loss_chunk,
+            cfg.final_softcap,
         )
     logits = forward(params, tokens[:, :-1], cfg, dropout_seed=dropout_seed,
                      interpret=interpret)

@@ -67,6 +67,7 @@ def _decode_kernel(
     num_tokens: int = 1,
     group_pad: int = 0,
     int4: bool = False,
+    softcap: float = 0.0,  # Gemma-style logit cap (natural units)
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -189,6 +190,11 @@ def _decode_kernel(
         if quantized:
             k_sc = k_sc_buf[slot].reshape(1, bk)
             s = s * k_sc
+        if softcap:
+            # Gemma-2 attention-logit cap on the SCALED scores (q arrives
+            # pre-scaled), before masking — capping the mask sentinel would
+            # compress it to ±cap.
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
 
         # Length mask.  Multi-token (verify/chunked-prefill) mode: row
         # r = t·group_pad + g is the t-th of num_tokens new tokens, whose
@@ -258,7 +264,7 @@ def _decode_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "pages_per_block", "quantized", "interpret",
-        "num_tokens", "group_pad", "return_lse", "int4",
+        "num_tokens", "group_pad", "return_lse", "int4", "softcap",
     ),
 )
 def _paged_decode(
@@ -279,6 +285,7 @@ def _paged_decode(
     group_pad: int = 0,
     return_lse: bool = False,
     int4: bool = False,
+    softcap: float = 0.0,
 ):
     batch, num_kv_heads, rows_pad, head_dim = q_grouped.shape
     if not group_pad:
@@ -299,6 +306,7 @@ def _paged_decode(
         num_tokens=num_tokens,
         group_pad=group_pad,
         int4=int4,
+        softcap=float(softcap),
     )
     has_slope = slope_rows is not None
 
@@ -476,6 +484,7 @@ def paged_decode_attention(
     pages_per_block: int | None = None,
     return_lse: bool = False,
     alibi_slopes=None,
+    logit_softcap: float = 0.0,
     interpret=None,
 ):
     """O = softmax(scale·q·K_pagesᵀ + bias, masked to `lengths`) · V_pages.
@@ -553,7 +562,7 @@ def paged_decode_attention(
                     group_pad),
         sm_scale=float(sm_scale), pages_per_block=pages_per_block,
         quantized=quantized, interpret=bool(interpret),
-        return_lse=return_lse, int4=int4,
+        return_lse=return_lse, int4=int4, softcap=float(logit_softcap),
     )
     if return_lse:
         o, lse = res
@@ -573,6 +582,7 @@ def paged_verify_attention(
     sm_scale=None,
     pages_per_block: int | None = None,
     alibi_slopes=None,
+    logit_softcap: float = 0.0,
     interpret=None,
 ):
     """Multi-token paged attention: token t of the T new tokens attends to
@@ -640,6 +650,7 @@ def paged_verify_attention(
         sm_scale=float(sm_scale), pages_per_block=pages_per_block,
         quantized=quantized, interpret=bool(interpret),
         num_tokens=num_tokens, group_pad=group_pad, int4=int4,
+        softcap=float(logit_softcap),
     )
     o = o.reshape(batch, num_kv_heads, num_tokens, group_pad, d_pool)
     o = jnp.swapaxes(o[:, :, :, :group, :head_dim], 2, 3)
@@ -686,7 +697,7 @@ def quantize_kv_pages(pages: jax.Array, dtype=jnp.int8):
 
 def paged_reference_attention(
     q, k_pages, v_pages, lengths, page_indices, *, sm_scale=None,
-    alibi_slopes=None,
+    alibi_slopes=None, logit_softcap: float = 0.0,
 ):
     """jnp oracle: gather pages into dense K/V, masked softmax attention.
     ``alibi_slopes`` applies the TRUE bias −m·(q_pos − col) with the single
@@ -715,6 +726,8 @@ def paged_reference_attention(
         "bhd,bhld->bhl", q.astype(jnp.float32), k_dense.astype(jnp.float32),
         precision=jax.lax.Precision.HIGHEST,
     ) * sm_scale
+    if logit_softcap:
+        s = logit_softcap * jnp.tanh(s / logit_softcap)
     if alibi_slopes is not None:
         slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(-1)
         dist = (lengths[:, None, None] - 1).astype(jnp.float32) - jnp.arange(

@@ -167,3 +167,86 @@ def test_qwen2_bias_parity():
     mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
     specs = param_shardings(params, mesh)
     assert "bq" in specs["layers"][0]
+
+
+def _tiny_gemma2(seed=5, sliding_window=8):
+    cfg = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, query_pre_attn_scalar=32, rms_norm_eps=1e-6,
+        sliding_window=sliding_window, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0, max_position_embeddings=256,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(seed)
+    return transformers.Gemma2ForCausalLM(cfg).eval()
+
+
+def test_gemma2_logit_parity():
+    """Tiny Gemma-2: GeGLU, (1+w) norms folded at import, sandwich norms,
+    sqrt(d_model) embedding scale, query_pre_attn_scalar softmax scale,
+    attention+final logit soft-capping, and the EVEN-layer sliding window
+    (8 < seq 24 so the alternating banded masks actually differ)."""
+    from flash_attention_dlrs_tpu.models.convert import import_hf_gemma
+
+    hf = _tiny_gemma2()
+    params, cfg = import_hf_gemma(hf, dtype=jnp.float32)
+    assert cfg.window == 8 and cfg.window_pattern == "even"
+    assert cfg.attn_softcap == 50.0 and cfg.final_softcap == 30.0
+    assert cfg.sm_scale == 32 ** -0.5 and cfg.embed_scale
+    assert "post_attn_norm" in params["layers"][0]
+    cfg = dataclasses.replace(cfg, remat=False)
+    ids = np.random.default_rng(6).integers(0, 128, (2, 24)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids).long()).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=1e-3)
+
+
+def test_gemma1_logit_parity():
+    """Gemma-1: GeGLU + (1+w) norms + embed scale, Llama-shaped norm
+    placement, no soft-capping or sliding window."""
+    from flash_attention_dlrs_tpu.models.convert import import_hf_gemma
+
+    gcfg = transformers.GemmaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, rms_norm_eps=1e-6, max_position_embeddings=256,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(6)
+    hf = transformers.GemmaForCausalLM(gcfg).eval()
+    params, cfg = import_hf_gemma(hf, dtype=jnp.float32)
+    assert cfg.window == 0 and cfg.attn_softcap == 0.0
+    assert "post_attn_norm" not in params["layers"][0]
+    cfg = dataclasses.replace(cfg, remat=False)
+    ids = np.random.default_rng(7).integers(0, 128, (2, 16)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids).long()).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=1e-3)
+
+
+def test_gemma2_serves_greedy_parity():
+    """Imported Gemma-2 runs the paged engine (softcap decode kernels, the
+    window covering max context): greedy tokens match the dense forward."""
+    from flash_attention_dlrs_tpu.models.convert import import_hf_gemma
+    from flash_attention_dlrs_tpu.runtime import DecodeEngine
+
+    hf = _tiny_gemma2(seed=8, sliding_window=128)
+    params, cfg = import_hf_gemma(hf, dtype=jnp.float32)
+    cfg = dataclasses.replace(cfg, remat=False)
+    eng = DecodeEngine(
+        params, cfg, num_pages=4, page_size=128, num_slots=1,
+        pages_per_seq=1, kv_dtype=jnp.float32,
+    )
+    prompt = [3, 99, 14, 5]
+    got = eng.generate([prompt], max_new_tokens=5)[0]
+    toks = list(prompt)
+    want = []
+    for _ in range(5):
+        logits = forward(params, jnp.asarray([toks], jnp.int32), cfg)
+        nxt = int(jnp.argmax(logits[0, len(toks) - 1]))
+        want.append(nxt)
+        toks.append(nxt)
+    assert got == want

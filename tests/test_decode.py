@@ -293,3 +293,37 @@ def test_int4_mixed_kind_rejected():
     vq = quantize_kv_pages(vp, jnp.int8)
     with pytest.raises(ValueError, match="same kind"):
         paged_decode_attention(q, kq, vq, lengths, pidx)
+
+
+def test_paged_decode_softcap_matches_reference():
+    """Gemma-2 attention-logit soft-capping in the paged decode kernel."""
+    q, kp, vp, lengths, pidx = _setup(11)
+    o = paged_decode_attention(
+        q, kp, vp, lengths, pidx, logit_softcap=50.0
+    )
+    o_ref = paged_reference_attention(
+        q, kp, vp, lengths, pidx, logit_softcap=50.0)
+    np.testing.assert_allclose(o, o_ref, atol=2e-4, rtol=1e-4)
+    # the cap actually changes the output
+    o_nocap = paged_decode_attention(q, kp, vp, lengths, pidx)
+    assert not np.allclose(o, o_nocap)
+
+
+def test_paged_verify_softcap_matches_multi_token_oracle():
+    from flash_attention_dlrs_tpu.ops.decode import paged_verify_attention
+
+    b, hq, hkv, d, t = 2, 4, 2, 64, 3
+    keys = jax.random.split(jax.random.PRNGKey(12), 4)
+    q = jax.random.normal(keys[0], (b, hq, t, d), jnp.float32)
+    kp = jax.random.normal(keys[1], (hkv, 8, 128, d), jnp.float32)
+    vp = jax.random.normal(keys[2], (hkv, 8, 128, d), jnp.float32)
+    pidx = jax.random.permutation(keys[3], 8)[: b * 4].reshape(b, 4)
+    lengths = jnp.array([200, 77], jnp.int32)  # FINAL lengths (t counted)
+    o = paged_verify_attention(
+        q, kp, vp, lengths, pidx, logit_softcap=30.0)
+    # oracle: per token t', single-query reference at length - (T-1-t')
+    for tt in range(t):
+        l_t = lengths - (t - 1 - tt)
+        o_ref = paged_reference_attention(
+            q[:, :, tt], kp, vp, l_t, pidx, logit_softcap=30.0)
+        np.testing.assert_allclose(o[:, :, tt], o_ref, atol=2e-4, rtol=1e-4)
