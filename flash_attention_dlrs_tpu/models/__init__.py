@@ -3,6 +3,7 @@ from .convert import (
     config_from_hf_gemma,
     import_hf_gemma,
     import_hf_llama,
+    import_hf_phi3,
 )
 from .optim import adamw8bit
 from .transformer import (
@@ -22,6 +23,7 @@ __all__ = [
     "config_from_hf_gemma",
     "import_hf_gemma",
     "import_hf_llama",
+    "import_hf_phi3",
     "init_params",
     "forward",
     "loss_fn",

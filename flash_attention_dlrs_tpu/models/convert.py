@@ -260,3 +260,53 @@ def import_hf_gemma(
         "final_norm": gain("model.norm.weight"),
     }
     return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# Phi-3 family (fused projections; otherwise Llama-shaped)
+# ---------------------------------------------------------------------------
+
+
+def import_hf_phi3(
+    model_or_state: Any,
+    *,
+    dtype=jnp.bfloat16,
+    cfg: Optional[ModelConfig] = None,
+) -> Tuple[Dict, ModelConfig]:
+    """(params, cfg) from a transformers Phi3ForCausalLM (or state_dict +
+    explicit cfg).
+
+    Phi-3 is Llama-shaped except for FUSED projections — one
+    ``qkv_proj`` of [(Hq+2·Hkv)·dh, dm] rows ordered q|k|v, and one
+    ``gate_up_proj`` of [2·d_ff, dm] rows ordered gate|up.  This adapter
+    splits them into Llama-named tensors and delegates to
+    :func:`import_hf_llama` (rope/norm/untied-head handling identical)."""
+    if hasattr(model_or_state, "state_dict"):
+        state = dict(model_or_state.state_dict())
+        if cfg is None:
+            cfg = config_from_hf(model_or_state.config, dtype=dtype)
+    else:
+        state = dict(model_or_state)
+        if cfg is None:
+            raise ValueError("cfg is required when importing a raw state_dict")
+    if "model.layers.0.self_attn.qkv_proj.weight" not in state:
+        raise ValueError(
+            "not a Phi-3 state dict (no fused self_attn.qkv_proj); for "
+            "split-projection checkpoints use import_hf_llama"
+        )
+    nq, nkv, dh = cfg.n_q_heads, cfg.n_kv_heads, cfg.head_dim
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        qkv = _to_np(state.pop(p + "self_attn.qkv_proj.weight"))  # [rows, dm]
+        if qkv.shape[0] != (nq + 2 * nkv) * dh:
+            raise ValueError(
+                f"layer {i} qkv_proj rows {qkv.shape[0]} != "
+                f"(Hq + 2·Hkv)·dh = {(nq + 2 * nkv) * dh}"
+            )
+        state[p + "self_attn.q_proj.weight"] = qkv[: nq * dh]
+        state[p + "self_attn.k_proj.weight"] = qkv[nq * dh: (nq + nkv) * dh]
+        state[p + "self_attn.v_proj.weight"] = qkv[(nq + nkv) * dh:]
+        gu = _to_np(state.pop(p + "mlp.gate_up_proj.weight"))  # [2·dff, dm]
+        state[p + "mlp.gate_proj.weight"] = gu[: cfg.d_ff]
+        state[p + "mlp.up_proj.weight"] = gu[cfg.d_ff:]
+    return import_hf_llama(state, dtype=dtype, cfg=cfg)

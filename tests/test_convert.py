@@ -250,3 +250,29 @@ def test_gemma2_serves_greedy_parity():
         want.append(nxt)
         toks.append(nxt)
     assert got == want
+
+
+def test_phi3_fused_projection_parity():
+    """Phi-3: fused qkv_proj / gate_up_proj split into the Llama layout."""
+    from flash_attention_dlrs_tpu.models.convert import import_hf_phi3
+
+    pcfg = transformers.Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5, sliding_window=None,
+        pad_token_id=0, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(9)
+    hf = transformers.Phi3ForCausalLM(pcfg).eval()
+    params, cfg = import_hf_phi3(hf, dtype=jnp.float32)
+    assert "unembed" in params and cfg.n_kv_heads == 2
+    cfg = dataclasses.replace(cfg, remat=False)
+    ids = np.random.default_rng(8).integers(0, 128, (2, 10)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids).long()).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+    # a split-projection dict is rejected with guidance
+    with pytest.raises(ValueError, match="qkv_proj"):
+        import_hf_phi3(_tiny_hf(False), dtype=jnp.float32)
