@@ -15,6 +15,13 @@ from .transformer import (
     unembed_matrix,
 )
 from .train import make_train_state, make_train_step, param_shardings
+from .trainer import (
+    TrainSpec,
+    fit,
+    lr_schedule,
+    make_accum_train_step,
+    make_optimizer,
+)
 
 __all__ = [
     "ModelConfig",
@@ -31,5 +38,10 @@ __all__ = [
     "unembed_matrix",
     "make_train_state",
     "make_train_step",
+    "TrainSpec",
+    "fit",
+    "lr_schedule",
+    "make_accum_train_step",
+    "make_optimizer",
     "param_shardings",
 ]
