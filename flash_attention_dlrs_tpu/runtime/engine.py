@@ -53,11 +53,22 @@ def _next_pow2(n: int, floor: int = 128) -> int:
 
 class StreamEvent(NamedTuple):
     """One `DecodeEngine.generate_stream` event: a generated token
-    (`done=False`), or end-of-request (`token=None, done=True`)."""
+    (`done=False`), or end-of-request (`token=None, done=True`).
+    ``logprob`` is the model's log P(token | prefix) — the pre-sampling
+    log-softmax at the chosen token (None on done events)."""
 
     request_id: str
     token: Optional[int]
     done: bool
+    logprob: Optional[float] = None
+
+
+@jax.jit
+def _token_logprobs(logits, tokens):
+    """log-softmax of each row at the chosen token: [B, V], [B] → [B] f32."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lp, tokens[:, None].astype(jnp.int32),
+                               axis=-1)[:, 0]
 
 
 class DecodeEngine:
@@ -215,6 +226,8 @@ class DecodeEngine:
             )[0]
         )
         req.output_tokens.append(first_token)
+        req.output_logprobs.append(float(_token_logprobs(
+            logits[:1], jnp.asarray([first_token]))[0]))
         self.slot_request[slot] = req
         self._slot_next_token[slot] = first_token
 
@@ -280,6 +293,8 @@ class DecodeEngine:
             )[0]
         )
         req.output_tokens.append(first_token)
+        req.output_logprobs.append(float(_token_logprobs(
+            logits[:1, -1], jnp.asarray([first_token]))[0]))
         self.slot_request[slot] = req
         self._slot_next_token[slot] = first_token
 
@@ -334,9 +349,11 @@ class DecodeEngine:
                 logits, temp, top_k, top_p, seeds, jnp.asarray(lens)
             )
         )
+        lps = np.asarray(_token_logprobs(logits, jnp.asarray(next_tokens)))
         for slot, req in active:
             tok = int(next_tokens[slot])
             req.output_tokens.append(tok)
+            req.output_logprobs.append(float(lps[slot]))
             self._slot_next_token[slot] = tok
         self.scheduler.record_step(len(active))
         return len(active)
@@ -350,19 +367,26 @@ class DecodeEngine:
         max_new_tokens: int = 16,
         max_steps: int = 10_000,
         sampling: Optional[SamplingParams] = None,
+        return_logprobs: bool = False,
     ) -> List[List[int]]:
         """Generate for every prompt (continuous batching).  ``sampling``
         defaults to greedy; per-request control goes through the scheduler's
-        Request.sampling field."""
+        Request.sampling field.  ``return_logprobs=True`` returns
+        (tokens, logprobs) — per-token log P_model(token | prefix)."""
         outputs: Dict[str, List[int]] = {}
+        lps: Dict[str, List[float]] = {}
         for ev in self.generate_stream(
             prompts, max_new_tokens=max_new_tokens, max_steps=max_steps,
             sampling=sampling,
         ):
             if ev.token is not None:
                 outputs.setdefault(ev.request_id, []).append(ev.token)
+                lps.setdefault(ev.request_id, []).append(ev.logprob)
         # generate_stream names requests req{i} in prompt order
-        return [outputs.get(f"req{i}", []) for i in range(len(prompts))]
+        toks = [outputs.get(f"req{i}", []) for i in range(len(prompts))]
+        if return_logprobs:
+            return toks, [lps.get(f"req{i}", []) for i in range(len(prompts))]
+        return toks
 
     def generate_stream(
         self,
@@ -403,9 +427,12 @@ class DecodeEngine:
         def drain():
             for r in reqs:
                 while reported[r.request_id] < len(r.output_tokens):
-                    tok = r.output_tokens[reported[r.request_id]]
+                    i = reported[r.request_id]
+                    tok = r.output_tokens[i]
+                    lp = (r.output_logprobs[i]
+                          if i < len(r.output_logprobs) else None)
                     reported[r.request_id] += 1
-                    yield StreamEvent(r.request_id, tok, False)
+                    yield StreamEvent(r.request_id, tok, False, lp)
                 if r.finished and r.request_id not in done:
                     done.add(r.request_id)
                     yield StreamEvent(r.request_id, None, True)

@@ -37,6 +37,9 @@ class Request:
     sampling: Optional[object] = None  # runtime.sampling.SamplingParams
     state: RequestState = RequestState.QUEUED
     output_tokens: list = dataclasses.field(default_factory=list)
+    # log P_target(token | prefix) per generated token (natural log), kept
+    # in lockstep with output_tokens by the engine's standard decode path.
+    output_logprobs: list = dataclasses.field(default_factory=list)
 
     @property
     def finished(self) -> bool:

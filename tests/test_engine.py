@@ -205,3 +205,30 @@ def test_engine_int4_requires_quantized_flag(params):
     with pytest.raises(ValueError, match="quantized_kv"):
         DecodeEngine(params, CFG, num_pages=16, num_slots=1,
                      pages_per_seq=4, kv_dtype="int4")
+
+
+def test_generate_logprobs_match_dense(params):
+    """return_logprobs: each reported value equals the dense forward's
+    log-softmax at the generated token (greedy path, fp32)."""
+    prompt = [5, 7, 11, 13, 17]
+    eng = DecodeEngine(
+        params, CFG, num_pages=16, page_size=128, num_slots=1,
+        pages_per_seq=4, kv_dtype=jnp.float32,
+    )
+    toks, lps = eng.generate([prompt], max_new_tokens=4,
+                             return_logprobs=True)
+    toks, lps = toks[0], lps[0]
+    assert len(lps) == len(toks) == 4
+    ctx = list(prompt)
+    for tok, lp in zip(toks, lps):
+        logits = forward(params, jnp.asarray([ctx], jnp.int32), CFG)
+        want = float(jax.nn.log_softmax(
+            logits[0, len(ctx) - 1].astype(jnp.float32))[tok])
+        assert lp == pytest.approx(want, abs=2e-4)
+        assert lp <= 0.0
+        ctx.append(tok)
+    # stream events carry the same values
+    evs = [ev for ev in eng.generate_stream([prompt], max_new_tokens=4)
+           if ev.token is not None]
+    assert [ev.token for ev in evs] == toks
+    np.testing.assert_allclose([ev.logprob for ev in evs], lps, atol=1e-6)
