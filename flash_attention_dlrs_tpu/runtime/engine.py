@@ -98,20 +98,42 @@ class DecodeEngine:
         self.eos_token = eos_token
         self.interpret = interpret
 
-        if getattr(cfg, "window", 0):
-            # The paged decode/prefill kernels attend the FULL resident
-            # context; a sliding-window model is only exact while contexts
-            # cannot outgrow its window.  (Rolling-buffer eviction would lift
-            # this; until then refuse configurations that would silently
-            # change the model's attention pattern.)
-            max_ctx = pages_per_seq * page_size
-            if max_ctx > cfg.window:
+        # Sliding-window serving.  window >= max context: exact as-is (the
+        # window can never clip).  window < max context with every layer
+        # sliding: ROLLING ring — each sequence owns exactly window/page_size
+        # pages, the write slot is pos % window (overwriting the oldest
+        # token), and the attention length is clamped to the window.  The
+        # residency invariant is "the last min(len, window) tokens", exactly
+        # the sliding-window semantic; softmax is order-invariant, so the
+        # ring rotation never matters, and RoPE phases were applied at the
+        # token's TRUE position on insert.
+        self.window = int(getattr(cfg, "window", 0) or 0)
+        self.rolling = False
+        if self.window and pages_per_seq * page_size > self.window:
+            pattern = getattr(cfg, "window_pattern", "all")
+            if pattern != "all":
                 raise NotImplementedError(
-                    f"sliding-window model (window={cfg.window}) with max "
-                    f"context {max_ctx} (= pages_per_seq*page_size): the "
-                    "serving kernels attend the full context — keep "
-                    f"pages_per_seq*page_size <= {cfg.window}"
+                    f"window_pattern={pattern!r} (Gemma-2 style) mixes "
+                    "sliding and full layers; the shared-ring serving path "
+                    "supports uniformly-sliding models — keep "
+                    f"pages_per_seq*page_size <= {self.window} for exact "
+                    "full-residency serving"
                 )
+            if self.window % page_size:
+                raise ValueError(
+                    f"rolling sliding-window serving needs window "
+                    f"({self.window}) divisible by page_size ({page_size})"
+                )
+            if prefill_chunk:
+                raise NotImplementedError(
+                    "rolling sliding-window serving is incompatible with "
+                    "chunked prefill / speculative verification (tokens "
+                    "written in one multi-token step would overwrite slots "
+                    "earlier tokens of the same step must still attend)"
+                )
+            self.rolling = True
+            pages_per_seq = self.window // page_size
+            self.pages_per_seq = pages_per_seq
 
         int4_kv = isinstance(kv_dtype, str) and kv_dtype == "int4"
         if int4_kv and not quantized_kv:
@@ -196,7 +218,17 @@ class DecodeEngine:
             return
         prompt = np.asarray(req.prompt_tokens, np.int32)
         t = len(prompt)
-        self.allocator.allocate(req.request_id, t + req.max_new_tokens)
+        if self.rolling:
+            if t > self.window:
+                raise NotImplementedError(
+                    f"prompt of {t} tokens exceeds the rolling window "
+                    f"({self.window}): writing only its last-window KV "
+                    "needs non-page-aligned ring writes — not implemented; "
+                    "truncate the prompt or serve with full residency"
+                )
+            self.allocator.allocate(req.request_id, self.window)
+        else:
+            self.allocator.allocate(req.request_id, t + req.max_new_tokens)
         pages = np.asarray(
             self.allocator.page_tables[req.request_id], np.int32
         )
@@ -324,8 +356,14 @@ class DecodeEngine:
         # One fused bookkeeping call (native C++ when available).
         sids = [req.request_id for _, req in active]
         rows_a, offs_a, tbl_a, pos_a, lens_a = (
-            self.allocator.decode_step_bookkeeping(sids, self.pages_per_seq)
+            self.allocator.decode_step_bookkeeping(
+                sids, self.pages_per_seq,
+                self.window if self.rolling else 0)
         )
+        if self.rolling:
+            # attention covers the resident ring: the last min(len, window)
+            # tokens; rope positions stay TRUE (pos_a)
+            lens_a = np.minimum(lens_a, self.window)
         for i, (slot, req) in enumerate(active):
             tokens[slot] = self._slot_next_token[slot]
             positions[slot] = pos_a[i]
@@ -414,7 +452,9 @@ class DecodeEngine:
         ]
         total_pages = self.pools.k[0].shape[1] - 1  # minus the null page
         for r in reqs:
-            need = -(-(len(r.prompt_tokens) + r.max_new_tokens) // self.page_size)
+            need = (self.window // self.page_size if self.rolling else
+                    -(-(len(r.prompt_tokens) + r.max_new_tokens)
+                      // self.page_size))
             if need > total_pages:
                 raise MemoryError(
                     f"request {r.request_id!r} needs {need} pages but the pool "
@@ -528,6 +568,12 @@ class DecodeEngine:
             raise ValueError(
                 f"{n} prompts exceed slots (target {self.num_slots}, "
                 f"draft {draft.num_slots})"
+            )
+        if self.rolling or draft.rolling:
+            raise NotImplementedError(
+                "speculative decoding is incompatible with rolling "
+                "sliding-window serving (multi-token verification would "
+                "overwrite ring slots its own earlier tokens still attend)"
             )
         if draft.page_size != self.page_size:
             raise ValueError("draft and target page sizes must match")

@@ -122,11 +122,17 @@ class PageAllocator:
             [self.seq_lengths.get(s, 0) for s in seq_ids], np.int32
         )
 
-    def decode_step_bookkeeping(self, seq_ids, pages_per_seq: int):
+    def decode_step_bookkeeping(self, seq_ids, pages_per_seq: int,
+                                wrap_tokens: int = 0):
         """Per-decode-step bookkeeping for a batch: grow each sequence's
         table by one token, emit (rows, offs, tables, positions, lens) and
         advance the stored lengths.  Same contract as the native allocator's
-        single-call fused version (native_alloc.py)."""
+        single-call fused version (native_alloc.py).
+
+        ``wrap_tokens`` > 0 = rolling ring of that many tokens (sliding-
+        window serving): the write slot is pos % wrap (overwriting the
+        oldest token), capacity never grows past the ring, and positions/
+        lens stay TRUE (callers clamp the attention length)."""
         n = len(seq_ids)
         rows = np.zeros(n, np.int32)
         offs = np.zeros(n, np.int32)
@@ -135,10 +141,12 @@ class PageAllocator:
         lens = np.zeros(n, np.int32)
         for i, sid in enumerate(seq_ids):
             pos = self.seq_lengths[sid]
-            self.ensure_capacity(sid, pos + 1)
+            idx = pos % wrap_tokens if wrap_tokens else pos
+            self.ensure_capacity(sid, min(pos + 1, wrap_tokens)
+                                 if wrap_tokens else pos + 1)
             table = self.page_tables[sid]
-            rows[i] = table[pos // self.page_size]
-            offs[i] = pos % self.page_size
+            rows[i] = table[idx // self.page_size]
+            offs[i] = idx % self.page_size
             m = min(len(table), pages_per_seq)
             tbl[i, :m] = table[:m]
             positions[i] = pos

@@ -208,15 +208,22 @@ int32_t pa_lengths(Allocator* a, const int64_t* keys, int32_t n,
 // row/offset, the (padded) page table and the new length, then advance the
 // stored length.  Returns 0, or -2 on page exhaustion (state before the
 // failing key is already advanced — callers treat this as fatal).
+// wrap_tokens > 0 = rolling ring (sliding-window serving): the write slot
+// is pos % wrap, capacity never grows past the ring, positions/lens stay
+// TRUE (the engine clamps the attention length to the window).
 int32_t pa_decode_step(Allocator* a, const int64_t* keys, int32_t n,
-                       int32_t pages_per_seq, int32_t* rows, int32_t* offs,
+                       int32_t pages_per_seq, int32_t wrap_tokens,
+                       int32_t* rows, int32_t* offs,
                        int32_t* tbl, int32_t* positions, int32_t* lens) {
   for (int32_t i = 0; i < n; ++i) {
     auto lit = a->lengths.find(keys[i]);
     auto tit = a->tables.find(keys[i]);
     if (lit == a->lengths.end() || tit == a->tables.end()) return -1;
     int64_t pos = lit->second;
-    int64_t need = (pos + 1 + a->page_size - 1) / a->page_size;
+    int64_t idx = wrap_tokens > 0 ? pos % wrap_tokens : pos;
+    int64_t cap = pos + 1;
+    if (wrap_tokens > 0 && cap > wrap_tokens) cap = wrap_tokens;
+    int64_t need = (cap + a->page_size - 1) / a->page_size;
     auto& table = tit->second;
     while (static_cast<int64_t>(table.size()) < need) {
       if (a->free_pages.empty()) return -2;
@@ -225,8 +232,8 @@ int32_t pa_decode_step(Allocator* a, const int64_t* keys, int32_t n,
       a->refs[p] = 1;
       table.push_back(p);
     }
-    rows[i] = table[pos / a->page_size];
-    offs[i] = static_cast<int32_t>(pos % a->page_size);
+    rows[i] = table[idx / a->page_size];
+    offs[i] = static_cast<int32_t>(idx % a->page_size);
     positions[i] = static_cast<int32_t>(pos);
     lens[i] = static_cast<int32_t>(pos + 1);
     int32_t* row_out = tbl + static_cast<int64_t>(i) * pages_per_seq;

@@ -232,3 +232,61 @@ def test_generate_logprobs_match_dense(params):
            if ev.token is not None]
     assert [ev.token for ev in evs] == toks
     np.testing.assert_allclose([ev.logprob for ev in evs], lps, atol=1e-6)
+
+
+def test_rolling_window_serving_matches_dense():
+    """Mistral-style uniformly-sliding model served with a rolling KV ring
+    (window < max context): tokens match the dense windowed forward across
+    the ring-wrap boundary, with only window/page_size pages per sequence."""
+    import dataclasses
+
+    w = 128
+    cfg = dataclasses.replace(CFG, window=w)
+    params = init_params(jax.random.PRNGKey(4), cfg)
+    eng = DecodeEngine(
+        params, cfg, num_pages=8, page_size=128, num_slots=1,
+        pages_per_seq=4, kv_dtype=jnp.float32,
+    )
+    assert eng.rolling and eng.pages_per_seq == 1
+    prompt = list(np.random.default_rng(5).integers(0, 256, 120))
+    n_new = 20  # crosses length 128 at the 8th generated token
+    got = eng.generate([prompt], max_new_tokens=n_new)[0]
+    ctx = list(prompt)
+    want = []
+    for _ in range(n_new):
+        logits = forward(params, jnp.asarray([ctx], jnp.int32), cfg)
+        nxt = int(jnp.argmax(logits[0, len(ctx) - 1]))
+        want.append(nxt)
+        ctx.append(nxt)
+    assert got == want
+    # ring accounting: 1 page per sequence + the null page, fully reclaimed
+    assert len(eng.allocator.free_pages) == 8 - 1
+
+
+def test_rolling_window_guards():
+    import dataclasses
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    # window >= max context: plain exact serving, no ring
+    cfg = dataclasses.replace(CFG, window=512)
+    eng = DecodeEngine(params, cfg, num_pages=8, page_size=128,
+                       num_slots=1, pages_per_seq=4, kv_dtype=jnp.float32)
+    assert not eng.rolling
+    # misaligned window
+    with pytest.raises(ValueError, match="divisible"):
+        DecodeEngine(params, dataclasses.replace(CFG, window=100),
+                     num_pages=8, page_size=128, num_slots=1,
+                     pages_per_seq=4, kv_dtype=jnp.float32)
+    # Gemma-2 alternating pattern cannot share one ring
+    with pytest.raises(NotImplementedError, match="window_pattern"):
+        DecodeEngine(
+            params,
+            dataclasses.replace(CFG, window=128, window_pattern="even"),
+            num_pages=8, page_size=128, num_slots=1, pages_per_seq=4,
+            kv_dtype=jnp.float32)
+    # prompt longer than the ring
+    cfg = dataclasses.replace(CFG, window=128)
+    eng = DecodeEngine(params, cfg, num_pages=8, page_size=128,
+                       num_slots=1, pages_per_seq=4, kv_dtype=jnp.float32)
+    with pytest.raises(NotImplementedError, match="exceeds the rolling"):
+        eng.generate([list(range(130))], max_new_tokens=1)
