@@ -219,13 +219,6 @@ class DecodeEngine:
         prompt = np.asarray(req.prompt_tokens, np.int32)
         t = len(prompt)
         if self.rolling:
-            if t > self.window:
-                raise NotImplementedError(
-                    f"prompt of {t} tokens exceeds the rolling window "
-                    f"({self.window}): writing only its last-window KV "
-                    "needs non-page-aligned ring writes — not implemented; "
-                    "truncate the prompt or serve with full residency"
-                )
             self.allocator.allocate(req.request_id, self.window)
         else:
             self.allocator.allocate(req.request_id, t + req.max_new_tokens)
@@ -239,12 +232,26 @@ class DecodeEngine:
         logits, kvs = self._prefill(
             self.params, jnp.asarray(toks), jnp.asarray([t], jnp.int32)
         )
-        n_pages_prompt = -(-t // self.page_size)
+        long_ring = self.rolling and t > self.window
+        if long_ring:
+            # Prompt longer than the ring: only the LAST window tokens stay
+            # resident.  Their ring slots are (pos % window) for pos in
+            # [t-window, t) — exactly the last-window slice rolled by
+            # t % window (pos = t-window+j → slot (t+j) % window), so one
+            # roll makes the write page-aligned again.
+            w = self.window
+            n_pages_prompt = w // self.page_size
+        else:
+            n_pages_prompt = -(-t // self.page_size)
         for li, (k, v) in enumerate(kvs):
+            if long_ring:
+                kw = jnp.roll(k[0, :, t - w:t], t % w, axis=1)
+                vw = jnp.roll(v[0, :, t - w:t], t % w, axis=1)
+            else:
+                kw = k[0, :, :n_pages_prompt * self.page_size]
+                vw = v[0, :, :n_pages_prompt * self.page_size]
             self.pools = write_prompt_kv(
-                self.pools, li,
-                (k[0, :, :n_pages_prompt * self.page_size],
-                 v[0, :, :n_pages_prompt * self.page_size]),
+                self.pools, li, (kw, vw),
                 jnp.asarray(pages[:n_pages_prompt]),
                 self.page_size,
             )

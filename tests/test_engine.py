@@ -284,9 +284,28 @@ def test_rolling_window_guards():
             dataclasses.replace(CFG, window=128, window_pattern="even"),
             num_pages=8, page_size=128, num_slots=1, pages_per_seq=4,
             kv_dtype=jnp.float32)
-    # prompt longer than the ring
-    cfg = dataclasses.replace(CFG, window=128)
+
+
+def test_rolling_window_long_prompt_matches_dense():
+    """Prompt LONGER than the ring: only its last-window KV stays resident
+    (the last-window slice rolled by t % window makes the ring write
+    page-aligned); tokens still match the dense windowed forward."""
+    import dataclasses
+
+    w = 128
+    cfg = dataclasses.replace(CFG, window=w)
+    params = init_params(jax.random.PRNGKey(6), cfg)
     eng = DecodeEngine(params, cfg, num_pages=8, page_size=128,
                        num_slots=1, pages_per_seq=4, kv_dtype=jnp.float32)
-    with pytest.raises(NotImplementedError, match="exceeds the rolling"):
-        eng.generate([list(range(130))], max_new_tokens=1)
+    assert eng.rolling
+    prompt = list(np.random.default_rng(7).integers(0, 256, 150))  # > w
+    n_new = 6
+    got = eng.generate([prompt], max_new_tokens=n_new)[0]
+    ctx = list(prompt)
+    want = []
+    for _ in range(n_new):
+        logits = forward(params, jnp.asarray([ctx], jnp.int32), cfg)
+        nxt = int(jnp.argmax(logits[0, len(ctx) - 1]))
+        want.append(nxt)
+        ctx.append(nxt)
+    assert got == want
