@@ -1,9 +1,15 @@
-"""Import a HuggingFace Llama-family checkpoint and run it end-to-end.
+"""Import a HuggingFace checkpoint and run it end-to-end.
 
 Uses a tiny randomly-initialized LlamaForCausalLM (offline — no downloads;
 swap in `LlamaForCausalLM.from_pretrained(...)` for a real checkpoint),
 verifies logit parity against transformers, then serves it through the
 paged decode engine and fine-tunes it one step.
+
+The same flow covers Mistral and Qwen2 (`import_hf_llama`), Phi-3
+(`import_hf_phi3` — fused projections split automatically), and
+Gemma-1/2 (`import_hf_gemma` — GeGLU, sandwich norms, soft-capping,
+alternating sliding window); every family has a logit-parity test in
+tests/test_convert.py.
 
     python examples/05_import_hf.py
 """

@@ -276,3 +276,30 @@ def test_phi3_fused_projection_parity():
     # a split-projection dict is rejected with guidance
     with pytest.raises(ValueError, match="qkv_proj"):
         import_hf_phi3(_tiny_hf(False), dtype=jnp.float32)
+
+
+def test_imported_model_weight_quantization():
+    """quantize_params on imported (untied, biased) params: projections go
+    int8, biases/unembed/norms stay, logits track the fp32 model."""
+    from flash_attention_dlrs_tpu.models import quantize_params
+    from flash_attention_dlrs_tpu.ops.quantization import QuantizedTensor
+
+    qcfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        use_sliding_window=False, attn_implementation="eager",
+    )
+    torch.manual_seed(11)
+    hf = transformers.Qwen2ForCausalLM(qcfg).eval()
+    params, cfg = import_hf_llama(hf, dtype=jnp.float32)
+    cfg = dataclasses.replace(cfg, remat=False)
+    qp = quantize_params(params)
+    assert isinstance(qp["layers"][0]["wq"], QuantizedTensor)
+    assert "bq" in qp["layers"][0] and "unembed" in qp
+    ids = np.random.default_rng(9).integers(0, 128, (1, 12)).astype(np.int32)
+    full = np.asarray(forward(params, jnp.asarray(ids), cfg))
+    quant = np.asarray(forward(qp, jnp.asarray(ids), cfg))
+    # int8 weight error is small on random tiny weights
+    assert np.max(np.abs(full - quant)) < 0.15
+    assert np.argmax(full[0, -1]) == np.argmax(quant[0, -1])
