@@ -125,18 +125,22 @@ def test_mistral_sliding_window_parity():
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
-def test_windowed_model_engine_guard():
+def test_windowed_model_engine_modes():
+    """Window < max context on a uniformly-sliding model engages the
+    rolling KV ring (see test_engine.py for its parity tests); window >=
+    max context serves with full residency."""
     from flash_attention_dlrs_tpu.models import ModelConfig, init_params
     from flash_attention_dlrs_tpu.runtime import DecodeEngine
 
     cfg = ModelConfig.tiny(dtype=jnp.float32, remat=False, window=128)
     params = init_params(jax.random.PRNGKey(0), cfg)
-    with pytest.raises(NotImplementedError, match="sliding-window"):
-        DecodeEngine(params, cfg, num_pages=16, page_size=128,
-                     num_slots=1, pages_per_seq=4, kv_dtype=jnp.float32)
-    # exact when the window covers the max context
-    DecodeEngine(params, cfg, num_pages=4, page_size=128, num_slots=1,
-                 pages_per_seq=1, kv_dtype=jnp.float32)
+    eng = DecodeEngine(params, cfg, num_pages=16, page_size=128,
+                       num_slots=1, pages_per_seq=4, kv_dtype=jnp.float32)
+    assert eng.rolling and eng.pages_per_seq == 1
+    # exact full residency when the window covers the max context
+    eng = DecodeEngine(params, cfg, num_pages=4, page_size=128, num_slots=1,
+                       pages_per_seq=1, kv_dtype=jnp.float32)
+    assert not eng.rolling
 
 
 def test_qwen2_bias_parity():
