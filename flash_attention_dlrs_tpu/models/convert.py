@@ -42,6 +42,30 @@ def _to_np(t) -> np.ndarray:
     return np.asarray(t, np.float32)
 
 
+def _rope_scaling_from_hf(c):
+    """HF rope_scaling dict → ModelConfig.rope_scaling tuple (or None).
+    Unsupported kinds raise — silently ignoring them would corrupt every
+    position (Llama-3.1+ checkpoints ship rope_type='llama3')."""
+    rs = getattr(c, "rope_scaling", None)
+    if not rs:
+        return None
+    kind = rs.get("rope_type") or rs.get("type")
+    if kind in ("default", None):
+        return None
+    if kind == "linear":
+        return ("linear", float(rs["factor"]))
+    if kind == "llama3":
+        return (
+            "llama3", float(rs["factor"]), float(rs["low_freq_factor"]),
+            float(rs["high_freq_factor"]),
+            float(rs["original_max_position_embeddings"]),
+        )
+    raise NotImplementedError(
+        f"rope_scaling type {kind!r} is not supported (have: linear, "
+        "llama3) — importing while ignoring it would corrupt positions"
+    )
+
+
 def config_from_hf(hf_config, *, dtype=jnp.bfloat16, **overrides) -> ModelConfig:
     """ModelConfig from a transformers LlamaConfig/MistralConfig."""
     c = hf_config
@@ -57,6 +81,7 @@ def config_from_hf(hf_config, *, dtype=jnp.bfloat16, **overrides) -> ModelConfig
         head_dim=head_dim,
         d_ff=c.intermediate_size,
         rope_theta=float(getattr(c, "rope_theta", 10000.0)),
+        rope_scaling=_rope_scaling_from_hf(c),
         # Mistral-style sliding window (None/absent on Llama).  Conventions
         # agree: both keep key j for query i iff i - j < window (self
         # included), so the value maps through unchanged.  Qwen2 carries a

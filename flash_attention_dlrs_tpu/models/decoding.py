@@ -167,8 +167,8 @@ def make_prefill(cfg: ModelConfig, *, interpret: Optional[bool] = None):
             v = _proj(h, layer["wv"], layer.get("bv")).reshape(
                 b, t, cfg.n_kv_heads, cfg.head_dim)
             if slopes is None:
-                q = rope(q, positions, cfg.rope_theta)
-                k = rope(k, positions, cfg.rope_theta)
+                q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+                k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
             kvs.append((k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)))
             o = flash_attention(
                 q.transpose(0, 2, 1, 3),
@@ -244,8 +244,8 @@ def make_decode_step(
                 b, cfg.n_kv_heads, cfg.head_dim)
             if slopes is None:
                 # RoPE at absolute positions ([B,1] sequence of length 1).
-                q = rope(q[:, None], positions[:, None], cfg.rope_theta)[:, 0]
-                k = rope(k[:, None], positions[:, None], cfg.rope_theta)[:, 0]
+                q = rope(q[:, None], positions[:, None], cfg.rope_theta, cfg.rope_scaling)[:, 0]
+                k = rope(k[:, None], positions[:, None], cfg.rope_theta, cfg.rope_scaling)[:, 0]
 
             # Scatter this token's K/V into the pools: [Hkv, B] rows.
             kT = jnp.swapaxes(k, 0, 1)  # [Hkv, B, d]
@@ -362,8 +362,8 @@ def make_verify_step(
             v = _proj(h, layer["wv"], layer.get("bv")).reshape(
                 b, t_new, cfg.n_kv_heads, cfg.head_dim)
             if slopes is None:
-                q = rope(q, positions, cfg.rope_theta)  # [B, T, Hq, d]
-                k = rope(k, positions, cfg.rope_theta)
+                q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)  # [B, T, Hq, d]
+                k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
 
             # Scatter all B·T tokens' K/V: [Hkv, B·T, d]
             kT = k.reshape(b * t_new, cfg.n_kv_heads, -1).swapaxes(0, 1)

@@ -36,6 +36,13 @@ class ModelConfig:
     head_dim: int = 64
     d_ff: int = 1408
     rope_theta: float = 10000.0
+    # RoPE frequency scaling, as a hashable tuple:
+    #   ("linear", factor)  — position-interpolation (all freqs / factor)
+    #   ("llama3", factor, low_freq_factor, high_freq_factor, orig_max_pos)
+    #     — Llama-3.1 NTK-by-parts: low-frequency components scaled by
+    #       1/factor, high-frequency kept, smooth ramp between.
+    # None = unscaled.
+    rope_scaling: Optional[tuple] = None
     # Sliding-window attention (Mistral-style): each token attends the last
     # `window` tokens including itself; 0 = full causal.  Runs on the
     # banded O(N·w) kernel grid.  Training/forward paths only — the paged
@@ -188,10 +195,36 @@ def _proj(x, w, b=None):
     return y
 
 
-def rope(x, positions, theta: float):
+def _scaled_rope_freqs(theta: float, d: int, scaling):
+    """Inverse frequencies with optional RoPE scaling (see ModelConfig)."""
+    freqs = theta ** (-jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    if scaling is None:
+        return freqs
+    kind = scaling[0]
+    if kind == "linear":
+        return freqs / float(scaling[1])
+    if kind == "llama3":
+        # HF _compute_llama3_parameters: keep high-frequency components,
+        # divide low-frequency ones by `factor`, smooth-interpolate between
+        # the two wavelength thresholds.
+        _, factor, low_ff, high_ff, orig_max = scaling
+        factor, low_ff, high_ff = float(factor), float(low_ff), float(high_ff)
+        orig_max = float(orig_max)
+        wavelen = 2.0 * jnp.pi / freqs
+        low_wl = orig_max / low_ff
+        high_wl = orig_max / high_ff
+        smooth = (orig_max / wavelen - low_ff) / (high_ff - low_ff)
+        interp = (1.0 - smooth) * freqs / factor + smooth * freqs
+        out = jnp.where(wavelen > low_wl, freqs / factor, freqs)
+        is_mid = jnp.logical_and(wavelen <= low_wl, wavelen >= high_wl)
+        return jnp.where(is_mid, interp, out)
+    raise ValueError(f"unsupported rope_scaling kind {kind!r}")
+
+
+def rope(x, positions, theta: float, scaling=None):
     """Rotary embedding on [..., N, H, d]; positions [..., N]."""
     d = x.shape[-1]
-    freqs = theta ** (-jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    freqs = _scaled_rope_freqs(theta, d, scaling)
     angles = positions[..., :, None].astype(jnp.float32) * freqs  # [..., N, d/2]
     cos = jnp.cos(angles)[..., None, :]  # broadcast over heads
     sin = jnp.sin(angles)[..., None, :]
@@ -225,8 +258,8 @@ def attention_block(layer, x, positions, cfg: ModelConfig, *,
     if cfg.position_encoding == "alibi":
         slopes = alibi_slopes_for(cfg.n_q_heads)
     else:
-        q = rope(q, positions, cfg.rope_theta)
-        k = rope(k, positions, cfg.rope_theta)
+        q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+        k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
     # [B, H, N, d] for the kernel
     rate = cfg.attn_dropout if dropout_seed is not None else 0.0
     o = flash_attention(

@@ -307,3 +307,40 @@ def test_imported_model_weight_quantization():
     # int8 weight error is small on random tiny weights
     assert np.max(np.abs(full - quant)) < 0.15
     assert np.argmax(full[0, -1]) == np.argmax(quant[0, -1])
+
+
+def test_llama3_rope_scaling_parity():
+    """Llama-3.1-style rope_scaling (NTK-by-parts) maps through the
+    importer and matches HF logits; unsupported kinds refuse loudly."""
+    from flash_attention_dlrs_tpu.models.convert import config_from_hf
+
+    lcfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=500000.0,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 64},
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    torch.manual_seed(12)
+    hf = transformers.LlamaForCausalLM(lcfg).eval()
+    params, cfg = import_hf_llama(hf, dtype=jnp.float32)
+    assert cfg.rope_scaling[0] == "llama3" and cfg.rope_scaling[1] == 8.0
+    cfg = dataclasses.replace(cfg, remat=False)
+    ids = np.random.default_rng(10).integers(0, 128, (2, 40)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids).long()).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+    # scaling actually changes the function
+    cfg_ns = dataclasses.replace(cfg, rope_scaling=None)
+    assert not np.allclose(got, forward(params, jnp.asarray(ids), cfg_ns))
+    # unsupported kind refuses
+    bad = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=1,
+        num_attention_heads=4,
+        rope_scaling={"rope_type": "yarn", "factor": 4.0},
+    )
+    with pytest.raises(NotImplementedError, match="rope_scaling"):
+        config_from_hf(bad)
