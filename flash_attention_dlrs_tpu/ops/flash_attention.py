@@ -516,7 +516,7 @@ def flash_attention_backward(
     seg = _normalize_segments(segment_ids, q, k)
     rate, seed = _normalize_dropout(dropout_rate, dropout_seed)
     alibi = _normalize_alibi(alibi_slopes, q.shape[1], causal)
-    if alibi is not None:
+    if alibi is not None or not partitioning.ENABLED:
         return _backward_unpartitioned(
             q, k, v, o, do, lse,
             causal=causal, sm_scale=sm_scale, segment_ids=seg, window=window,
@@ -909,7 +909,9 @@ def _flash_attention_bwd(causal, sm_scale, window, softcap, alibi, rate,
     # past that.
     from . import partitioning
 
-    if alibi is not None:  # static slopes lower to consts — bypass wrapper
+    if alibi is not None or not partitioning.ENABLED:
+        # static slopes lower to consts — bypass wrapper (also the env
+        # escape hatch, see partitioning.ENABLED)
         if small and max(q.shape[2], k.shape[2]) <= 320:
             dq, dk, dv = _backward_small(
                 q, k, v, do, seg, causal, sm_scale, window, softcap,

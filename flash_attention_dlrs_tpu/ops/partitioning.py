@@ -24,6 +24,7 @@ custom_vjp carries select the same kernel routes on each shard.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +37,12 @@ from jax._src.custom_partitioning_sharding_rule import (
     CompoundFactor,
 )
 from jax.sharding import NamedSharding, PartitionSpec as P
+
+# Escape hatch: FA_TPU_NO_PARTITIONING=1 bypasses the wrappers entirely
+# (callers fall back to the direct implementations, restoring round-1
+# gather-and-replicate GSPMD behavior).  Debugging aid for partitioner
+# issues on new jax/XLA versions.
+ENABLED = os.environ.get("FA_TPU_NO_PARTITIONING", "0") != "1"
 
 # Distinct from the shard_map-layer primes (parallel/): a partitioned op
 # can appear beside those folds and the offsets must not structurally
