@@ -67,4 +67,10 @@ step bench_train_c512 3600 scripts/bench_train.py --remat-policy save_dots \
     | tee -a "$LOG/summary.log"
 }
 
+# 6. End-to-end serving throughput (engine loop incl. host bookkeeping).
+step bench_serving 3600 scripts/bench_serving.py || {
+  echo "serving bench failed — see $LOG/bench_serving.log, continuing" \
+    | tee -a "$LOG/summary.log"
+}
+
 echo "BACKLOG COMPLETE" | tee -a "$LOG/summary.log"
