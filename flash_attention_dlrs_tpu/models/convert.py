@@ -60,9 +60,30 @@ def _rope_scaling_from_hf(c):
             float(rs["high_freq_factor"]),
             float(rs["original_max_position_embeddings"]),
         )
+    if kind == "yarn":
+        import math
+
+        factor = float(rs["factor"])
+        att = rs.get("attention_factor")
+        mscale, mscale_all = rs.get("mscale"), rs.get("mscale_all_dim")
+        if att is None:
+            def get_mscale(scale, m=1.0):
+                return 1.0 if scale <= 1 else 0.1 * m * math.log(scale) + 1.0
+
+            if mscale and mscale_all:
+                att = get_mscale(factor, mscale) / get_mscale(factor,
+                                                              mscale_all)
+            else:
+                att = get_mscale(factor)
+        orig = (rs.get("original_max_position_embeddings")
+                or getattr(c, "max_position_embeddings"))
+        return (
+            "yarn", factor, float(rs.get("beta_fast") or 32),
+            float(rs.get("beta_slow") or 1), float(orig), float(att),
+        )
     raise NotImplementedError(
         f"rope_scaling type {kind!r} is not supported (have: linear, "
-        "llama3) — importing while ignoring it would corrupt positions"
+        "llama3, yarn) — importing while ignoring it would corrupt positions"
     )
 
 

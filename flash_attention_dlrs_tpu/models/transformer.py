@@ -41,6 +41,11 @@ class ModelConfig:
     #   ("llama3", factor, low_freq_factor, high_freq_factor, orig_max_pos)
     #     — Llama-3.1 NTK-by-parts: low-frequency components scaled by
     #       1/factor, high-frequency kept, smooth ramp between.
+    #   ("yarn", factor, beta_fast, beta_slow, orig_max_pos, attn_factor)
+    #     — YaRN (arXiv:2309.00071): dimension-ramped blend of
+    #       interpolated and extrapolated frequencies; the rotated q/k are
+    #       additionally scaled by attn_factor (HF's attention_scaling on
+    #       cos/sin).
     # None = unscaled.
     rope_scaling: Optional[tuple] = None
     # Sliding-window attention (Mistral-style): each token attends the last
@@ -203,6 +208,30 @@ def _scaled_rope_freqs(theta: float, d: int, scaling):
     kind = scaling[0]
     if kind == "linear":
         return freqs / float(scaling[1])
+    if kind == "yarn":
+        # HF _compute_yarn_parameters (truncate=True default): blend the
+        # 1/factor-interpolated and unscaled frequencies with a linear
+        # ramp over the correction-dim range [low, high].
+        import math
+
+        _, factor, beta_fast, beta_slow, orig_max, _att = scaling
+        dim = d
+        base = float(theta)
+
+        def corr_dim(n_rot):
+            return (dim * math.log(orig_max / (n_rot * 2 * math.pi))
+                    ) / (2 * math.log(base))
+
+        low = max(math.floor(corr_dim(beta_fast)), 0)
+        high = min(math.ceil(corr_dim(beta_slow)), dim - 1)
+        if low == high:
+            high += 0.001
+        ramp = jnp.clip(
+            (jnp.arange(dim // 2, dtype=jnp.float32) - low) / (high - low),
+            0, 1,
+        )
+        extrap_f = 1.0 - ramp  # 1 where extrapolation (unscaled) wins
+        return (freqs / float(factor)) * (1.0 - extrap_f) + freqs * extrap_f
     if kind == "llama3":
         # HF _compute_llama3_parameters: keep high-frequency components,
         # divide low-frequency ones by `factor`, smooth-interpolate between
@@ -228,6 +257,12 @@ def rope(x, positions, theta: float, scaling=None):
     angles = positions[..., :, None].astype(jnp.float32) * freqs  # [..., N, d/2]
     cos = jnp.cos(angles)[..., None, :]  # broadcast over heads
     sin = jnp.sin(angles)[..., None, :]
+    if scaling is not None and scaling[0] == "yarn":
+        # YaRN attention scaling rides the cos/sin tables in HF — applying
+        # it to both q and k scales the scores by attn_factor².
+        att = jnp.float32(scaling[5])
+        cos = cos * att
+        sin = sin * att
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
     return jnp.concatenate(
         [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1

@@ -340,7 +340,33 @@ def test_llama3_rope_scaling_parity():
     bad = transformers.LlamaConfig(
         vocab_size=128, hidden_size=64, num_hidden_layers=1,
         num_attention_heads=4,
-        rope_scaling={"rope_type": "yarn", "factor": 4.0},
+        rope_scaling={"rope_type": "longrope", "factor": 4.0,
+                      "short_factor": [1.0] * 8, "long_factor": [1.0] * 8},
     )
     with pytest.raises(NotImplementedError, match="rope_scaling"):
         config_from_hf(bad)
+
+
+def test_yarn_rope_scaling_parity():
+    """YaRN (arXiv:2309.00071) frequency blending + attention scaling on
+    cos/sin matches transformers logits."""
+    lcfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, rope_theta=10000.0,
+        rope_scaling={"rope_type": "yarn", "factor": 4.0,
+                      "original_max_position_embeddings": 128},
+        tie_word_embeddings=True, attn_implementation="eager",
+    )
+    torch.manual_seed(13)
+    hf = transformers.LlamaForCausalLM(lcfg).eval()
+    params, cfg = import_hf_llama(hf, dtype=jnp.float32)
+    assert cfg.rope_scaling[0] == "yarn"
+    # attention_factor default = 0.1*ln(4)+1
+    assert cfg.rope_scaling[5] == pytest.approx(0.1 * np.log(4.0) + 1.0)
+    cfg = dataclasses.replace(cfg, remat=False)
+    ids = np.random.default_rng(11).integers(0, 128, (2, 48)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids).long()).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
