@@ -403,6 +403,27 @@ class DecodeEngine:
         self.scheduler.record_step(len(active))
         return len(active)
 
+    def stats(self) -> Dict:
+        """Operational snapshot: scheduler counters, slot/queue occupancy,
+        and KV page utilization — the numbers a serving dashboard polls."""
+        free = len(self.allocator.free_pages)
+        total = self.pools.k[0].shape[1]
+        s = self.scheduler.stats
+        return {
+            "admitted": s.admitted,
+            "retired": s.retired,
+            "steps": s.steps,
+            "tokens_generated": s.tokens_generated,
+            "active_slots": sum(r is not None for r in self.slot_request),
+            "num_slots": self.num_slots,
+            "queue_depth": len(self.scheduler.queue),
+            "pages_total": total,
+            "pages_free": free,
+            "page_utilization": 1.0 - free / total,
+            "rolling_window": self.window if self.rolling else 0,
+            "kv_dtype": str(self.kv_dtype),
+        }
+
     # -- public API --------------------------------------------------------------
 
     def generate(

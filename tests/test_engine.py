@@ -309,3 +309,18 @@ def test_rolling_window_long_prompt_matches_dense():
         want.append(nxt)
         ctx.append(nxt)
     assert got == want
+
+
+def test_engine_stats_snapshot(params):
+    eng = DecodeEngine(
+        params, CFG, num_pages=16, page_size=128, num_slots=2,
+        pages_per_seq=4, kv_dtype=jnp.float32,
+    )
+    s0 = eng.stats()
+    assert s0["pages_free"] == 15 and s0["active_slots"] == 0  # null page held
+    eng.generate([[1, 2, 3], [4, 5, 6, 7]], max_new_tokens=2)
+    s1 = eng.stats()
+    assert s1["admitted"] == 2 and s1["retired"] == 2
+    assert s1["tokens_generated"] >= 2
+    assert s1["pages_free"] == 15  # fully reclaimed
+    assert 0.0 < s1["page_utilization"] < 1.0 or s1["pages_free"] == 15
