@@ -106,11 +106,19 @@ def config_from_hf(hf_config, *, dtype=jnp.bfloat16, **overrides) -> ModelConfig
         # Mistral-style sliding window (None/absent on Llama).  Conventions
         # agree: both keep key j for query i iff i - j < window (self
         # included), so the value maps through unchanged.  Qwen2 carries a
-        # sliding_window value but gates it off by default
-        # (use_sliding_window=False); respect the gate.
+        # sliding_window value gated by use_sliding_window (off by
+        # default), and max_window_layers keeps the FIRST K layers on full
+        # attention — mapped to window_pattern "from:K".
         window=int(
             (getattr(c, "sliding_window", None) or 0)
             if getattr(c, "use_sliding_window", True) else 0
+        ),
+        window_pattern=(
+            f"from:{c.max_window_layers}"
+            if (getattr(c, "use_sliding_window", False)
+                and getattr(c, "sliding_window", None)
+                and getattr(c, "max_window_layers", 0))
+            else "all"
         ),
         norm_eps=float(getattr(c, "rms_norm_eps", 1e-6)),
         tie_embeddings=bool(getattr(c, "tie_word_embeddings", False)),

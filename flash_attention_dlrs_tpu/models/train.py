@@ -51,6 +51,9 @@ def param_shardings(params: Dict, mesh: Mesh, model_axis: str = "model",
             spec["bq"] = P(m)
             spec["bk"] = P(kv)
             spec["bv"] = P(kv)
+        for nm in ("post_attn_norm", "post_mlp_norm"):  # Gemma-2 sandwich
+            if nm in layer:
+                spec[nm] = P(None)
         return spec
 
     specs = {
@@ -131,25 +134,18 @@ def make_train_step(
     if mesh is not None:
         _check_tp_divisibility(cfg, mesh)
 
-    if cfg.attn_dropout:
-        def step(params, opt_state, tokens, dropout_seed):
-            loss, grads = jax.value_and_grad(
-                functools.partial(
-                    loss_fn, cfg=cfg, dropout_seed=dropout_seed,
-                    interpret=interpret,
-                )
-            )(params, tokens)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
-    else:
-        def step(params, opt_state, tokens):
-            loss, grads = jax.value_and_grad(
-                functools.partial(loss_fn, cfg=cfg, interpret=interpret)
-            )(params, tokens)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+    # One body for both arities: with cfg.attn_dropout the caller passes a
+    # trailing int32 dropout_seed (the step index).
+    def step(params, opt_state, tokens, *seed):
+        kw = dict(cfg=cfg, interpret=interpret)
+        if cfg.attn_dropout:
+            kw["dropout_seed"] = seed[0]
+        loss, grads = jax.value_and_grad(
+            functools.partial(loss_fn, **kw)
+        )(params, tokens)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
 
     # params and opt_state are donated: the updated state aliases the old
     # buffers instead of doubling the largest allocations in HBM (at the

@@ -238,9 +238,9 @@ def fit(
         if cfg.attn_dropout:
             args += (jnp.int32(step),)
         params, opt_state, loss = step_fn(*args)
+        meter.update(int(tokens.size))
         if logger and (step % log_every == 0 or step == steps - 1):
             loss_f = float(loss)
-            meter.update(int(tokens.size))
             logger.log(step, loss=loss_f, tokens_per_s=meter.rate)
         if on_step is not None:
             on_step(step, loss)

@@ -54,8 +54,10 @@ class ModelConfig:
     # serving engine requires the window to cover its max context (see
     # runtime/engine.py).
     window: int = 0
-    # Which layers slide: "all" (Mistral) or "even" (Gemma-2 alternates —
-    # layers 0, 2, ... use the window, odd layers attend fully).
+    # Which layers slide: "all" (Mistral), "even" (Gemma-2 alternates —
+    # layers 0, 2, ... slide, odd layers attend fully), or "from:K"
+    # (Qwen2 max_window_layers — the FIRST K layers attend fully, layers
+    # K and beyond slide).
     window_pattern: str = "all"
     # RMSNorm epsilon (HF checkpoints vary: Llama-2/3 use 1e-5, older 1e-6).
     norm_eps: float = 1e-6
@@ -271,10 +273,14 @@ def rope(x, positions, theta: float, scaling=None):
 
 def layer_window(cfg: ModelConfig, layer_idx: int) -> int:
     """This layer's sliding window: cfg.window gated by window_pattern
-    ("even" = Gemma-2's alternating layout)."""
+    ("even" = Gemma-2's alternating layout; "from:K" = Qwen2's
+    max_window_layers — full attention below layer K)."""
     if not cfg.window:
         return 0
     if cfg.window_pattern == "even" and layer_idx % 2 != 0:
+        return 0
+    if cfg.window_pattern.startswith("from:") and layer_idx < int(
+            cfg.window_pattern[5:]):
         return 0
     return cfg.window
 

@@ -808,7 +808,7 @@ def _partitioned_fwd_call(q, k, v, seg, seed, causal, sm_scale, window,
     regardless — slopes are indexed by local head id)."""
     from . import partitioning
 
-    if alibi is not None:
+    if alibi is not None or not partitioning.ENABLED:
         o, lse = _forward_impl(
             q, k, v, seg, causal, sm_scale, window, softcap, alibi, rate,
             seed, block_sizes, small, xla_small, interpret,

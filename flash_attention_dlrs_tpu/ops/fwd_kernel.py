@@ -75,7 +75,7 @@ def _lowbias32(x):
     x = x ^ jax.lax.shift_right_logical(x, 16)
     x = x * jnp.int32(0x7FEB352D)
     x = x ^ jax.lax.shift_right_logical(x, 15)
-    x = x * jnp.int32(-2073286005)  # 0x846CA68B
+    x = x * jnp.int32(-2073254261)  # 0x846CA68B
     return x ^ jax.lax.shift_right_logical(x, 16)
 
 

@@ -110,6 +110,13 @@ class DecodeEngine:
         self.window = int(getattr(cfg, "window", 0) or 0)
         self.rolling = False
         if self.window and pages_per_seq * page_size > self.window:
+            if getattr(cfg, "position_encoding", "rope") == "alibi":
+                # The paged kernels' separable ALiBi bias assumes column
+                # index == position order, which a rotated ring breaks.
+                raise NotImplementedError(
+                    "rolling sliding-window serving does not support ALiBi "
+                    f"models — keep pages_per_seq*page_size <= {self.window}"
+                )
             pattern = getattr(cfg, "window_pattern", "all")
             if pattern != "all":
                 raise NotImplementedError(
@@ -265,8 +272,9 @@ class DecodeEngine:
             )[0]
         )
         req.output_tokens.append(first_token)
-        req.output_logprobs.append(float(_token_logprobs(
-            logits[:1], jnp.asarray([first_token]))[0]))
+        if req.want_logprobs:
+            req.output_logprobs.append(float(_token_logprobs(
+                logits[:1], jnp.asarray([first_token]))[0]))
         self.slot_request[slot] = req
         self._slot_next_token[slot] = first_token
 
@@ -332,8 +340,9 @@ class DecodeEngine:
             )[0]
         )
         req.output_tokens.append(first_token)
-        req.output_logprobs.append(float(_token_logprobs(
-            logits[:1, -1], jnp.asarray([first_token]))[0]))
+        if req.want_logprobs:
+            req.output_logprobs.append(float(_token_logprobs(
+                logits[:1, -1], jnp.asarray([first_token]))[0]))
         self.slot_request[slot] = req
         self._slot_next_token[slot] = first_token
 
@@ -394,11 +403,14 @@ class DecodeEngine:
                 logits, temp, top_k, top_p, seeds, jnp.asarray(lens)
             )
         )
-        lps = np.asarray(_token_logprobs(logits, jnp.asarray(next_tokens)))
+        lps = None
+        if any(req.want_logprobs for _, req in active):
+            lps = np.asarray(_token_logprobs(logits, jnp.asarray(next_tokens)))
         for slot, req in active:
             tok = int(next_tokens[slot])
             req.output_tokens.append(tok)
-            req.output_logprobs.append(float(lps[slot]))
+            if req.want_logprobs and lps is not None:
+                req.output_logprobs.append(float(lps[slot]))
             self._slot_next_token[slot] = tok
         self.scheduler.record_step(len(active))
         return len(active)
@@ -407,7 +419,9 @@ class DecodeEngine:
         """Operational snapshot: scheduler counters, slot/queue occupancy,
         and KV page utilization — the numbers a serving dashboard polls."""
         free = len(self.allocator.free_pages)
-        total = self.pools.k[0].shape[1]
+        # exclude the reserved null scratch page — same capacity the
+        # admission check in generate_stream uses
+        total = self.pools.k[0].shape[1] - 1
         s = self.scheduler.stats
         return {
             "admitted": s.admitted,
@@ -443,7 +457,7 @@ class DecodeEngine:
         lps: Dict[str, List[float]] = {}
         for ev in self.generate_stream(
             prompts, max_new_tokens=max_new_tokens, max_steps=max_steps,
-            sampling=sampling,
+            sampling=sampling, logprobs=return_logprobs,
         ):
             if ev.token is not None:
                 outputs.setdefault(ev.request_id, []).append(ev.token)
@@ -461,13 +475,17 @@ class DecodeEngine:
         max_new_tokens: int = 16,
         max_steps: int = 10_000,
         sampling: Optional[SamplingParams] = None,
+        logprobs: bool = False,
     ) -> Iterator["StreamEvent"]:
         """Streaming form of :meth:`generate`: yields a ``StreamEvent`` per
         generated token as each batched decode step retires, then one
         ``done=True`` event per request (token=None).  Events for different
         requests interleave in step order — continuous batching means tokens
         stream for every active request concurrently.  Token-for-token
-        identical to :meth:`generate` (which drains this iterator)."""
+        identical to :meth:`generate` (which drains this iterator).
+        ``logprobs=True`` attaches log P(token | prefix) to each event —
+        opt-in because it costs a full-vocab log-softmax and an extra host
+        transfer per decode step."""
         reqs = [
             Request(
                 request_id=f"req{i}",
@@ -475,6 +493,7 @@ class DecodeEngine:
                 max_new_tokens=max_new_tokens,
                 eos_token=self.eos_token,
                 sampling=sampling,
+                want_logprobs=logprobs,
             )
             for i, p in enumerate(prompts)
         ]

@@ -38,7 +38,10 @@ class Request:
     state: RequestState = RequestState.QUEUED
     output_tokens: list = dataclasses.field(default_factory=list)
     # log P_target(token | prefix) per generated token (natural log), kept
-    # in lockstep with output_tokens by the engine's standard decode path.
+    # in lockstep with output_tokens by the engine's standard decode path
+    # WHEN want_logprobs is set (skipping it avoids a full-vocab
+    # log-softmax + an extra host transfer per decode step).
+    want_logprobs: bool = False
     output_logprobs: list = dataclasses.field(default_factory=list)
 
     @property

@@ -370,3 +370,42 @@ def test_yarn_rope_scaling_parity():
         want = hf(torch.from_numpy(ids).long()).logits.numpy()
     got = np.asarray(forward(params, jnp.asarray(ids), cfg))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_qwen2_max_window_layers_parity():
+    """use_sliding_window=True with max_window_layers=K: the FIRST K layers
+    attend fully, layers >= K slide (window_pattern='from:K')."""
+    qcfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, use_sliding_window=True,
+        sliding_window=8, max_window_layers=2, tie_word_embeddings=True,
+        attn_implementation="eager",
+    )
+    assert qcfg.layer_types == ["full_attention"] * 2 + \
+        ["sliding_attention"] * 2
+    torch.manual_seed(14)
+    hf = transformers.Qwen2ForCausalLM(qcfg).eval()
+    params, cfg = import_hf_llama(hf, dtype=jnp.float32)
+    assert cfg.window == 8 and cfg.window_pattern == "from:2"
+    cfg = dataclasses.replace(cfg, remat=False)
+    ids = np.random.default_rng(12).integers(0, 128, (2, 24)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids).long()).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_gemma2_params_shard():
+    """param_shardings covers the sandwich-norm keys — imported Gemma-2
+    places on a mesh without a pytree mismatch."""
+    from jax.sharding import Mesh
+    from flash_attention_dlrs_tpu.models import param_shardings
+    from flash_attention_dlrs_tpu.models.convert import import_hf_gemma
+
+    hf = _tiny_gemma2()
+    params, cfg = import_hf_gemma(hf, dtype=jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
+    shardings = param_shardings(params, mesh, n_kv_heads=cfg.n_kv_heads)
+    placed = jax.tree.map(jax.device_put, params, shardings)
+    assert "post_attn_norm" in placed["layers"][0]

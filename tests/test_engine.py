@@ -227,11 +227,15 @@ def test_generate_logprobs_match_dense(params):
         assert lp == pytest.approx(want, abs=2e-4)
         assert lp <= 0.0
         ctx.append(tok)
-    # stream events carry the same values
-    evs = [ev for ev in eng.generate_stream([prompt], max_new_tokens=4)
+    # stream events carry the same values when opted in, None otherwise
+    evs = [ev for ev in eng.generate_stream([prompt], max_new_tokens=4,
+                                            logprobs=True)
            if ev.token is not None]
     assert [ev.token for ev in evs] == toks
     np.testing.assert_allclose([ev.logprob for ev in evs], lps, atol=1e-6)
+    evs0 = [ev for ev in eng.generate_stream([prompt], max_new_tokens=2)
+            if ev.token is not None]
+    assert all(ev.logprob is None for ev in evs0)
 
 
 def test_rolling_window_serving_matches_dense():
