@@ -151,3 +151,34 @@ def test_dropout_shards_and_decorrelates():
     o_ref = jnp.einsum("bhqk,bhkd->bhqd", p * jnp.asarray(M),
                        jnp.repeat(vf, hq // hkv, 1))
     np.testing.assert_allclose(jax.device_get(o), o_ref, atol=3e-4, rtol=1e-3)
+
+
+def test_segment_ids_shard_with_batch():
+    """Packed-sequence masking under the partitioned op: segment ids ride
+    the batch sharding; fwd + grads match the unsharded op."""
+    mesh = _mesh()
+    b, h, n, d = 4, 8, 512, 64
+    sh = NamedSharding(mesh, P("data", "model", None, None))
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.device_put(jax.random.normal(ks[0], (b, h, n, d)), sh)
+    k = jax.device_put(jax.random.normal(ks[1], (b, h, n, d)), sh)
+    v = jax.device_put(jax.random.normal(ks[2], (b, h, n, d)), sh)
+    seg = jax.device_put(
+        jnp.repeat(jnp.arange(4), n // 4)[None, :].repeat(b, 0),
+        NamedSharding(mesh, P("data", None)))
+
+    def loss(a, b_, c, s):
+        return jnp.sum(flash_attention(a, b_, c, causal=True,
+                                       segment_ids=s) ** 2)
+
+    f = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
+    compiled = f.lower(q, k, v, seg).compile()
+    assert _all_gathers(compiled) == 0
+    val, (dq, dk, dv) = f(q, k, v, seg)
+    val_r, (dq_r, dk_r, dv_r) = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+        *map(jax.device_get, (q, k, v, seg)))
+    # sharded reduction order differs from the single-device sum
+    assert float(val) == pytest.approx(float(val_r), rel=1e-4)
+    np.testing.assert_allclose(dq, dq_r, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(dk, dk_r, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(dv, dv_r, atol=2e-5, rtol=1e-5)
