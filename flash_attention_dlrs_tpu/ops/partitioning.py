@@ -81,6 +81,14 @@ def _plan(mesh, q_info, k_info, head_shardable=True):
     h_ax = qs[1] if qs[1] is not None else ks[1]
     if not head_shardable:
         h_ax = None
+    if h_ax is not None and b_ax is not None:
+        # a mesh axis may appear at most once in a spec: if mixed operand
+        # specs put the same axis on batch and heads, heads replicate
+        def names(ax):
+            return set(ax) if isinstance(ax, tuple) else {ax}
+
+        if names(h_ax) & names(b_ax):
+            h_ax = None
     if h_ax is not None:
         n = _axes_size(mesh, h_ax)
         if hq % n or hkv % n:

@@ -235,6 +235,13 @@ def ring_attention(
     """
     if sm_scale is None:
         sm_scale = float(q.shape[-1]) ** -0.5
+    if causal and q.shape[2] != k.shape[2]:
+        raise ValueError(
+            f"causal ring attention requires equal q/kv shard lengths "
+            f"(token-aligned context sharding); got Nq_shard={q.shape[2]} "
+            f"vs Nkv_shard={k.shape[2]} — the full/diagonal/skip block "
+            "classification assumes aligned shards"
+        )
     rate = float(dropout_rate)
     if rate and dropout_seed is None:
         raise ValueError("dropout_rate > 0 requires dropout_seed")

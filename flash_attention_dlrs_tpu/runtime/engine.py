@@ -187,13 +187,14 @@ class DecodeEngine:
 
         self.scheduler = ContinuousBatchingScheduler(
             num_slots=num_slots,
-            can_allocate=self.allocator.can_allocate,
+            can_allocate=self._can_admit,
             on_admit=self._admit,
             on_retire=self._retire,
         )
         self.slot_request: List[Optional[Request]] = [None] * num_slots
         self._slot_next_token = np.zeros(num_slots, np.int64)
         self._prefill = make_prefill(cfg, interpret=interpret)
+        self.pages_per_block = pages_per_block
         self._decode_step = make_decode_step(
             cfg, pages_per_block=pages_per_block, interpret=interpret
         )
@@ -219,6 +220,13 @@ class DecodeEngine:
 
     # -- admission / retirement ------------------------------------------------
 
+    def _can_admit(self, num_tokens: int) -> bool:
+        """Scheduler admission gate: rolling mode only ever allocates one
+        window-sized ring per sequence, whatever the request length."""
+        if self.rolling:
+            num_tokens = min(num_tokens, self.window)
+        return self.allocator.can_allocate(num_tokens)
+
     def _admit(self, req: Request, slot: int) -> None:
         if self.prefill_chunk:
             self._admit_chunked(req, slot)
@@ -228,6 +236,14 @@ class DecodeEngine:
         if self.rolling:
             self.allocator.allocate(req.request_id, self.window)
         else:
+            need = -(-(t + req.max_new_tokens) // self.page_size)
+            if need > self.pages_per_seq:
+                raise ValueError(
+                    f"request {req.request_id!r} needs {need} pages "
+                    f"({t} prompt + {req.max_new_tokens} new tokens) but "
+                    f"page tables hold pages_per_seq={self.pages_per_seq} — "
+                    "raise pages_per_seq (or page_size)"
+                )
             self.allocator.allocate(req.request_id, t + req.max_new_tokens)
         pages = np.asarray(
             self.allocator.page_tables[req.request_id], np.int32
@@ -393,11 +409,23 @@ class DecodeEngine:
             jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(rows),
             jnp.asarray(offs), jnp.asarray(tbl), jnp.asarray(lens),
         )
-        slot_params = [
-            (self.slot_request[i].sampling if self.slot_request[i] else None)
+        # Sampling-parameter arrays only change at admission boundaries —
+        # rebuilding + re-uploading four device arrays per decode token is
+        # avoidable hot-loop host work (same class as the allocator's
+        # fused-bookkeeping cache).
+        cache_key = tuple(
+            id(self.slot_request[i]) if self.slot_request[i] else None
             for i in range(b)
-        ]
-        temp, top_k, top_p, seeds = batch_params(slot_params)
+        )
+        if getattr(self, "_sample_cache_key", None) != cache_key:
+            slot_params = [
+                (self.slot_request[i].sampling if self.slot_request[i]
+                 else None)
+                for i in range(b)
+            ]
+            self._sample_cache = batch_params(slot_params)
+            self._sample_cache_key = cache_key
+        temp, top_k, top_p, seeds = self._sample_cache
         next_tokens = np.asarray(
             sample_tokens(
                 logits, temp, top_k, top_p, seeds, jnp.asarray(lens)
@@ -498,7 +526,8 @@ class DecodeEngine:
             for i, p in enumerate(prompts)
         ]
         total_pages = self.pools.k[0].shape[1] - 1  # minus the null page
-        for r in reqs:
+        for r in reqs:  # validate the WHOLE batch before submitting any —
+            # a raise mid-loop must not leave orphaned requests queued
             need = (self.window // self.page_size if self.rolling else
                     -(-(len(r.prompt_tokens) + r.max_new_tokens)
                       // self.page_size))
@@ -507,6 +536,13 @@ class DecodeEngine:
                     f"request {r.request_id!r} needs {need} pages but the pool "
                     f"only has {total_pages} — raise num_pages or shrink the request"
                 )
+            if not self.rolling and need > self.pages_per_seq:
+                raise ValueError(
+                    f"request {r.request_id!r} needs {need} pages but page "
+                    f"tables hold pages_per_seq={self.pages_per_seq} — raise "
+                    "pages_per_seq (or page_size)"
+                )
+        for r in reqs:
             self.scheduler.submit(r)
         reported = {r.request_id: 0 for r in reqs}
         done = set()
@@ -629,7 +665,8 @@ class DecodeEngine:
         verify = self._verify_cache.get(gamma)
         if verify is None:
             verify = make_verify_step(
-                self.cfg, gamma, interpret=self.interpret
+                self.cfg, gamma, pages_per_block=self.pages_per_block,
+                interpret=self.interpret,
             )
             self._verify_cache[gamma] = verify
         sp = sampling or GREEDY
@@ -737,6 +774,7 @@ class DecodeEngine:
             round_tokens = np.asarray(round_tokens)
             n_committed = np.asarray(n_committed)
 
+            live_set = set(live)
             for slot in live:
                 sid = sids[slot]
                 m = int(n_committed[slot]) - 1  # accepted proposals
@@ -749,6 +787,15 @@ class DecodeEngine:
                 # cache holds x0, d1..d_m as valid prefix (m+1 tokens)
                 self.allocator.seq_lengths[sid] = int(base_pos[slot]) + 1 + m
                 draft.allocator.seq_lengths[sid] = int(base_pos[slot]) + 1 + m
+            for slot in range(n):
+                if slot not in live_set:
+                    # Finished slots still ride the fixed-shape batched
+                    # draft calls (which advance their lengths by gamma
+                    # every round); roll them back so their page tables
+                    # never grow — unchecked, a long-running batchmate
+                    # leaks pages until the pool exhausts.
+                    draft.allocator.seq_lengths[sids[slot]] = int(
+                        base_pos_d[slot])
 
         for slot in range(n):
             self._retire(reqs[slot], slot)

@@ -204,3 +204,35 @@ def test_speculative_with_quantized_kv():
         PROMPTS, draft=eng(), gamma=3, max_new_tokens=8
     )
     assert spec == plain
+
+
+def test_finished_slot_draft_lengths_bounded():
+    """A slot that hits EOS early keeps riding the fixed-shape batched
+    draft calls; its draft lengths must be rolled back every round —
+    unchecked they grow by gamma per round and leak pages until the pool
+    exhausts (regression test for that leak)."""
+    cfg = ModelConfig(**CFG)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    p2 = init_params(jax.random.PRNGKey(1), cfg)  # bad draft → many rounds
+    plain = _engine(params, cfg).generate(PROMPTS, max_new_tokens=12)
+    eos = plain[0][1]  # finishes slot 0 after 2 tokens
+    assert eos not in plain[1][:8], "pick different seeds"
+
+    target = _engine(params, cfg, eos_token=eos)
+    draft = _engine(p2, cfg, eos_token=eos, native_allocator=False)
+    seen = {}
+    orig = draft.allocator.ensure_capacity
+
+    def spy(sid, n):
+        seen[sid] = max(seen.get(sid, 0), n)
+        return orig(sid, n)
+
+    draft.allocator.ensure_capacity = spy
+    out = target.generate_speculative(
+        PROMPTS, draft=draft, gamma=4, max_new_tokens=12)
+    assert out[0][:2] == plain[0][:2] and out[0][-1] == eos
+    assert len(out[1]) == 12
+    # slot 0's draft capacity stays near its short committed stream
+    # (prompt 5 + ~2 tokens + one gamma window), nowhere near the
+    # rounds*gamma growth of the leak
+    assert seen["spec0"] <= len(PROMPTS[0]) + 2 + 2 * 4, seen
