@@ -33,22 +33,13 @@ import optax
 BLOCK = 256
 
 
-def _quantize(x: jax.Array):
-    """fp32 array (any shape) → ([n_blocks, BLOCK] int8, [n_blocks, 1] f32)."""
-    flat = x.astype(jnp.float32).reshape(-1)
-    pad = (-flat.size) % BLOCK
-    if pad:
-        flat = jnp.pad(flat, (0, pad))
-    xb = flat.reshape(-1, BLOCK)
-    scale = jnp.max(jnp.abs(xb), axis=1, keepdims=True)
-    safe = jnp.where(scale == 0.0, 1.0, scale)
-    q = jnp.round(xb / safe * 127.0).astype(jnp.int8)
-    return q, scale
+class _LeafResult:
+    """Opaque wrapper marking one parameter leaf's update results."""
 
+    __slots__ = ("value",)
 
-def _dequantize(q: jax.Array, scale: jax.Array, like: jax.Array):
-    x = q.astype(jnp.float32) * (scale * (1.0 / 127.0))
-    return x.reshape(-1)[: like.size].reshape(like.shape)
+    def __init__(self, value):
+        self.value = value
 
 
 class Adam8State(NamedTuple):
@@ -117,12 +108,15 @@ def scale_by_adam8(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
             return step.reshape(g.shape).astype(g.dtype), mq2, ms2, sq2, ss2
 
         out = jax.tree.map(
-            leaf, updates, state.mu_q, state.mu_scale,
-            state.su_q, state.su_scale,
+            lambda *a: _LeafResult(leaf(*a)), updates, state.mu_q,
+            state.mu_scale, state.su_q, state.su_scale,
         )
-        is_result = lambda x: isinstance(x, tuple) and len(x) == 5
+        # _LeafResult marks per-leaf results unambiguously — matching on
+        # "5-element tuple" would mis-unpack a params pytree whose
+        # CONTAINERS happen to be 5-tuples.
+        is_result = lambda x: isinstance(x, _LeafResult)
         pick = lambda i: jax.tree.map(
-            lambda t: t[i], out, is_leaf=is_result
+            lambda t: t.value[i], out, is_leaf=is_result
         )
         return pick(0), Adam8State(
             count=count, mu_q=pick(1), mu_scale=pick(2),

@@ -245,7 +245,7 @@ def fused_bwd_fits_vmem(n_q: int, head_dim: int, block_q: int,
     isz = jnp.dtype(dtype).itemsize
     dq_buf = n_q * head_dim * 4
     blocks = 2 * (  # double-buffered streamed inputs
-        2 * block_q * head_dim * isz  # q, do
+        3 * block_q * head_dim * isz  # q, o, do (o feeds the inline D)
         + 2 * block_kv * head_dim * isz  # k, v
         + 2 * block_q * geo.NUM_LANES * 4  # stat slack (calibrated; the
         # packed-lse move, layout.py, shrank the real stat term 128x but

@@ -426,11 +426,16 @@ def tuned_pages_per_block(
     page_indices,
     *,
     sm_scale=None,
+    alibi_slopes=None,
+    logit_softcap: float = 0.0,
 ) -> int:
     """Timed search over ``pages_per_block`` for this decode workload,
-    cached on the (q shape, pool shape, pages_per_seq, dtype) key — the
-    decode-kernel analogue of the fwd/bwd block tuners (the reference
-    autotunes every kernel it ships, src/flash_attention_kernels.py:11-15).
+    cached on the (q shape, pool shape, pages_per_seq, dtype, bias/cap
+    variant) key — the decode-kernel analogue of the fwd/bwd block tuners
+    (the reference autotunes every kernel it ships,
+    src/flash_attention_kernels.py:11-15).  Pass the serving
+    configuration's alibi/softcap so the probe times the kernel variant
+    that will actually run.
 
     Candidates: powers of two up to pages_per_seq whose double-buffered
     handoff scratch fits a conservative VMEM share.  Concrete arrays only.
@@ -459,6 +464,7 @@ def tuned_pages_per_block(
                 paged_decode_attention(
                     q_, k_, v_, lengths_, idx_,
                     sm_scale=sm_scale, pages_per_block=ppb_,
+                    alibi_slopes=alibi_slopes, logit_softcap=logit_softcap,
                 ).astype(jnp.float32)
             )
 
@@ -468,7 +474,8 @@ def tuned_pages_per_block(
         build,
         cands,
         [list(q.shape), list(k_vals.shape), pages_per_seq,
-         str(k_vals.dtype), type(k_pages).__name__],
+         str(k_vals.dtype), type(k_pages).__name__,
+         alibi_slopes is not None, float(logit_softcap)],
         (q, k_pages, v_pages, lengths, page_indices),
     ))
 
