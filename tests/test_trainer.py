@@ -119,3 +119,17 @@ def test_fit_dropout_threads_step_seed():
     cfg = ModelConfig.tiny(dtype=jnp.float32, remat=False, attn_dropout=0.1)
     out = fit(cfg, _loader(), spec=TrainSpec(), steps=3, seed=0)
     assert out["step"] == 3
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_fit_on_mesh_matches_single_device():
+    from flash_attention_dlrs_tpu.parallel import make_mesh
+
+    mesh = make_mesh([4, 2], ("data", "model"))  # model=2 divides 4q/2kv
+    spec = TrainSpec(learning_rate=1e-3)
+    losses_m, losses_s = [], []
+    fit(CFG, _loader, spec=spec, steps=3, seed=0, mesh=mesh,
+        on_step=lambda s, l: losses_m.append(float(l)))
+    fit(CFG, _loader, spec=spec, steps=3, seed=0,
+        on_step=lambda s, l: losses_s.append(float(l)))
+    np.testing.assert_allclose(losses_m, losses_s, rtol=1e-4)
