@@ -86,6 +86,8 @@ class DecodeEngine:
         eos_token: Optional[int] = None,
         pages_per_block: int | None = None,
         prefill_chunk: int = 0,  # 0 = dense prefill; >0 = chunked admission
+        streaming_window: int = 0,  # StreamingLLM ring (full-attn models)
+        attention_sinks: int = 0,  # pinned first tokens with the ring above
         enable_prefix_cache: bool = False,  # share full-page prompt prefixes
         native_allocator: Optional[bool] = None,  # None = auto-detect C++ lib
         interpret: Optional[bool] = None,
@@ -141,6 +143,53 @@ class DecodeEngine:
             self.rolling = True
             pages_per_seq = self.window // page_size
             self.pages_per_seq = pages_per_seq
+
+        # StreamingLLM serving (arXiv:2309.17453) for FULL-attention models:
+        # pin the first `attention_sinks` tokens and ring the most recent
+        # `streaming_window` — an explicit opt-in APPROXIMATION (the model
+        # was trained with full attention; evicted middles change outputs
+        # once len exceeds sinks+window), unlike the rolling mode above,
+        # which is exact for models that ARE sliding-window.
+        self.streaming = False
+        if streaming_window:
+            if self.window:
+                raise ValueError(
+                    "streaming_window is for full-attention models; "
+                    "sliding-window models get the exact rolling ring "
+                    "automatically"
+                )
+            if streaming_window % page_size or attention_sinks % page_size:
+                raise ValueError(
+                    f"streaming_window ({streaming_window}) and "
+                    f"attention_sinks ({attention_sinks}) must be "
+                    f"page_size ({page_size}) aligned"
+                )
+            if prefill_chunk:
+                raise NotImplementedError(
+                    "streaming eviction is incompatible with chunked "
+                    "prefill / speculative verification (multi-token "
+                    "writes overwrite slots earlier tokens still attend)"
+                )
+            self.streaming = True
+            resident = attention_sinks + streaming_window
+            if pages_per_seq * page_size >= resident:
+                pages_per_seq = resident // page_size
+                self.pages_per_seq = pages_per_seq
+            else:
+                raise ValueError(
+                    f"pages_per_seq*page_size ({pages_per_seq * page_size}) "
+                    f"is smaller than sinks+window ({resident})"
+                )
+        elif attention_sinks:
+            raise ValueError("attention_sinks requires streaming_window > 0")
+
+        # Shared ring state: _wrap = ring length, _sinks = pinned prefix.
+        if self.rolling:
+            self._wrap, self._sinks = self.window, 0
+        elif self.streaming:
+            self._wrap, self._sinks = streaming_window, attention_sinks
+        else:
+            self._wrap, self._sinks = 0, 0
 
         int4_kv = isinstance(kv_dtype, str) and kv_dtype == "int4"
         if int4_kv and not quantized_kv:
@@ -221,10 +270,10 @@ class DecodeEngine:
     # -- admission / retirement ------------------------------------------------
 
     def _can_admit(self, num_tokens: int) -> bool:
-        """Scheduler admission gate: rolling mode only ever allocates one
-        window-sized ring per sequence, whatever the request length."""
-        if self.rolling:
-            num_tokens = min(num_tokens, self.window)
+        """Scheduler admission gate: ring modes only ever allocate one
+        resident set per sequence, whatever the request length."""
+        if self._wrap:
+            num_tokens = min(num_tokens, self._sinks + self._wrap)
         return self.allocator.can_allocate(num_tokens)
 
     def _admit(self, req: Request, slot: int) -> None:
@@ -233,8 +282,8 @@ class DecodeEngine:
             return
         prompt = np.asarray(req.prompt_tokens, np.int32)
         t = len(prompt)
-        if self.rolling:
-            self.allocator.allocate(req.request_id, self.window)
+        if self._wrap:
+            self.allocator.allocate(req.request_id, self._sinks + self._wrap)
         else:
             need = -(-(t + req.max_new_tokens) // self.page_size)
             if need > self.pages_per_seq:
@@ -255,21 +304,28 @@ class DecodeEngine:
         logits, kvs = self._prefill(
             self.params, jnp.asarray(toks), jnp.asarray([t], jnp.int32)
         )
-        long_ring = self.rolling and t > self.window
+        resident = self._sinks + self._wrap
+        long_ring = bool(self._wrap) and t > resident
         if long_ring:
-            # Prompt longer than the ring: only the LAST window tokens stay
-            # resident.  Their ring slots are (pos % window) for pos in
-            # [t-window, t) — exactly the last-window slice rolled by
-            # t % window (pos = t-window+j → slot (t+j) % window), so one
-            # roll makes the write page-aligned again.
-            w = self.window
-            n_pages_prompt = w // self.page_size
+            # Prompt longer than the resident set: the first `_sinks`
+            # tokens pin in place and only the LAST `_wrap` tokens stay in
+            # the ring.  Ring slot of pos >= sinks is
+            # sinks + (pos - sinks) % wrap, so the last-wrap slice lands
+            # rolled by (t - sinks) % wrap — one roll re-aligns the write
+            # to page granularity (sinks are page-aligned by construction).
+            w, sk = self._wrap, self._sinks
+            n_pages_prompt = resident // self.page_size
         else:
             n_pages_prompt = -(-t // self.page_size)
         for li, (k, v) in enumerate(kvs):
             if long_ring:
-                kw = jnp.roll(k[0, :, t - w:t], t % w, axis=1)
-                vw = jnp.roll(v[0, :, t - w:t], t % w, axis=1)
+                ring_k = jnp.roll(k[0, :, t - w:t], (t - sk) % w, axis=1)
+                ring_v = jnp.roll(v[0, :, t - w:t], (t - sk) % w, axis=1)
+                if sk:
+                    kw = jnp.concatenate([k[0, :, :sk], ring_k], axis=1)
+                    vw = jnp.concatenate([v[0, :, :sk], ring_v], axis=1)
+                else:
+                    kw, vw = ring_k, ring_v
             else:
                 kw = k[0, :, :n_pages_prompt * self.page_size]
                 vw = v[0, :, :n_pages_prompt * self.page_size]
@@ -389,13 +445,12 @@ class DecodeEngine:
         sids = [req.request_id for _, req in active]
         rows_a, offs_a, tbl_a, pos_a, lens_a = (
             self.allocator.decode_step_bookkeeping(
-                sids, self.pages_per_seq,
-                self.window if self.rolling else 0)
+                sids, self.pages_per_seq, self._wrap, self._sinks)
         )
-        if self.rolling:
-            # attention covers the resident ring: the last min(len, window)
-            # tokens; rope positions stay TRUE (pos_a)
-            lens_a = np.minimum(lens_a, self.window)
+        if self._wrap:
+            # attention covers the resident set: sinks + the last
+            # min(len - sinks, wrap) tokens; rope positions stay TRUE
+            lens_a = np.minimum(lens_a, self._sinks + self._wrap)
         for i, (slot, req) in enumerate(active):
             tokens[slot] = self._slot_next_token[slot]
             positions[slot] = pos_a[i]
@@ -463,6 +518,8 @@ class DecodeEngine:
             "pages_free": free,
             "page_utilization": 1.0 - free / total,
             "rolling_window": self.window if self.rolling else 0,
+            "streaming_window": self._wrap if self.streaming else 0,
+            "attention_sinks": self._sinks,
             "kv_dtype": str(self.kv_dtype),
         }
 
@@ -528,15 +585,16 @@ class DecodeEngine:
         total_pages = self.pools.k[0].shape[1] - 1  # minus the null page
         for r in reqs:  # validate the WHOLE batch before submitting any —
             # a raise mid-loop must not leave orphaned requests queued
-            need = (self.window // self.page_size if self.rolling else
-                    -(-(len(r.prompt_tokens) + r.max_new_tokens)
-                      // self.page_size))
+            need = (
+                (self._sinks + self._wrap) // self.page_size if self._wrap
+                else -(-(len(r.prompt_tokens) + r.max_new_tokens)
+                       // self.page_size))
             if need > total_pages:
                 raise MemoryError(
                     f"request {r.request_id!r} needs {need} pages but the pool "
                     f"only has {total_pages} — raise num_pages or shrink the request"
                 )
-            if not self.rolling and need > self.pages_per_seq:
+            if not self._wrap and need > self.pages_per_seq:
                 raise ValueError(
                     f"request {r.request_id!r} needs {need} pages but page "
                     f"tables hold pages_per_seq={self.pages_per_seq} — raise "
@@ -652,11 +710,12 @@ class DecodeEngine:
                 f"{n} prompts exceed slots (target {self.num_slots}, "
                 f"draft {draft.num_slots})"
             )
-        if self.rolling or draft.rolling:
+        if self._wrap or draft._wrap:
             raise NotImplementedError(
-                "speculative decoding is incompatible with rolling "
-                "sliding-window serving (multi-token verification would "
-                "overwrite ring slots its own earlier tokens still attend)"
+                "speculative decoding is incompatible with ring-based "
+                "serving (rolling window / streaming eviction): multi-token "
+                "verification would overwrite ring slots its own earlier "
+                "tokens still attend"
             )
         if draft.page_size != self.page_size:
             raise ValueError("draft and target page sizes must match")

@@ -123,7 +123,7 @@ class PageAllocator:
         )
 
     def decode_step_bookkeeping(self, seq_ids, pages_per_seq: int,
-                                wrap_tokens: int = 0):
+                                wrap_tokens: int = 0, sink_tokens: int = 0):
         """Per-decode-step bookkeeping for a batch: grow each sequence's
         table by one token, emit (rows, offs, tables, positions, lens) and
         advance the stored lengths.  Same contract as the native allocator's
@@ -132,7 +132,10 @@ class PageAllocator:
         ``wrap_tokens`` > 0 = rolling ring of that many tokens (sliding-
         window serving): the write slot is pos % wrap (overwriting the
         oldest token), capacity never grows past the ring, and positions/
-        lens stay TRUE (callers clamp the attention length)."""
+        lens stay TRUE (callers clamp the attention length).
+        ``sink_tokens`` (with wrap) pins the FIRST sink_tokens slots
+        (StreamingLLM attention sinks): positions below it write in place,
+        later positions ring over the wrap_tokens slots after it."""
         n = len(seq_ids)
         rows = np.zeros(n, np.int32)
         offs = np.zeros(n, np.int32)
@@ -141,9 +144,15 @@ class PageAllocator:
         lens = np.zeros(n, np.int32)
         for i, sid in enumerate(seq_ids):
             pos = self.seq_lengths[sid]
-            idx = pos % wrap_tokens if wrap_tokens else pos
-            self.ensure_capacity(sid, min(pos + 1, wrap_tokens)
-                                 if wrap_tokens else pos + 1)
+            if not wrap_tokens:
+                idx = pos
+            elif pos < sink_tokens:
+                idx = pos
+            else:
+                idx = sink_tokens + (pos - sink_tokens) % wrap_tokens
+            self.ensure_capacity(
+                sid, min(pos + 1, sink_tokens + wrap_tokens)
+                if wrap_tokens else pos + 1)
             table = self.page_tables[sid]
             rows[i] = table[idx // self.page_size]
             offs[i] = idx % self.page_size

@@ -77,7 +77,7 @@ def _load_lib():
         lib.pa_decode_step.restype = ctypes.c_int32
         lib.pa_decode_step.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32] + [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32] + [
             ctypes.POINTER(ctypes.c_int32)] * 5
         lib.pa_allocate_mixed.restype = ctypes.c_int32
         lib.pa_allocate_mixed.argtypes = [
@@ -309,7 +309,7 @@ class NativePageAllocator:
         return out
 
     def decode_step_bookkeeping(self, seq_ids, pages_per_seq: int,
-                                wrap_tokens: int = 0):
+                                wrap_tokens: int = 0, sink_tokens: int = 0):
         """The per-decode-step hot path in one native call: grow tables,
         emit (rows, offs, tables, positions, lens) and advance lengths.
         ``wrap_tokens`` > 0 = rolling sliding-window ring (see the Python
@@ -320,7 +320,8 @@ class NativePageAllocator:
         the numpy-allocation + pointer-wrapping overhead (~24 µs) would
         otherwise dwarf the 4 µs native call.
         """
-        cache_key = (tuple(seq_ids), pages_per_seq, wrap_tokens)
+        cache_key = (tuple(seq_ids), pages_per_seq, wrap_tokens,
+                     sink_tokens)
         entry = self._step_cache.get(cache_key)
         if entry is None:
             n = len(seq_ids)
@@ -341,7 +342,7 @@ class NativePageAllocator:
             self._step_cache[cache_key] = entry
         _, outs, ptrs, n = entry
         rc = self._lib.pa_decode_step(
-            self._h, ptrs[0], n, pages_per_seq, wrap_tokens,
+            self._h, ptrs[0], n, pages_per_seq, wrap_tokens, sink_tokens,
             ptrs[1], ptrs[2], ptrs[3], ptrs[4], ptrs[5])
         if rc == -2:
             raise MemoryError("KV cache out of pages")

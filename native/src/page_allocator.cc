@@ -211,8 +211,12 @@ int32_t pa_lengths(Allocator* a, const int64_t* keys, int32_t n,
 // wrap_tokens > 0 = rolling ring (sliding-window serving): the write slot
 // is pos % wrap, capacity never grows past the ring, positions/lens stay
 // TRUE (the engine clamps the attention length to the window).
+// sink_tokens (with wrap) pins the FIRST sink_tokens slots (StreamingLLM
+// attention sinks): positions below it write in place, later positions
+// ring over the wrap_tokens slots after it.
 int32_t pa_decode_step(Allocator* a, const int64_t* keys, int32_t n,
                        int32_t pages_per_seq, int32_t wrap_tokens,
+                       int32_t sink_tokens,
                        int32_t* rows, int32_t* offs,
                        int32_t* tbl, int32_t* positions, int32_t* lens) {
   for (int32_t i = 0; i < n; ++i) {
@@ -220,9 +224,12 @@ int32_t pa_decode_step(Allocator* a, const int64_t* keys, int32_t n,
     auto tit = a->tables.find(keys[i]);
     if (lit == a->lengths.end() || tit == a->tables.end()) return -1;
     int64_t pos = lit->second;
-    int64_t idx = wrap_tokens > 0 ? pos % wrap_tokens : pos;
+    int64_t idx = pos;
+    if (wrap_tokens > 0 && pos >= sink_tokens)
+      idx = sink_tokens + (pos - sink_tokens) % wrap_tokens;
     int64_t cap = pos + 1;
-    if (wrap_tokens > 0 && cap > wrap_tokens) cap = wrap_tokens;
+    int64_t cap_max = wrap_tokens + sink_tokens;
+    if (wrap_tokens > 0 && cap > cap_max) cap = cap_max;
     int64_t need = (cap + a->page_size - 1) / a->page_size;
     auto& table = tit->second;
     while (static_cast<int64_t>(table.size()) < need) {

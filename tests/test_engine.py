@@ -328,3 +328,54 @@ def test_engine_stats_snapshot(params):
     assert s1["tokens_generated"] >= 2
     assert s1["pages_free"] == 15  # fully reclaimed
     assert 0.0 < s1["page_utilization"] < 1.0 or s1["pages_free"] == 15
+
+
+def test_streaming_sinks_exact_until_eviction(params):
+    """StreamingLLM serving (sinks + recent ring) on a FULL-attention
+    model: outputs are EXACT while len <= sinks+window (nothing evicted
+    yet), stay finite and bounded-memory beyond it."""
+    eng = DecodeEngine(
+        params, CFG, num_pages=8, page_size=128, num_slots=1,
+        pages_per_seq=4, kv_dtype=jnp.float32,
+        streaming_window=128, attention_sinks=128,
+    )
+    assert eng.streaming and eng.pages_per_seq == 2
+    prompt = list(np.random.default_rng(8).integers(0, 256, 200))
+    n_new = 20  # 200 + 20 < 256 = sinks + window: exact regime
+    got = eng.generate([prompt], max_new_tokens=n_new)[0]
+    ctx = list(prompt)
+    want = []
+    for _ in range(n_new):
+        logits = forward(params, jnp.asarray([ctx], jnp.int32), CFG)
+        nxt = int(jnp.argmax(logits[0, len(ctx) - 1]))
+        want.append(nxt)
+        ctx.append(nxt)
+    assert got == want
+    s = eng.stats()
+    assert s["attention_sinks"] == 128 and s["streaming_window"] == 128
+    assert s["pages_free"] == 7  # reclaimed: 2 resident pages per seq
+
+    # beyond the resident set: approximation regime — finite tokens,
+    # memory still bounded at 2 pages/sequence
+    long_prompt = list(np.random.default_rng(9).integers(0, 256, 300))
+    out = eng.generate([long_prompt], max_new_tokens=8)[0]
+    assert len(out) == 8 and all(0 <= t < 256 for t in out)
+    assert len(eng.allocator.free_pages) == 7
+
+
+def test_streaming_sinks_guards(params):
+    import dataclasses
+
+    with pytest.raises(ValueError, match="aligned"):
+        DecodeEngine(params, CFG, num_pages=8, page_size=128, num_slots=1,
+                     pages_per_seq=4, kv_dtype=jnp.float32,
+                     streaming_window=100)
+    with pytest.raises(ValueError, match="requires streaming_window"):
+        DecodeEngine(params, CFG, num_pages=8, page_size=128, num_slots=1,
+                     pages_per_seq=4, kv_dtype=jnp.float32,
+                     attention_sinks=128)
+    cfg_w = dataclasses.replace(CFG, window=128)
+    with pytest.raises(ValueError, match="full-attention"):
+        DecodeEngine(params, cfg_w, num_pages=8, page_size=128, num_slots=1,
+                     pages_per_seq=4, kv_dtype=jnp.float32,
+                     streaming_window=128)
