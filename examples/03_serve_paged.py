@@ -55,6 +55,28 @@ def main():
         prompts[:1], draft=draft, gamma=3, max_new_tokens=6)
     print("speculative:", out)
 
+    # Bounded-memory serving: a sliding-window model gets an EXACT rolling
+    # KV ring (window/page_size pages per sequence, whatever the context);
+    # a full-attention model can opt into StreamingLLM sinks+ring — an
+    # APPROXIMATION that is exact until a sequence outgrows sinks+window.
+    import dataclasses
+
+    cfg_w = dataclasses.replace(cfg, window=128)
+    params_w = init_params(jax.random.PRNGKey(0), cfg_w)
+    ring = DecodeEngine(params_w, cfg_w, num_pages=8, page_size=128,
+                        num_slots=2, pages_per_seq=4,
+                        kv_dtype=jnp.float32)
+    print("rolling-window ring:", ring.rolling,
+          "pages/seq:", ring.pages_per_seq,
+          "->", ring.generate(prompts[:1], max_new_tokens=5))
+    stream_eng = DecodeEngine(params, cfg, num_pages=8, page_size=128,
+                              num_slots=2, pages_per_seq=4,
+                              kv_dtype=jnp.float32,
+                              streaming_window=128, attention_sinks=128)
+    print("streaming sinks:", stream_eng.generate(
+        prompts[:1], max_new_tokens=5), stream_eng.stats()["pages_free"],
+        "pages free")
+
 
 if __name__ == "__main__":
     main()

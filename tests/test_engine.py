@@ -379,3 +379,21 @@ def test_streaming_sinks_guards(params):
         DecodeEngine(params, cfg_w, num_pages=8, page_size=128, num_slots=1,
                      pages_per_seq=4, kv_dtype=jnp.float32,
                      streaming_window=128)
+
+
+def test_rolling_window_with_int8_kv():
+    """Rolling ring + quantized KV: the per-token int8 scatter lands at the
+    ring slots; tokens track the fp32 rolling engine closely."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, window=128)
+    params = init_params(jax.random.PRNGKey(4), cfg)
+    prompt = list(np.random.default_rng(5).integers(0, 256, 120))
+    kw = dict(num_pages=8, page_size=128, num_slots=1, pages_per_seq=4)
+    fp = DecodeEngine(params, cfg, kv_dtype=jnp.float32, **kw)
+    q8 = DecodeEngine(params, cfg, kv_dtype=jnp.int8, quantized_kv=True,
+                      **kw)
+    assert fp.rolling and q8.rolling
+    t_fp = fp.generate([prompt], max_new_tokens=12)[0]
+    t_q8 = q8.generate([prompt], max_new_tokens=12)[0]
+    assert t_fp[:4] == t_q8[:4]  # tail may diverge once an argmax flips
