@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+", default=[8, 32])
     ap.add_argument("--kv", nargs="+", default=["bf16", "int8"],
                     choices=["bf16", "int8", "int4"])
+    ap.add_argument("--window", type=int, default=0,
+                    help=">0: sliding-window model served from the exact "
+                         "rolling KV ring (O(window) memory)")
     ap.add_argument("--page-size", type=int, default=128)
     ap.add_argument("--out", default="bench_out/serving.json")
     args = ap.parse_args()
@@ -48,7 +51,7 @@ def main():
         vocab_size=args.vocab, d_model=args.d_model, n_layers=args.layers,
         n_q_heads=args.q_heads, n_kv_heads=args.kv_heads,
         head_dim=args.head_dim, d_ff=args.d_ff, dtype=jnp.bfloat16,
-        remat=False,
+        remat=False, window=args.window,
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
     n_params = sum(p.size for p in jax.tree.leaves(params))
@@ -94,6 +97,8 @@ def main():
             toks = steps * b
             row = {
                 "kv": kv, "batch": b, "ctx": args.ctx,
+                "rolling": bool(getattr(eng, "rolling", False)),
+                "pages_per_seq": eng.pages_per_seq,
                 "tokens_per_s": toks / dt,
                 "ms_per_step": dt / max(1, steps) * 1e3,
             }
