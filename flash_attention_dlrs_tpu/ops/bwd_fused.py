@@ -128,8 +128,10 @@ def _bwd_fused_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        # Packed stat layout (layout.py): [block_q/128, 128] -> [block_q, 1].
-        lse = layout.lanes_to_column(lse_ref[0, 0])
+        # Grouped packed stat layout (layout.py): the block's dense
+        # block_q/128 rows of the stat_rows-tall tile -> [block_q, 1].
+        _kk = block_q // geo.NUM_LANES
+        lse = layout.lanes_to_column(lse_ref[0, 0, :_kk, :])
         # D inline (≙ src/flash_attention_kernels.py:120-166): one [bq, d]
         # VPU mul+rowsum per block pair, in exchange for dropping the
         # separate D kernel and the [Nq, 128] f32 dpre pane's HBM traffic.
@@ -143,7 +145,8 @@ def _bwd_fused_kernel(
             causal=causal, kv_len=kv_len,
             block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
             window=window, softcap=softcap,
-            qseg=None if qseg_ref is None else qseg_ref[0],
+            qseg=None if qseg_ref is None
+            else layout.lanes_to_column(qseg_ref[0, :_kk, :]),
             kvseg=None if kvseg_ref is None else kvseg_ref[0],
             q_off=q_off,
             slope=None if slope_ref is None else slope_ref[0, 0],
@@ -367,29 +370,30 @@ def bwd_fused_pallas(
     q_spec = pl.BlockSpec((1, 1, block_q, head_dim), q_index)
     kv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), kv_index)
     stat_spec = pl.BlockSpec(
-        (1, 1, block_q // geo.NUM_LANES, geo.NUM_LANES), q_index
+        (1, 1, layout.stat_rows(block_q), geo.NUM_LANES), q_index
     )
     dkv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), dkv_index)
     dq_spec = pl.BlockSpec((1, 1, n_q, head_dim), dq_index)
     in_specs = [q_spec, kv_spec, kv_spec, q_spec, q_spec, stat_spec]
     inputs = [q, k, v, o, do, lse]
     if q_seg is not None:
-        qseg_rep = jnp.broadcast_to(
-            q_seg.astype(jnp.int32)[:, :, None], (batch, n_q, geo.NUM_LANES)
-        )
+        # Grouped packed q seg ids (layout.py; same grouping as the stats).
+        qseg_packed = layout.pack_stat_grouped(
+            q_seg.astype(jnp.int32)[:, None, :], block_q
+        )[:, 0]
         kvseg_rep = jnp.broadcast_to(
             kv_seg.astype(jnp.int32)[:, None, :],
             (batch, geo.NUM_SUBLANES, n_kv),
         )
         in_specs.append(pl.BlockSpec(
-            (1, block_q, geo.NUM_LANES),
+            (1, layout.stat_rows(block_q), geo.NUM_LANES),
             lambda *idx: (idx[0], q_index(*idx)[2], 0),
         ))
         in_specs.append(pl.BlockSpec(
             (1, geo.NUM_SUBLANES, block_kv),
             lambda *idx: (idx[0], 0, kv_index(*idx)[2]),
         ))
-        inputs += [qseg_rep, kvseg_rep]
+        inputs += [qseg_packed, kvseg_rep]
     if alibi_slopes is not None:
         in_specs.append(slope_block_spec())
         inputs.append(slope_input(alibi_slopes, num_q_heads))

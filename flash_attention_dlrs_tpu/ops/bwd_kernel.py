@@ -60,25 +60,30 @@ def _bwd_d_kernel(o_ref, do_ref, d_ref):
     o = o_ref[0, 0].astype(jnp.float32)
     do = do_ref[0, 0].astype(jnp.float32)
     d = jnp.sum(o * do, axis=-1, keepdims=True)  # [block_q, 1]
-    d_ref[0, 0] = layout.column_to_lanes(d)
+    k = o_ref.shape[2] // geo.NUM_LANES  # dense stat rows of this q block
+    d_ref[0, 0, :k, :] = layout.column_to_lanes(d)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
 def bwd_d_pallas(o, do, *, block_q: int, interpret: bool = False):
-    """D = rowsum(O ∘ dO), fp32, packed [B, H, Nq/128, 128] (layout.py)."""
+    """D = rowsum(O ∘ dO), fp32, GROUPED packed stat layout (layout.py):
+    [B, H, (Nq/block_q)·stat_rows, 128], the same block_q grouping the
+    consuming dKV/dQ kernels read."""
     batch, heads, n_q, head_dim = o.shape
     grid = (batch, heads, n_q // block_q)
+    s_rows = layout.stat_rows(block_q)
     spec = pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i: (b, h, i, 0))
     return pl.pallas_call(
         _bwd_d_kernel,
         grid=grid,
         in_specs=[spec, spec],
         out_specs=pl.BlockSpec(
-            (1, 1, block_q // geo.NUM_LANES, geo.NUM_LANES),
+            (1, 1, s_rows, geo.NUM_LANES),
             lambda b, h, i: (b, h, i, 0),
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (batch, heads, n_q // geo.NUM_LANES, geo.NUM_LANES), jnp.float32
+            (batch, heads, (n_q // block_q) * s_rows, geo.NUM_LANES),
+            jnp.float32,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
@@ -194,7 +199,7 @@ def _bwd_dkv_kernel(
     do_ref,
     lse_ref,
     dpre_ref,
-    qseg_ref,  # [1, block_q, LANES] int32 or None
+    qseg_ref,  # [1, block_q // LANES, LANES] int32 packed (flat = q rows) or None
     kvseg_ref,  # [1, SUBLANES, block_kv] int32 or None
     slope_ref,  # [1, LANES] fp32 per-head ALiBi slope (m·log2e), or None
     seed_ref,  # [1, LANES] int32 dropout seed, or None
@@ -256,16 +261,21 @@ def _bwd_dkv_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        # Packed stat layout (layout.py): [block_q/128, 128] -> [block_q, 1].
-        lse = layout.lanes_to_column(lse_ref[0, 0])
-        dpre = layout.lanes_to_column(dpre_ref[0, 0])
+        # Grouped packed stat layout (layout.py): the block's dense
+        # block_q/128 rows of the stat_rows-tall tile -> [block_q, 1].
+        _k = block_q // geo.NUM_LANES
+        lse = layout.lanes_to_column(lse_ref[0, 0, :_k, :])
+        dpre = layout.lanes_to_column(dpre_ref[0, 0, :_k, :])
 
         p, grad_cap = _recompute_p(
             q, k, lse, iq, jkv,
             causal=causal, kv_len=kv_len,
             block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
             window=window, softcap=softcap,
-            qseg=None if qseg_ref is None else qseg_ref[0],
+            # Packed q seg ids -> [block_q, 1] column (same relayout as the
+            # stats above; only runs on mask-applying steps).
+            qseg=None if qseg_ref is None
+            else layout.lanes_to_column(qseg_ref[0]),
             kvseg=None if kvseg_ref is None else kvseg_ref[0],
             q_off=q_off,
             slope=None if slope_ref is None else slope_ref[0, 0],
@@ -413,28 +423,31 @@ def bwd_dkv_pallas(
     q_spec = pl.BlockSpec((1, 1, block_q, head_dim), q_index)
     kv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), kv_index)
     stat_spec = pl.BlockSpec(
-        (1, 1, block_q // geo.NUM_LANES, geo.NUM_LANES), q_index
+        (1, 1, layout.stat_rows(block_q), geo.NUM_LANES), q_index
     )
     dkv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), dkv_index)
     in_specs = [q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec]
     inputs = [q, k, v, do, lse, dpre]
     if q_seg is not None:
-        qseg_rep = jnp.broadcast_to(
-            q_seg.astype(jnp.int32)[:, :, None], (batch, n_q, geo.NUM_LANES)
-        )
+        # Grouped packed q seg ids (layout.py; same grouping as the stats) —
+        # >= 16x less HBM traffic than the round-1 lane replication.  kv
+        # stays sublane-replicated (8x only; the kernel wants a row).
+        qseg_packed = layout.pack_stat_grouped(
+            q_seg.astype(jnp.int32)[:, None, :], block_q
+        )[:, 0]
         kvseg_rep = jnp.broadcast_to(
             kv_seg.astype(jnp.int32)[:, None, :],
             (batch, geo.NUM_SUBLANES, n_kv),
         )
         in_specs.append(pl.BlockSpec(
-            (1, block_q, geo.NUM_LANES),
+            (1, layout.stat_rows(block_q), geo.NUM_LANES),
             lambda *idx: (idx[0], q_index(*idx)[2], 0),
         ))
         in_specs.append(pl.BlockSpec(
             (1, geo.NUM_SUBLANES, block_kv),
             lambda *idx: (idx[0], 0, kv_index(*idx)[2]),
         ))
-        inputs += [qseg_rep, kvseg_rep]
+        inputs += [qseg_packed, kvseg_rep]
     if alibi_slopes is not None:
         in_specs.append(slope_block_spec())
         inputs.append(slope_input(alibi_slopes, num_q_heads))
@@ -539,15 +552,19 @@ def _bwd_dq_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse = layout.lanes_to_column(lse_ref[0, 0])
-        dpre = layout.lanes_to_column(dpre_ref[0, 0])
+        # Grouped packed stat layout (layout.py): the block's dense
+        # block_q/128 rows of the stat_rows-tall tile -> [block_q, 1].
+        _k = block_q // geo.NUM_LANES
+        lse = layout.lanes_to_column(lse_ref[0, 0, :_k, :])
+        dpre = layout.lanes_to_column(dpre_ref[0, 0, :_k, :])
 
         p, grad_cap = _recompute_p(
             q, k, lse, iq, jkv,
             causal=causal, kv_len=kv_len,
             block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
             window=window, softcap=softcap,
-            qseg=None if qseg_ref is None else qseg_ref[0],
+            qseg=None if qseg_ref is None
+            else layout.lanes_to_column(qseg_ref[0, :_k, :]),
             kvseg=None if kvseg_ref is None else kvseg_ref[0],
             q_off=q_off,
             slope=None if slope_ref is None else slope_ref[0, 0],
@@ -665,27 +682,28 @@ def bwd_dq_pallas(
     q_spec = pl.BlockSpec((1, 1, block_q, head_dim), q_index)
     kv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), kv_index)
     stat_spec = pl.BlockSpec(
-        (1, 1, block_q // geo.NUM_LANES, geo.NUM_LANES), q_index
+        (1, 1, layout.stat_rows(block_q), geo.NUM_LANES), q_index
     )
     in_specs = [q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec]
     inputs = [q, k, v, do, lse, dpre]
     if q_seg is not None:
-        qseg_rep = jnp.broadcast_to(
-            q_seg.astype(jnp.int32)[:, :, None], (batch, n_q, geo.NUM_LANES)
-        )
+        # Grouped packed q seg ids (layout.py; same grouping as the stats).
+        qseg_packed = layout.pack_stat_grouped(
+            q_seg.astype(jnp.int32)[:, None, :], block_q
+        )[:, 0]
         kvseg_rep = jnp.broadcast_to(
             kv_seg.astype(jnp.int32)[:, None, :],
             (batch, geo.NUM_SUBLANES, n_kv),
         )
         in_specs.append(pl.BlockSpec(
-            (1, block_q, geo.NUM_LANES),
+            (1, layout.stat_rows(block_q), geo.NUM_LANES),
             lambda *idx: (idx[0], q_index(*idx)[2], 0),
         ))
         in_specs.append(pl.BlockSpec(
             (1, geo.NUM_SUBLANES, block_kv),
             lambda *idx: (idx[0], 0, kv_index(*idx)[2]),
         ))
-        inputs += [qseg_rep, kvseg_rep]
+        inputs += [qseg_packed, kvseg_rep]
     if alibi_slopes is not None:
         in_specs.append(slope_block_spec())
         inputs.append(slope_input(alibi_slopes, num_q_heads))

@@ -39,13 +39,20 @@ from . import layout
 
 
 def _pack_stat_padded(stat, block):
-    """[B, H, L] stat -> packed [B, H, n/128, 128] (layout.py), with L padded
-    up to a multiple of ``block`` (callers pass the q block size, always a
-    multiple of 128).  The reshape is contiguous — the only data movement is
-    the small fp32 pad, 128x less HBM traffic than the round-1
-    lane-replicated broadcast."""
+    """[B, H, L] stat -> PLAIN packed [B, H, n/128, 128] (layout.py), with L
+    padded up to a multiple of ``block``.  Only for the one-shot mid/small
+    kernels whose stat BlockSpec covers the whole packed-row axis (Mosaic's
+    full-array-dim exception); the blocked kernels use the grouped form."""
     stat_p, _ = pad_axis_to(stat.astype(jnp.float32), 2, block)
     return layout.pack_stat(stat_p)
+
+
+def _pack_stat_grouped_padded(stat, block_q):
+    """[B, H, L] stat -> GROUPED packed layout for the blocked kernels
+    (layout.pack_stat_grouped), with L padded up to a multiple of
+    ``block_q`` first."""
+    stat_p, _ = pad_axis_to(stat.astype(jnp.float32), 2, block_q)
+    return layout.pack_stat_grouped(stat_p, block_q)
 
 
 class SegmentIds(NamedTuple):
@@ -408,7 +415,14 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, alibi,
             alibi_slopes=alibi, dropout_rate=rate,
         )
     if save_residuals:
-        lse_u = layout.unpack_stat(lse)[:, :, :q_len]
+        # Small path emits the plain packed layout (full-n stat block);
+        # the blocked path emits the grouped layout keyed by its block_q.
+        if small:
+            lse_u = layout.unpack_stat(lse)[:, :, :q_len]
+        else:
+            lse_u = layout.unpack_stat_grouped(
+                lse, bs.block_q
+            )[:, :, :q_len]
         if alibi is not None:
             # Kernels run the separable form; publish the true logsumexp.
             lse_u = _alibi_lse_shift(lse_u, alibi, q_len, kv_len - q_len, -1.0)
@@ -658,8 +672,9 @@ def _backward_unpartitioned(
     if d_pad != d:
         op, _ = pad_axis_to(op, 3, d_pad)
         dop, _ = pad_axis_to(dop, 3, d_pad)
-    # Stats arrive [B, H, Nq]; pad and pack to [B, H, Nq_pad/128, 128].
-    lse_pk = _pack_stat_padded(lse, bq)
+    # Stats arrive [B, H, Nq]; pad and pack to the grouped layout the
+    # blocked backward kernels read (layout.py).
+    lse_pk = _pack_stat_grouped_padded(lse, bq)
 
     # Fused single-sweep backward (5 matmuls per block pair, D inline)
     # whenever the pane-resident dQ buffer fits VMEM; two-sweep kernels
@@ -730,7 +745,7 @@ def _backward_fused_segmented(q, k, v, o, do, lse, seg_n, *, sm_scale,
         if qp.shape[-1] != d:
             op, _ = pad_axis_to(op, 3, qp.shape[-1])
             dop, _ = pad_axis_to(dop, 3, qp.shape[-1])
-        lse_pk = _pack_stat_padded(lse_s, bq)
+        lse_pk = _pack_stat_grouped_padded(lse_s, bq)
         dq_s, dk_p, dv_p = bwd_fused.bwd_fused_pallas(
             qp, kp, vp, op, dop, lse_pk, None, None, seed,
             sm_scale=sm_scale, causal=True, window=0, softcap=softcap,

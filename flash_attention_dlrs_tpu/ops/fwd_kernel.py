@@ -165,7 +165,7 @@ def _fwd_kernel(
     q_ref,
     k_ref,
     v_ref,
-    qseg_ref,  # [1, block_q, LANES] int32, or None (unpacked)
+    qseg_ref,  # [1, stat_rows(block_q), LANES] int32 grouped-packed, or None
     kvseg_ref,  # [1, SUBLANES, block_kv] int32, or None
     slope_ref,  # [1, LANES] fp32 per-head ALiBi slope (base-2), or None
     seed_ref,  # [1, LANES] int32 dropout seed, or None
@@ -277,7 +277,14 @@ def _fwd_kernel(
                 lm = (col + ikv * block_kv) < kv_len
                 mask = lm if mask is None else jnp.logical_and(mask, lm)
             if qseg_ref is not None:
-                seg = qseg_ref[0][:, :1] == kvseg_ref[0][:1, :]  # [bq, bkv]
+                # Grouped packed q seg ids: first block_q/128 rows of the
+                # stat_rows-tall tile -> [block_q, 1] column (one VPU
+                # identity-mask reduce per 128 rows; only on mask-applying
+                # blocks, which with segments is every block).
+                qcol = layout.lanes_to_column(
+                    qseg_ref[0, : block_q // geo.NUM_LANES, :]
+                )
+                seg = qcol == kvseg_ref[0][:1, :]  # [bq, bkv]
                 mask = seg if mask is None else jnp.logical_and(mask, seg)
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
@@ -430,11 +437,14 @@ def _fwd_kernel(
         if lse_ref is not None:
             # m is in base-2 units (scores were pre-scaled by log2e); the
             # residual stays natural-base: L = ln2·m₂ + ln(l₂).  Written in
-            # the packed [block_q/128, 128] layout (see layout.py) — dense,
-            # not lane-replicated.
+            # the GROUPED packed layout (layout.py): the block's k =
+            # block_q/128 dense stat rows, the remaining stat_rows−k sublanes
+            # are Mosaic tile padding left untouched.
             lse = LN2 * m + jnp.log(jnp.where(l == 0.0, 1.0, l))
             lse = jnp.where(l == 0.0, DEFAULT_MASK_VALUE, lse)
-            lse_ref[0, 0] = layout.column_to_lanes(lse)
+            lse_ref[0, 0, : block_q // geo.NUM_LANES, :] = (
+                layout.column_to_lanes(lse)
+            )
 
 
 @functools.partial(
@@ -601,18 +611,21 @@ def fwd_pallas(
     in_specs = [q_spec, kv_spec, kv_spec]
     inputs = [q, k, v]
     if segmented:
-        # Lane-replicated q segments / sublane-replicated kv segments so the
-        # in-kernel compare broadcasts without a transpose.
-        qseg_rep = jnp.broadcast_to(
-            q_seg.astype(jnp.int32)[:, :, None], (batch, n_q, geo.NUM_LANES)
-        )
+        # GROUPED packed q segments (layout.py): per-q-block groups of
+        # block_q/128 dense rows padded to a Mosaic-legal sublane multiple —
+        # >= 16x less HBM traffic than the round-1 lane replication.  kv
+        # segments stay sublane-replicated (8x only, and the kernel needs
+        # them as a [1, block_kv] row).
+        qseg_packed = layout.pack_stat_grouped(
+            q_seg.astype(jnp.int32)[:, None, :], block_q
+        )[:, 0]
         kvseg_rep = jnp.broadcast_to(
             kv_seg.astype(jnp.int32)[:, None, :],
             (batch, geo.NUM_SUBLANES, n_kv),
         )
         in_specs.append(
             pl.BlockSpec(
-                (1, block_q, geo.NUM_LANES),
+                (1, layout.stat_rows(block_q), geo.NUM_LANES),
                 lambda *idx: (idx[0], q_index(*idx)[2], 0),
             )
         )
@@ -622,7 +635,7 @@ def fwd_pallas(
                 lambda *idx: (idx[0], 0, kv_index(*idx)[2]),
             )
         )
-        inputs += [qseg_rep, kvseg_rep]
+        inputs += [qseg_packed, kvseg_rep]
     if alibi_slopes is not None:
         in_specs.append(slope_block_spec())
         inputs.append(slope_input(alibi_slopes, num_q_heads))
@@ -633,18 +646,22 @@ def fwd_pallas(
     out_specs = [o_spec]
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
     if save_residuals:
-        # Packed stat layout (layout.py): one dense 128-lane row per 128 q
-        # rows, [B, H, n_q/128, 128] — q_index block arithmetic carries over
-        # unchanged because index maps are in block units.
+        # GROUPED packed stat layout (layout.py): per-q-block groups of
+        # block_q/128 dense 128-lane rows padded to stat_rows sublanes
+        # (Mosaic rejects sub-8 sublane block dims) — q_index block
+        # arithmetic carries over unchanged because index maps are in block
+        # units.
+        s_rows = layout.stat_rows(block_q)
         out_specs.append(
             pl.BlockSpec(
-                (1, 1, block_q // geo.NUM_LANES, geo.NUM_LANES),
+                (1, 1, s_rows, geo.NUM_LANES),
                 lambda *idx: q_index(*idx),
             )
         )
         out_shape.append(
             jax.ShapeDtypeStruct(
-                (batch, num_q_heads, n_q // geo.NUM_LANES, geo.NUM_LANES),
+                (batch, num_q_heads, (n_q // block_q) * s_rows,
+                 geo.NUM_LANES),
                 jnp.float32,
             )
         )

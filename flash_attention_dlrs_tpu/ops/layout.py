@@ -75,7 +75,11 @@ def lanes_to_column(pane):
 def pack_stat(x):
     """Host side: [B, H, n] (n % 128 == 0) -> packed [B, H, n/128, 128].
 
-    Contiguous reshape — no data movement."""
+    Contiguous reshape — no data movement.  ONLY legal for kernels whose
+    stat BlockSpec covers the whole packed-row axis (the one-shot small/mid
+    routes): Mosaic requires a block's sublane dim to be a multiple of 8 OR
+    equal to the full array dim.  Blocked kernels use the grouped form below.
+    """
     b, h, n = x.shape
     return x.reshape(b, h, n // _L, _L)
 
@@ -84,3 +88,47 @@ def unpack_stat(x):
     """Host side: packed [B, H, n/128, 128] -> [B, H, n]."""
     b, h, r, l = x.shape
     return x.reshape(b, h, r * l)
+
+
+def stat_rows(block_q: int) -> int:
+    """Sublane rows one q block's stats occupy in the GROUPED layout.
+
+    A q block owns k = block_q/128 packed stat rows, but a Mosaic block
+    mapping needs its sublane dim to be a multiple of NUM_SUBLANES (8) —
+    measured on hardware: (1, 1, 4, 128) blocks over a [B, H, n/128, 128]
+    array are rejected by the Pallas TPU lowering.  So each q block's group
+    is padded up to s = max(k, 8) rows; k >= 8 (block_q >= 1024) is already
+    a multiple of 8 because block sizes are multiples of MIN_BLOCK=128...
+    1024-divisibility: k in {8,16,32,...} only when block_q is a power-of-two
+    multiple of 1024 — enforced by the assert below for anything larger."""
+    k = block_q // _L
+    s = max(k, geo.NUM_SUBLANES)
+    assert s % geo.NUM_SUBLANES == 0, (
+        f"block_q={block_q}: stat group of {k} rows is not sublane-tileable"
+    )
+    return s
+
+
+def pack_stat_grouped(x, block_q: int):
+    """Host side: [B, H, n] (n % block_q == 0) -> [B, H, (n/block_q)*s, 128]
+    with each q block's k = block_q/128 stat rows padded to s = stat_rows
+    sublanes.  Row-major flattening of group g's first k rows is that block's
+    stat vector; rows k..s are padding the kernels never read.  Amplification
+    is s/k = max(1024/block_q, 1) — 1x at block_q >= 1024, <= 8x at the
+    128 minimum, vs the 128x round-1 lane replication."""
+    b, h, n = x.shape
+    k = block_q // _L
+    s = stat_rows(block_q)
+    g = x.reshape(b, h, n // block_q, k, _L)
+    if s != k:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, s - k), (0, 0)))
+    return g.reshape(b, h, (n // block_q) * s, _L)
+
+
+def unpack_stat_grouped(x, block_q: int):
+    """Host side: grouped [B, H, (n/block_q)*s, 128] -> [B, H, n]."""
+    b, h, rows, l = x.shape
+    k = block_q // _L
+    s = stat_rows(block_q)
+    g = x.reshape(b, h, rows // s, s, l)[:, :, :, :k, :]
+    return g.reshape(b, h, (rows // s) * block_q)

@@ -26,7 +26,7 @@ k = jax.random.normal(keys[1], (b, h, n, d), jnp.bfloat16)
 v = jax.random.normal(keys[2], (b, h, n, d), jnp.bfloat16)
 do = jax.random.normal(keys[3], (b, h, n, d), jnp.bfloat16)
 o, lse = flash_attention_forward(q, k, v, causal=True)
-lse_pk = layout.pack_stat(lse.astype(jnp.float32))
+lse_pk = layout.pack_stat_grouped(lse.astype(jnp.float32), bq)
 
 sm = float(d) ** -0.5
 
