@@ -521,31 +521,65 @@ def paged_decode_attention(
     if quantized:
         k_vals, k_sc = k_pages.values, k_pages.scales
         v_vals, v_sc = v_pages.values, v_pages.scales
-        # scales arrive [Hkv, P, page_size, 1] → lane-friendly [Hkv, P, 1, ps]
+    else:
+        k_vals, v_vals = k_pages, v_pages
+        k_sc = v_sc = None
+    num_kv_heads = k_vals.shape[0]
+    if num_q_heads % num_kv_heads:
+        raise ValueError(
+            f"num_q_heads ({num_q_heads}) must divide by num_kv_heads ({num_kv_heads})"
+        )
+    if sm_scale is None:
+        sm_scale = float(head_dim) ** -0.5
+    if interpret is None:
+        interpret = default_interpret()
+    statics = dict(
+        sm_scale=float(sm_scale), pages_per_block=pages_per_block,
+        int4=int4, return_lse=return_lse, softcap=float(logit_softcap),
+        interpret=bool(interpret),
+    )
+    from . import partitioning
+
+    if alibi_slopes is not None or not partitioning.ENABLED:
+        # ALiBi slopes are static and indexed by LOCAL head id — bypass the
+        # partitioning wrapper (same head-replication rule as training).
+        return _paged_decode_local(
+            q, k_vals, v_vals, k_sc, v_sc, lengths, page_indices,
+            alibi_slopes=alibi_slopes, **statics,
+        )
+    cp = partitioning.partitioned_paged_decode(
+        has_scales=quantized, **statics
+    )
+    scales = (k_sc, v_sc) if quantized else ()
+    return cp(q, k_vals, v_vals, *scales, lengths, page_indices)
+
+
+def _paged_decode_local(q, k_vals, v_vals, k_sc, v_sc, lengths,
+                        page_indices, *, sm_scale, pages_per_block, int4,
+                        return_lse, softcap, interpret, alibi_slopes=None):
+    """Single-device paged decode on raw payload/scale arrays (the impl the
+    GSPMD wrapper partitions; must trace const-free — no jnp.array of host
+    data in here).  Scales arrive [Hkv, P, page_size(*2 for int4), 1] or
+    None for unquantized pools."""
+    batch, num_q_heads, head_dim = q.shape
+    quantized = k_sc is not None
+    if quantized:
+        # scales arrive [Hkv, P, ps, 1] → lane-friendly [Hkv, P, 1, ps]
         k_sc = jnp.swapaxes(k_sc, -1, -2).astype(jnp.float32)
         v_sc = jnp.swapaxes(v_sc, -1, -2).astype(jnp.float32)
     else:
-        k_vals, v_vals = k_pages, v_pages
         hkv, p, ps, _ = k_vals.shape
         k_sc = jnp.ones((hkv, p, 1, ps), jnp.float32)
         v_sc = k_sc
 
     num_kv_heads, _, page_size, d_pool = k_vals.shape
-    if num_q_heads % num_kv_heads:
-        raise ValueError(
-            f"num_q_heads ({num_q_heads}) must divide by num_kv_heads ({num_kv_heads})"
-        )
     group = num_q_heads // num_kv_heads
     group_pad = max(geo.NUM_SUBLANES, group)
-    if sm_scale is None:
-        sm_scale = float(head_dim) ** -0.5
     # Pools carry a lane-padded head dim (Mosaic page-DMA alignment); pad q
     # to match and slice the output back.  Zero-padded K columns add zero to
     # the scores; zero-padded V columns are sliced off below.
     if head_dim != d_pool:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, d_pool - head_dim)))
-    if interpret is None:
-        interpret = default_interpret()
 
     pages_per_seq = page_indices.shape[1]
     if pages_per_block is None:
@@ -569,7 +603,7 @@ def paged_decode_attention(
                     group_pad),
         sm_scale=float(sm_scale), pages_per_block=pages_per_block,
         quantized=quantized, interpret=bool(interpret),
-        return_lse=return_lse, int4=int4, softcap=float(logit_softcap),
+        return_lse=return_lse, int4=int4, softcap=float(softcap),
     )
     if return_lse:
         o, lse = res

@@ -754,8 +754,13 @@ def _backward_fused_segmented(q, k, v, o, do, lse, seg_n, *, sm_scale,
             drop_row_off=s0,
         )
         dq_parts.append(dq_s[:, :, :q_len, :d_full])
-        dk_tot = dk_tot.at[:, :, :kv_len, :].add(dk_p[:, :, :kv_len, :d_full])
-        dv_tot = dv_tot.at[:, :, :kv_len, :].add(dv_p[:, :, :kv_len, :d_full])
+        # Plain pad+add, NOT .at[].add: scatter-add embeds an empty int32
+        # index array as a trace-time constant, and custom_partitioning
+        # rejects impls whose jaxpr captures consts (this is the only
+        # .at[] on the partitioned backward path).
+        pad_n = ((0, 0), (0, 0), (0, n - kv_len), (0, 0))
+        dk_tot = dk_tot + jnp.pad(dk_p[:, :, :kv_len, :d_full], pad_n)
+        dv_tot = dv_tot + jnp.pad(dv_p[:, :, :kv_len, :d_full], pad_n)
         s0 = s1
     dq = jnp.concatenate(dq_parts, axis=2)
     dk, dv = dk_tot, dv_tot

@@ -352,3 +352,109 @@ def partitioned_backward_public(causal, sm_scale, window, softcap, alibi,
 
     return _make_backward_cp(local_impl, alibi is None, rate, has_seg,
                              has_seed)
+
+
+# ---------------------------------------------------------------------------
+# Paged decode attention (serving path)
+# ---------------------------------------------------------------------------
+
+
+def _decode_plan(mesh, q_info, k_info):
+    """(b_ax, h_ax) for paged decode: batch from q's dim-0 spec; kv-head
+    from the pool's dim-0 (falling back to q's dim-1) when the axis size
+    divides both head counts.  Page-pool/page/head_dim shardings re-gather
+    via the arg shardings (context sharding is the shard_map path in
+    parallel/sharded_decode)."""
+    qs, ks = _padded_spec(q_info), _padded_spec(k_info)
+    b_ax = qs[0]
+    h_ax = ks[0] if ks[0] is not None else qs[1]
+    if h_ax is not None and b_ax is not None:
+        def names(ax):
+            return set(ax) if isinstance(ax, tuple) else {ax}
+
+        if names(h_ax) & names(b_ax):
+            h_ax = None
+    if h_ax is not None:
+        n = _axes_size(mesh, h_ax)
+        hq, hkv = q_info.shape[1], k_info.shape[0]
+        if hq % n or hkv % n:
+            h_ax = None
+    return b_ax, h_ax
+
+
+@functools.lru_cache(maxsize=None)
+def partitioned_paged_decode(has_scales, sm_scale, pages_per_block, int4,
+                             return_lse, softcap, interpret):
+    """custom_partitioning wrapper for single-token paged decode attention.
+
+    Shardable dims: q batch (lengths/page tables shard along; pools
+    replicate) and kv heads (pools shard on dim 0; q heads factor as
+    (kv_heads, group) so GQA groups stay co-located with their pool shard).
+    This is what lets the WHOLE decode step jit under a tp mesh without
+    per-layer shard_map plumbing — XLA sees real partitioning semantics for
+    the Pallas call instead of gather-and-replicate.  ALiBi bypasses the
+    wrapper in the caller (static slopes index LOCAL head ids)."""
+    from .decode import _paged_decode_local
+
+    def impl(q, k_vals, v_vals, *rest):
+        if has_scales:
+            k_sc, v_sc, lengths, page_indices = rest
+        else:
+            k_sc = v_sc = None
+            lengths, page_indices = rest
+        return _paged_decode_local(
+            q, k_vals, v_vals, k_sc, v_sc, lengths, page_indices,
+            sm_scale=sm_scale, pages_per_block=pages_per_block, int4=int4,
+            return_lse=return_lse, softcap=softcap, interpret=interpret,
+        )
+
+    cp = custom_partitioning(impl)
+
+    def shardings(mesh, arg_shapes):
+        b_ax, h_ax = _decode_plan(mesh, arg_shapes[0], arg_shapes[1])
+        q_sh = NamedSharding(mesh, P(b_ax, h_ax, None))
+        pool_sh = NamedSharding(mesh, P(h_ax, None, None, None))
+        args = (q_sh, pool_sh, pool_sh)
+        if has_scales:
+            args += (pool_sh, pool_sh)
+        args += (
+            NamedSharding(mesh, P(b_ax)),
+            NamedSharding(mesh, P(b_ax, None)),
+        )
+        outs = (
+            (q_sh, NamedSharding(mesh, P(b_ax, h_ax)))
+            if return_lse else q_sh
+        )
+        return args, outs
+
+    def infer(mesh, arg_shapes, result_shape):
+        _, outs = shardings(mesh, arg_shapes)
+        return outs
+
+    def partition(mesh, arg_shapes, result_shape):
+        args, outs = shardings(mesh, arg_shapes)
+        return mesh, impl, outs, args
+
+    def shardy(mesh, value_types, result_types):
+        g = value_types[0].shape[1] // value_types[1].shape[0]
+        hq_f = CompoundFactor("hkv", "g") if g > 1 else "hkv"
+        maps = (
+            ArrayMapping("b", hq_f, "d_q"),
+            ArrayMapping("hkv", "p_k", "ps_k", "d_k"),
+            ArrayMapping("hkv", "p_v", "ps_v", "d_v"),
+        )
+        if has_scales:
+            maps += (
+                ArrayMapping("hkv", "p_ks", "ps_ks", "d_ks"),
+                ArrayMapping("hkv", "p_vs", "ps_vs", "d_vs"),
+            )
+        maps += (ArrayMapping("b"), ArrayMapping("b", "pps"))
+        outs = (ArrayMapping("b", hq_f, "d_o"),)
+        if return_lse:
+            outs += (ArrayMapping("b", hq_f),)
+        kw = {"g": g} if g > 1 else {}
+        return SdyShardingRule(maps, outs, **kw)
+
+    cp.def_partition(infer_sharding_from_operands=infer, partition=partition,
+                     sharding_rule=shardy)
+    return cp

@@ -90,10 +90,14 @@ class DecodeEngine:
         attention_sinks: int = 0,  # pinned first tokens with the ring above
         enable_prefix_cache: bool = False,  # share full-page prompt prefixes
         native_allocator: Optional[bool] = None,  # None = auto-detect C++ lib
+        mesh=None,  # jax.sharding.Mesh: tensor-parallel serving over ICI
+        model_axis: str = "model",
         interpret: Optional[bool] = None,
     ):
         self.params = params
         self.cfg = cfg
+        self.mesh = mesh
+        self.model_axis = model_axis
         self.page_size = page_size
         self.pages_per_seq = pages_per_seq
         self.num_slots = num_slots
@@ -220,6 +224,30 @@ class DecodeEngine:
             cfg, num_pages=num_pages, page_size=page_size,
             dtype=kv_dtype, quantized=quantized_kv,
         )
+        if mesh is not None:
+            # Tensor-parallel serving: params per the training TP plan
+            # (heads/ff on the model axis), KV pools sharded on their
+            # kv-head dim.  The decode/prefill programs stay UNCHANGED —
+            # the flash-attention and paged-decode ops carry
+            # custom_partitioning rules (ops/partitioning.py), so jit
+            # propagates these shardings through every layer with zero
+            # gathers; the host-side scheduler/allocator logic is
+            # mesh-oblivious (page tables and tokens replicate).
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..models.train import _check_tp_divisibility, param_shardings
+
+            _check_tp_divisibility(cfg, mesh, model_axis)
+            self.params = jax.tree.map(
+                jax.device_put, self.params,
+                param_shardings(self.params, mesh, model_axis,
+                                n_kv_heads=cfg.n_kv_heads),
+            )
+            pool_sh = NamedSharding(
+                mesh, PartitionSpec(model_axis, None, None, None)
+            )
+            self.pools = jax.tree.map(
+                lambda a: jax.device_put(a, pool_sh), self.pools
+            )
         self.allocator = make_page_allocator(
             num_pages, page_size, native=native_allocator
         )

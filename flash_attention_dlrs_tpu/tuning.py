@@ -123,6 +123,26 @@ def _save_disk_cache(cache: dict) -> None:
         pass
 
 
+_RESOURCE_ERROR_MARKERS = (
+    "resource_exhausted",
+    "out of memory",
+    "out of resource",
+    "vmem",          # Mosaic scoped-VMEM / scratch overflow messages
+    "smem",
+    "scratch",
+    "exceeds available",
+    "allocat",       # "failed to allocate", "allocation"
+)
+
+
+def _is_resource_error(e: Exception) -> bool:
+    """True iff the exception reports the candidate not FITTING (OOM,
+    VMEM/scratch overflow) — the only failure class the timed search may
+    legitimately skip.  Everything else must propagate (see _tune_cached)."""
+    msg = f"{type(e).__name__}: {e}".lower()
+    return any(m in msg for m in _RESOURCE_ERROR_MARKERS)
+
+
 def _time_call(fn, *args, warmup: int = 2, reps: int = 5) -> float:
     """Median wall time of fn(*args) with device sync, in seconds."""
     for _ in range(warmup):
@@ -150,8 +170,17 @@ def _tune_cached(key_parts, candidates, build_fn, args):
         try:
             fn = build_fn(*cand) if isinstance(cand, tuple) else build_fn(cand)
             t = _time_call(fn, *args)
-        except Exception:
-            continue  # config failed to compile / OOM — skip, like NaN-on-OOM
+        except Exception as e:  # noqa: BLE001 — classified below
+            if _is_resource_error(e):
+                continue  # candidate doesn't fit — skip, like NaN-on-OOM
+            # Anything else is a real bug in a kernel route (bad lowering,
+            # partitioning crash, shape error).  Round 2 swallowed these and
+            # a broken >8K backward hid inside the timed search until it
+            # crashed on hardware — fail loudly instead.
+            raise RuntimeError(
+                f"tuning candidate {cand!r} for key {key_parts!r} failed "
+                f"with a non-resource error: {type(e).__name__}: {e}"
+            ) from e
         if t < best_t:
             best, best_t = cand, t
     _TUNE_CACHE[key] = list(best) if isinstance(best, tuple) else best

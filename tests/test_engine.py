@@ -397,3 +397,38 @@ def test_rolling_window_with_int8_kv():
     t_fp = fp.generate([prompt], max_new_tokens=12)[0]
     t_q8 = q8.generate([prompt], max_new_tokens=12)[0]
     assert t_fp[:4] == t_q8[:4]  # tail may diverge once an argmax flips
+
+
+def test_engine_tensor_parallel_matches_single_device(params):
+    """TP serving: engine on a model-axis mesh (params head-sharded, KV
+    pools kv-head-sharded via the paged-decode partitioning rule) must
+    reproduce single-device greedy outputs exactly."""
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = Mesh(np.array(jax.devices()[:2]), ("model",))
+    prompts = [[5, 7, 11, 13, 17], [3, 1, 4, 1, 5, 9, 2, 6]]
+    eng_tp = DecodeEngine(
+        params, CFG, num_pages=16, page_size=128, num_slots=2,
+        pages_per_seq=4, kv_dtype=jnp.float32, mesh=mesh,
+    )
+    got = eng_tp.generate(prompts, max_new_tokens=6)
+    # pools stayed sharded through the donated step
+    assert "model" in str(eng_tp.pools.k[0].sharding)
+    eng = DecodeEngine(
+        params, CFG, num_pages=16, page_size=128, num_slots=2,
+        pages_per_seq=4, kv_dtype=jnp.float32,
+    )
+    assert got == eng.generate(prompts, max_new_tokens=6)
+
+
+def test_engine_tp_rejects_indivisible_heads(params):
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("model",))  # 8 > n_kv_heads=2
+    with pytest.raises(ValueError, match="model axis"):
+        DecodeEngine(params, CFG, num_pages=16, page_size=128,
+                     kv_dtype=jnp.float32, mesh=mesh)

@@ -182,3 +182,121 @@ def test_segment_ids_shard_with_batch():
     np.testing.assert_allclose(dq, dq_r, atol=2e-5, rtol=1e-5)
     np.testing.assert_allclose(dk, dk_r, atol=2e-5, rtol=1e-5)
     np.testing.assert_allclose(dv, dv_r, atol=2e-5, rtol=1e-5)
+
+
+def test_long_n_partitioned_backward_compiles():
+    """Regression: the >8K segmented fused backward must trace under the
+    custom_partitioning wrapper without closure-captured constants.
+
+    Round 2 shipped a `.at[:, :, :kv_len].add(...)` in
+    _backward_fused_segmented whose scatter-add embeds an empty int32 index
+    array as a jaxpr const — custom_partitioning asserts `not len(consts)`
+    and every sharded training step at N>8K died at trace time on hardware
+    while the whole CPU suite (which stopped at ~2K tokens) stayed green.
+    This traces + compiles the real N=12288 route on the mesh."""
+    mesh = _mesh()
+    b, h, n, d = 1, 4, 12288, 128
+    sh = NamedSharding(mesh, P(None, "model", None, None))
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q, k, v = (
+        jax.device_put(
+            jax.random.normal(kk, (b, h, n, d), jnp.bfloat16), sh
+        )
+        for kk in ks
+    )
+
+    def loss(a, b_, c):
+        return jnp.sum(flash_attention(a, b_, c, causal=True)
+                       .astype(jnp.float32))
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    compiled = g.lower(q, k, v).compile()  # round-2 bug: AssertionError here
+    assert _all_gathers(compiled) == 0
+
+
+def test_partitioned_backward_route_traces_const_free():
+    """Every backward dispatch route must produce a const-free jaxpr — the
+    invariant custom_partitioning enforces.  Cheap (abstract trace only),
+    sweeping N across the small/fused/segmented route boundaries."""
+    from flash_attention_dlrs_tpu.ops.flash_attention import (
+        _backward_unpartitioned,
+    )
+
+    for n in (512, 2048, 12288, 20480):
+        q = jax.ShapeDtypeStruct((1, 2, n, 128), jnp.bfloat16)
+        lse = jax.ShapeDtypeStruct((1, 2, n), jnp.float32)
+
+        def f(q_, k_, v_, o_, do_, lse_):
+            return _backward_unpartitioned(
+                q_, k_, v_, o_, do_, lse_, causal=True, sm_scale=0.0883,
+                segment_ids=None, window=0, logit_softcap=0.0,
+                alibi_slopes=None, dropout_rate=0.0, dropout_seed=None,
+                block_sizes=None, interpret=None)
+
+        closed = jax.make_jaxpr(f)(q, q, q, q, q, lse)
+        assert not closed.consts, (
+            f"N={n}: backward captured {len(closed.consts)} consts "
+            f"{[c.shape for c in closed.consts]} — will crash "
+            "custom_partitioning")
+
+
+def _paged_setup(b=4, hq=8, hkv=4, d=128, pages=16, ps=128, pps=4,
+                 quantized=False):
+    from flash_attention_dlrs_tpu.ops.decode import quantize_kv_pages
+
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    kp = jax.random.normal(ks[0], (hkv, pages, ps, d), jnp.float32)
+    vp = jax.random.normal(ks[1], (hkv, pages, ps, d), jnp.float32)
+    q = jax.random.normal(ks[2], (b, hq, d), jnp.float32)
+    lengths = jnp.asarray([ps * pps, ps * 2, ps + 7, 3], jnp.int32)[:b]
+    page_tbl = jnp.arange(b * pps, dtype=jnp.int32).reshape(b, pps) % pages
+    if quantized:
+        kp = quantize_kv_pages(kp)
+        vp = quantize_kv_pages(vp)
+    return q, kp, vp, lengths, page_tbl
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_decode_shards_heads_and_batch(quantized):
+    """Paged decode under jit with (batch, kv-head)-sharded operands must
+    compile with zero all-gathers and match unsharded numerics."""
+    from flash_attention_dlrs_tpu.ops.decode import paged_decode_attention
+    from flash_attention_dlrs_tpu.ops.quantization import QuantizedTensor
+
+    mesh = _mesh()
+    q, kp, vp, lengths, page_tbl = _paged_setup(quantized=quantized)
+    qs = jax.device_put(q, NamedSharding(mesh, P("data", "model", None)))
+    pool_sh = NamedSharding(mesh, P("model", None, None, None))
+    if quantized:
+        kps = QuantizedTensor(jax.device_put(kp.values, pool_sh),
+                              jax.device_put(kp.scales, pool_sh))
+        vps = QuantizedTensor(jax.device_put(vp.values, pool_sh),
+                              jax.device_put(vp.scales, pool_sh))
+    else:
+        kps = jax.device_put(kp, pool_sh)
+        vps = jax.device_put(vp, pool_sh)
+    len_s = jax.device_put(lengths, NamedSharding(mesh, P("data")))
+    tbl_s = jax.device_put(page_tbl, NamedSharding(mesh, P("data", None)))
+
+    f = jax.jit(lambda *a: paged_decode_attention(*a))
+    compiled = f.lower(qs, kps, vps, len_s, tbl_s).compile()
+    assert _all_gathers(compiled) == 0, compiled.as_text()[:2000]
+    o = f(qs, kps, vps, len_s, tbl_s)
+    o_ref = paged_decode_attention(q, kp, vp, lengths, page_tbl)
+    np.testing.assert_allclose(jax.device_get(o), jax.device_get(o_ref),
+                               atol=2e-6, rtol=1e-6)
+
+
+def test_paged_decode_impl_traces_const_free():
+    from flash_attention_dlrs_tpu.ops.decode import _paged_decode_local
+
+    q, kp, vp, lengths, page_tbl = _paged_setup()
+
+    def f(q_, k_, v_, l_, t_):
+        return _paged_decode_local(
+            q_, k_, v_, None, None, l_, t_, sm_scale=0.0883,
+            pages_per_block=None, int4=False, return_lse=True, softcap=0.0,
+            interpret=True)
+
+    closed = jax.make_jaxpr(f)(q, kp, vp, lengths, page_tbl)
+    assert not closed.consts, [c.shape for c in closed.consts]

@@ -107,3 +107,33 @@ def test_int8_weight_matmul_close():
     np.testing.assert_allclose(
         int8_matmul(x, wq2)[:, 0], x @ w2[:, :1] @ jnp.ones((1,)), atol=1e-3, rtol=0.05
     )
+
+
+def test_tuner_raises_on_non_resource_error(tmp_path, monkeypatch):
+    """The timed search may skip candidates that don't FIT (OOM/VMEM), but a
+    candidate failing with any other exception is a kernel-route bug and
+    must propagate (round 2 swallowed one and it crashed on hardware)."""
+    import pytest
+
+    import flash_attention_dlrs_tpu.tuning as tuning
+
+    monkeypatch.setattr(tuning, "_CACHE_PATH", str(tmp_path / "c.json"))
+    tuning._TUNE_CACHE.clear()
+
+    def build_oom(cand):
+        def fn():
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+        return fn
+
+    # all candidates OOM -> search completes, returns first candidate
+    assert tuning._tune_cached(["t1"], [1, 2], build_oom, ()) == 1
+    tuning._TUNE_CACHE.clear()
+
+    def build_buggy(cand):
+        def fn():
+            raise AssertionError("consts leaked into custom_partitioning")
+        return fn
+
+    with pytest.raises(RuntimeError, match="non-resource error"):
+        tuning._tune_cached(["t2"], [1, 2], build_buggy, ())
+    tuning._TUNE_CACHE.clear()
