@@ -364,3 +364,33 @@ def import_hf_phi3(
         state[p + "mlp.gate_proj.weight"] = gu[: cfg.d_ff]
         state[p + "mlp.up_proj.weight"] = gu[cfg.d_ff:]
     return import_hf_llama(state, dtype=dtype, cfg=cfg)
+
+
+def load_trained(ckpt_dir: str, *, dtype=None) -> Tuple[Dict, ModelConfig]:
+    """(params, cfg) from a scripts/train_lm.py run directory.
+
+    Reads ``model_config.json`` (architecture record) and the params-only
+    checkpoint under ``<ckpt_dir>/params_only`` — no optimizer template
+    needed.  ``dtype`` overrides the stored activation dtype (e.g. load a
+    bf16-trained model for fp32 CPU eval)."""
+    import json
+    import os
+
+    import jax
+
+    from ..utils import checkpoint as ckpt_lib
+    from .transformer import init_params
+
+    with open(os.path.join(ckpt_dir, "model_config.json")) as f:
+        rec = json.load(f)
+    stored = rec.pop("dtype")
+    rec["dtype"] = jnp.dtype(dtype if dtype is not None else stored).type
+    cfg = ModelConfig(**rec)
+    template = {"params": init_params(jax.random.PRNGKey(0), cfg)}
+    state, _ = ckpt_lib.restore_checkpoint(
+        os.path.join(ckpt_dir, "params_only"), template
+    )
+    params = jax.tree.map(lambda a: jnp.asarray(a, cfg.dtype)
+                          if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                          state["params"])
+    return params, cfg

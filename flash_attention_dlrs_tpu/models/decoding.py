@@ -212,8 +212,11 @@ def make_decode_step(
     *,
     pages_per_block: int | None = None,
     interpret: Optional[bool] = None,
+    _jit: bool = True,
 ):
     """jitted decode step, KV pools donated (in-place page scatter).
+    ``_jit=False`` returns the raw traceable body (for composition inside a
+    larger jitted program, e.g. the fused speculative draft loop).
 
     (params, pools, tokens [B], positions [B], page_rows [B], page_offs [B],
      page_tbl [B, pages_per_seq], lengths [B]) -> (logits [B, V], pools)
@@ -223,7 +226,6 @@ def make_decode_step(
     """
     slopes = _cfg_slopes(cfg)
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
     def decode_step(params, pools: KVPools, tokens, positions, page_rows,
                     page_offs, page_tbl, lengths):
         b = tokens.shape[0]
@@ -309,7 +311,9 @@ def make_decode_step(
         )
         return logits, pools_out
 
-    return decode_step
+    if not _jit:
+        return decode_step
+    return jax.jit(decode_step, donate_argnums=(1,))
 
 
 # ---------------------------------------------------------------------------
@@ -323,6 +327,7 @@ def make_verify_step(
     *,
     pages_per_block: int | None = None,
     interpret: Optional[bool] = None,
+    _jit: bool = True,
 ):
     """jitted multi-token step for speculative verification / chunked prefill.
 
@@ -339,7 +344,6 @@ def make_verify_step(
     slopes = _cfg_slopes(cfg)
     t_new = num_tokens
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
     def verify_step(params, pools: KVPools, tokens, positions, page_rows,
                     page_offs, page_tbl, lengths):
         b = tokens.shape[0]
@@ -434,7 +438,9 @@ def make_verify_step(
         )
         return logits, pools_out
 
-    return verify_step
+    if not _jit:
+        return verify_step
+    return jax.jit(verify_step, donate_argnums=(1,))
 
 
 def write_prompt_kv(

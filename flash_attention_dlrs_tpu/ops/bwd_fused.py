@@ -48,7 +48,8 @@ def _bwd_fused_kernel(
     v_ref,
     o_ref,  # forward output — D = rowsum(O ∘ dO) computed inline
     do_ref,
-    lse_ref,
+    m_ref,  # grouped-packed fwd row-max stats (base-2)
+    linv_ref,  # grouped-packed fwd 1/l stats
     qseg_ref,  # [1, block_q, LANES] int32 or None
     kvseg_ref,  # [1, SUBLANES, block_kv] int32 or None
     slope_ref,  # [1, LANES] fp32 per-head ALiBi slope (m·log2e), or None
@@ -131,7 +132,8 @@ def _bwd_fused_kernel(
         # Grouped packed stat layout (layout.py): the block's dense
         # block_q/128 rows of the stat_rows-tall tile -> [block_q, 1].
         _kk = block_q // geo.NUM_LANES
-        lse = layout.lanes_to_column(lse_ref[0, 0, :_kk, :])
+        m2 = layout.lanes_to_column(m_ref[0, 0, :_kk, :])
+        linv = layout.lanes_to_column(linv_ref[0, 0, :_kk, :])
         # D inline (≙ src/flash_attention_kernels.py:120-166): one [bq, d]
         # VPU mul+rowsum per block pair, in exchange for dropping the
         # separate D kernel and the [Nq, 128] f32 dpre pane's HBM traffic.
@@ -141,7 +143,7 @@ def _bwd_fused_kernel(
         )
 
         p, grad_cap = _recompute_p(
-            q, k, lse, iq, jkv,
+            q, k, m2, linv, iq, jkv,
             causal=causal, kv_len=kv_len,
             block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
             window=window, softcap=softcap,
@@ -149,7 +151,7 @@ def _bwd_fused_kernel(
             else layout.lanes_to_column(qseg_ref[0, :_kk, :]),
             kvseg=None if kvseg_ref is None else kvseg_ref[0],
             q_off=q_off,
-            slope=None if slope_ref is None else slope_ref[0, 0],
+            slope=None if slope_ref is None else slope_ref[0, 0, 0],
         )
         pd = p
         if dropout_rate:
@@ -271,7 +273,7 @@ def fused_bwd_fits_vmem(n_q: int, head_dim: int, block_q: int,
     ),
 )
 def bwd_fused_pallas(
-    q, k, v, o, do, lse, q_seg=None, kv_seg=None, dropout_seed=None, *,
+    q, k, v, o, do, m2, linv, q_seg=None, kv_seg=None, dropout_seed=None, *,
     sm_scale, causal, block_q, block_kv, kv_len, window=0, softcap=0.0,
     interpret=False, q_off=0, alibi_slopes=None, dropout_rate=0.0,
     drop_row_off=0,
@@ -374,8 +376,9 @@ def bwd_fused_pallas(
     )
     dkv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), dkv_index)
     dq_spec = pl.BlockSpec((1, 1, n_q, head_dim), dq_index)
-    in_specs = [q_spec, kv_spec, kv_spec, q_spec, q_spec, stat_spec]
-    inputs = [q, k, v, o, do, lse]
+    in_specs = [q_spec, kv_spec, kv_spec, q_spec, q_spec, stat_spec,
+                stat_spec]
+    inputs = [q, k, v, o, do, m2, linv]
     if q_seg is not None:
         # Grouped packed q seg ids (layout.py; same grouping as the stats).
         qseg_packed = layout.pack_stat_grouped(
@@ -401,7 +404,7 @@ def bwd_fused_pallas(
         in_specs.append(seed_block_spec())
         inputs.append(seed_input(dropout_seed))
     kernel = adapt_optional_refs(
-        kernel, n_lead=6, segmented=q_seg is not None,
+        kernel, n_lead=7, segmented=q_seg is not None,
         has_slope=alibi_slopes is not None,
         has_seed=dropout_rate > 0.0,
     )

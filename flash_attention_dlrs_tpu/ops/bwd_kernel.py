@@ -97,21 +97,29 @@ def bwd_d_pallas(o, do, *, block_q: int, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _recompute_p(q, k, lse, iq, jkv, *, causal, kv_len, block_q,
+def _recompute_p(q, k, m2, linv, iq, jkv, *, causal, kv_len, block_q,
                  block_kv, apply_mask, window=0, softcap=0.0,
                  qseg=None, kvseg=None, q_off=0, slope=None):
-    """P = exp2((c·Q)Kᵀ − log2e·L) with causal/length masking, where
-    c = sm_scale·log2e was folded into Q by the caller.
+    """P = exp2((c·Q)Kᵀ − m₂)·(1/l) with causal/length masking, where
+    c = sm_scale·log2e was folded into Q by the caller and (m₂, 1/l) are
+    the forward's RAW softmax stats ([block_q, 1] columns).
 
-    ≙ src/flash_attention_kernels.py:283-285 (same base-2 convention, but the
-    scale lives in the Q tensor, not a per-block multiply).
-    Returns probabilities p [block_q, block_kv] fp32.
+    ≙ src/flash_attention_kernels.py:283-285, but recomputing from the raw
+    stats instead of the combined logsumexp: exp2's argument (s − m₂) is
+    then BIT-IDENTICAL to the forward's, so the recompute error cancels in
+    dS (measured v5e fp32: max|ΔP| 3e-8 vs 5e-5 via lse — which amplified
+    to ~3e-3 in dQ/dK through the (dP−D) cancellation).  The public
+    lse-only path synthesizes (m₂ = lse·log2e, 1/l = 1), reproducing the
+    combined-lse behavior.
+
+    Empty (fully-masked) rows carry m₂ = +BIG, 1/l = 0 ⇒ p = 0 with no
+    inf/NaN.
 
     ``slope`` (scalar fp32, base-2 units m·log2e, or None) enables ALiBi in
-    separable form: the caller's lse must then be the SEPARABLE-convention
-    logsumexp (true lse + m·qpos, see flash_attention.py) so that
-    exp2(s + m₂·col − lse₂_sep) reproduces the forward's P exactly.  The
-    bias has no Q/K dependence, so the dS chain rule downstream is unchanged.
+    separable form: the caller's stats must then be the SEPARABLE-convention
+    ones (the forward kernels' own output) so that
+    exp2(s + m₂·col − m₂_sep)·(1/l_sep) reproduces the forward's P exactly.
+    The bias has no Q/K dependence, so the dS chain rule is unchanged.
     """
     s = mxu_dot(q, k, (((1,), (1,)), ((), ())))
     grad_cap = None
@@ -126,7 +134,6 @@ def _recompute_p(q, k, lse, iq, jkv, *, causal, kv_len, block_q,
             + jkv * block_kv
         )
         s = s + slope * colp.astype(jnp.float32)
-    lse = lse * LOG2E  # [block_q, 1] — O(block_q), off the hot path
     if apply_mask:
         mask = None
         if causal:
@@ -147,15 +154,14 @@ def _recompute_p(q, k, lse, iq, jkv, *, causal, kv_len, block_q,
             mask = seg if mask is None else jnp.logical_and(mask, seg)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
         if q_off or qseg is not None:
-            # Fully-masked rows carry the lse SENTINEL (DEFAULT_MASK_VALUE
-            # in natural units → −inf after the ×log2e below): exp2(s −
-            # (−inf)) would be +inf.  Their p must be exactly 0 — mask it.
-            # Only cross-length causal (q_off != 0) and segment ids can
-            # produce such rows; plain self-attention always keeps the
-            # diagonal column visible, so skip the extra select there.
-            return jnp.where(mask, jnp.exp2(s - lse), 0.0), grad_cap
-        return jnp.exp2(s - lse), grad_cap
-    return jnp.exp2(s - lse), grad_cap
+            # Synthesized stats (public path) give fully-masked rows
+            # m₂ = −BIG with 1/l = 1: exp2(s − (−BIG)) would be +inf.
+            # Their p must be exactly 0 — mask it.  (Internal raw stats
+            # are inf-safe via 1/l = 0, but the select is off the hot
+            # path and keeps both conventions correct.)
+            return jnp.where(mask, jnp.exp2(s - m2) * linv, 0.0), grad_cap
+        return jnp.exp2(s - m2) * linv, grad_cap
+    return jnp.exp2(s - m2) * linv, grad_cap
 
 
 def _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run, body,
@@ -197,7 +203,8 @@ def _bwd_dkv_kernel(
     k_ref,
     v_ref,
     do_ref,
-    lse_ref,
+    m_ref,  # grouped-packed fwd row-max stats (base-2)
+    linv_ref,  # grouped-packed fwd 1/l stats
     dpre_ref,
     qseg_ref,  # [1, block_q // LANES, LANES] int32 packed (flat = q rows) or None
     kvseg_ref,  # [1, SUBLANES, block_kv] int32 or None
@@ -264,11 +271,12 @@ def _bwd_dkv_kernel(
         # Grouped packed stat layout (layout.py): the block's dense
         # block_q/128 rows of the stat_rows-tall tile -> [block_q, 1].
         _k = block_q // geo.NUM_LANES
-        lse = layout.lanes_to_column(lse_ref[0, 0, :_k, :])
+        m2 = layout.lanes_to_column(m_ref[0, 0, :_k, :])
+        linv = layout.lanes_to_column(linv_ref[0, 0, :_k, :])
         dpre = layout.lanes_to_column(dpre_ref[0, 0, :_k, :])
 
         p, grad_cap = _recompute_p(
-            q, k, lse, iq, jkv,
+            q, k, m2, linv, iq, jkv,
             causal=causal, kv_len=kv_len,
             block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
             window=window, softcap=softcap,
@@ -278,7 +286,7 @@ def _bwd_dkv_kernel(
             else layout.lanes_to_column(qseg_ref[0]),
             kvseg=None if kvseg_ref is None else kvseg_ref[0],
             q_off=q_off,
-            slope=None if slope_ref is None else slope_ref[0, 0],
+            slope=None if slope_ref is None else slope_ref[0, 0, 0],
         )
         pd, m_drop = p, None
         if dropout_rate:
@@ -333,11 +341,15 @@ def _bwd_dkv_kernel(
     ),
 )
 def bwd_dkv_pallas(
-    q, k, v, do, lse, dpre, q_seg=None, kv_seg=None, dropout_seed=None, *,
+    q, k, v, do, m2, linv, dpre, q_seg=None, kv_seg=None,
+    dropout_seed=None, *,
     sm_scale, causal, block_q, block_kv, kv_len, window=0, softcap=0.0,
     interpret=False, q_off=0, alibi_slopes=None, dropout_rate=0.0,
 ):
     """dK, dV per *query* head: [B, Hq, Nkv_pad, d] fp32.
+
+    ``m2``/``linv``: the forward's grouped-packed raw stats (row max in
+    base-2 units; 1/l) — see _recompute_p.
 
     GQA note: outputs are per-q-head; the caller group-sums over the q-head
     axis to get per-kv-head grads (one cheap XLA reduction) — writing
@@ -426,8 +438,9 @@ def bwd_dkv_pallas(
         (1, 1, layout.stat_rows(block_q), geo.NUM_LANES), q_index
     )
     dkv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), dkv_index)
-    in_specs = [q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec]
-    inputs = [q, k, v, do, lse, dpre]
+    in_specs = [q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec,
+                stat_spec]
+    inputs = [q, k, v, do, m2, linv, dpre]
     if q_seg is not None:
         # Grouped packed q seg ids (layout.py; same grouping as the stats) —
         # >= 16x less HBM traffic than the round-1 lane replication.  kv
@@ -455,7 +468,7 @@ def bwd_dkv_pallas(
         in_specs.append(seed_block_spec())
         inputs.append(seed_input(dropout_seed))
     kernel = adapt_optional_refs(
-        kernel, n_lead=6, segmented=q_seg is not None,
+        kernel, n_lead=7, segmented=q_seg is not None,
         has_slope=alibi_slopes is not None,
         has_seed=dropout_rate > 0.0,
     )
@@ -490,7 +503,8 @@ def _bwd_dq_kernel(
     k_ref,
     v_ref,
     do_ref,
-    lse_ref,
+    m_ref,  # grouped-packed fwd row-max stats (base-2)
+    linv_ref,  # grouped-packed fwd 1/l stats
     dpre_ref,
     qseg_ref,  # [1, block_q, LANES] int32 or None
     kvseg_ref,  # [1, SUBLANES, block_kv] int32 or None
@@ -555,11 +569,12 @@ def _bwd_dq_kernel(
         # Grouped packed stat layout (layout.py): the block's dense
         # block_q/128 rows of the stat_rows-tall tile -> [block_q, 1].
         _k = block_q // geo.NUM_LANES
-        lse = layout.lanes_to_column(lse_ref[0, 0, :_k, :])
+        m2 = layout.lanes_to_column(m_ref[0, 0, :_k, :])
+        linv = layout.lanes_to_column(linv_ref[0, 0, :_k, :])
         dpre = layout.lanes_to_column(dpre_ref[0, 0, :_k, :])
 
         p, grad_cap = _recompute_p(
-            q, k, lse, iq, jkv,
+            q, k, m2, linv, iq, jkv,
             causal=causal, kv_len=kv_len,
             block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
             window=window, softcap=softcap,
@@ -567,7 +582,7 @@ def _bwd_dq_kernel(
             else layout.lanes_to_column(qseg_ref[0, :_k, :]),
             kvseg=None if kvseg_ref is None else kvseg_ref[0],
             q_off=q_off,
-            slope=None if slope_ref is None else slope_ref[0, 0],
+            slope=None if slope_ref is None else slope_ref[0, 0, 0],
         )
         dp = mxu_dot(do, v, (((1,), (1,)), ((), ())))
         if dropout_rate:
@@ -606,11 +621,13 @@ def _bwd_dq_kernel(
     ),
 )
 def bwd_dq_pallas(
-    q, k, v, do, lse, dpre, q_seg=None, kv_seg=None, dropout_seed=None, *,
+    q, k, v, do, m2, linv, dpre, q_seg=None, kv_seg=None,
+    dropout_seed=None, *,
     sm_scale, causal, block_q, block_kv, kv_len, window=0, softcap=0.0,
     interpret=False, q_off=0, alibi_slopes=None, dropout_rate=0.0,
 ):
-    """dQ: [B, Hq, Nq_pad, d] fp32."""
+    """dQ: [B, Hq, Nq_pad, d] fp32 (``m2``/``linv``: grouped-packed raw
+    fwd stats, see _recompute_p)."""
     batch, num_q_heads, n_q, head_dim = q.shape
     _, num_kv_heads, n_kv, _ = k.shape
     q_per_kv = num_q_heads // num_kv_heads
@@ -684,8 +701,9 @@ def bwd_dq_pallas(
     stat_spec = pl.BlockSpec(
         (1, 1, layout.stat_rows(block_q), geo.NUM_LANES), q_index
     )
-    in_specs = [q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec]
-    inputs = [q, k, v, do, lse, dpre]
+    in_specs = [q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec,
+                stat_spec]
+    inputs = [q, k, v, do, m2, linv, dpre]
     if q_seg is not None:
         # Grouped packed q seg ids (layout.py; same grouping as the stats).
         qseg_packed = layout.pack_stat_grouped(
@@ -711,7 +729,7 @@ def bwd_dq_pallas(
         in_specs.append(seed_block_spec())
         inputs.append(seed_input(dropout_seed))
     kernel = adapt_optional_refs(
-        kernel, n_lead=6, segmented=q_seg is not None,
+        kernel, n_lead=7, segmented=q_seg is not None,
         has_slope=alibi_slopes is not None,
         has_seed=dropout_rate > 0.0,
     )

@@ -79,7 +79,8 @@ def _bwd_mid_kernel(
     v_ref,
     o_ref,  # [1, hb, n, d] — forward output (D computed inline)
     do_ref,
-    lse_ref,  # [1, hb, n/128, 128] f32 packed (layout.py), natural-base
+    m_ref,  # [1, hb, n/128, 128] f32 packed (layout.py): fwd row max, base-2
+    linv_ref,  # same shape: fwd 1/l (0 on empty rows)
     dq_ref,  # [1, hb, n, d] f32
     dk_ref,
     dv_ref,
@@ -122,9 +123,15 @@ def _bwd_mid_kernel(
             # matmuls (multipass — measured ~2× whole-kernel cost on v5e)
             do = do_ref[0, jh, iq * SUB:(iq + 1) * SUB, :]
             rs = SUB // geo.NUM_LANES
-            lse2 = layout.lanes_to_column(
-                lse_ref[0, jh, iq * rs:(iq + 1) * rs, :]
-            ) * LOG2E
+            # Raw (m, 1/l) stats: exp2's argument (s − m) is bit-identical
+            # to the forward's, so the recompute error cancels in dS (see
+            # bwd_kernel._recompute_p).
+            m2 = layout.lanes_to_column(
+                m_ref[0, jh, iq * rs:(iq + 1) * rs, :]
+            )
+            linv = layout.lanes_to_column(
+                linv_ref[0, jh, iq * rs:(iq + 1) * rs, :]
+            )
             # D = rowsum(O ∘ dO) inline (≙ the reference's separate
             # bwd_D_kernel, src/flash_attention_kernels.py:120-166): a
             # [SUB, d] VPU mul+rowsum per pair — 0.1% of the pair's MXU
@@ -151,7 +158,7 @@ def _bwd_mid_kernel(
                 mask = lm if mask is None else jnp.logical_and(mask, lm)
             if mask is not None:
                 s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-            p = jnp.exp2(s - lse2)
+            p = jnp.exp2(s - m2) * linv
             # dV_j += Pᵀ dO_i  (≙ src/flash_attention_kernels.py:287)
             dv_term = mxu_dot(p.astype(do.dtype), do, (((0,), (0,)), ((), ())))
             dv_acc = dv_term if dv_acc is None else dv_acc + dv_term
@@ -182,7 +189,7 @@ def _bwd_mid_kernel(
     ),
 )
 def bwd_mid_pallas(
-    q, k, v, o, do, lse, *,
+    q, k, v, o, do, m2, linv, *,
     sm_scale, kv_len, window=0, softcap=0.0, interpret=False,
     hb=None,
 ):
@@ -191,7 +198,8 @@ def bwd_mid_pallas(
     Takes the forward output ``o`` and computes D = rowsum(O∘dO) inline —
     no separate D-preprocess kernel on this route.  dK/dV are per *query*
     head fp32 (caller group-sums GQA heads) — same contract as
-    bwd_fused_pallas.  Honors the passed lse (ring-safe).
+    bwd_fused_pallas.  ``m2``/``linv``: plain-packed raw fwd stats
+    (lse-only callers synthesize them — see flash_attention.lse_to_stats).
     """
     batch, num_q_heads, n, head_dim = q.shape
     num_kv_heads = k.shape[1]
@@ -224,12 +232,13 @@ def bwd_mid_pallas(
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, q_spec, stat_spec],
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, q_spec, stat_spec,
+                  stat_spec],
         out_specs=[q_spec, q_spec, q_spec],
         out_shape=[g_shape, g_shape, g_shape],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(q, k, v, o, do, lse)
+    )(q, k, v, o, do, m2, linv)
     return dq, dk, dv

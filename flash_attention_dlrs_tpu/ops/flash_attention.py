@@ -138,6 +138,37 @@ def _normalize_dropout(dropout_rate, dropout_seed):
     return rate, jnp.asarray(dropout_seed, jnp.int32).reshape(())
 
 
+def stats_to_lse(m2, linv):
+    """Public natural-base logsumexp from the kernels' raw (m₂, 1/l) stats.
+
+    The forward kernels emit the row max (base-2 units) and 1/l instead of
+    the combined lse so the backward's P recompute is bit-cancelling (see
+    bwd_kernel._recompute_p); the public L of the functional API
+    (src/flash_attention_wrappers.py:7-63 returns (O, L)) is derived here:
+    L = ln2·m₂ − ln(1/l).  Empty rows (1/l == 0) map to the finite
+    sentinel."""
+    import jax.numpy as jnp
+
+    empty = linv == 0.0
+    lse = fwd.LN2 * m2 - jnp.log(jnp.where(empty, 1.0, linv))
+    return jnp.where(empty, fwd.DEFAULT_MASK_VALUE, lse)
+
+
+def lse_to_stats(lse):
+    """Synthesize (m₂, 1/l) = (lse·log2e, 1) from a combined logsumexp —
+    the public-backward path (ring attention passes a globally MERGED lse,
+    for which no raw stats exist).  P = exp2(s − lse₂)·1 reproduces the
+    combined-lse recompute (~5e-5 relative P error on v5e, vs the vjp
+    path's 3e-8 bit-cancelling raw stats).  Sentinel rows map to
+    (+BIG, 0) so p comes out exactly 0 without inf."""
+    import jax.numpy as jnp
+
+    empty = lse <= 0.5 * fwd.DEFAULT_MASK_VALUE
+    m2 = jnp.where(empty, -fwd.DEFAULT_MASK_VALUE, lse * fwd.LOG2E)
+    linv = jnp.where(empty, 0.0, 1.0)
+    return m2, linv
+
+
 def _alibi_lse_shift(lse, alibi, q_len: int, q_off: int, sign: float):
     """Convert between the kernels' separable-ALiBi logsumexp and the true
     one.  The kernels drop the softmax-invariant −m·qpos row term, so their
@@ -338,10 +369,13 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, alibi,
     backward can make its own (fused-path) block choice downstream."""
     if xla_small:
         if save_residuals:
-            return _xla_small_math(
+            o, lse = _xla_small_math(
                 q, k, v, seg, causal, sm_scale, window, softcap, alibi,
                 rate, seed, with_lse=True,
             )
+            # TRUE-lse stats (this route has no separable convention; its
+            # backward re-vjps and never reads them)
+            return o, lse_to_stats(lse)
         o = _xla_small_fastest(
             q, k, v, seg, causal, sm_scale, window, softcap, alibi, rate,
             seed,
@@ -378,14 +412,17 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, alibi,
         qp, kp, vp, q_len, kv_len, d = _pad_inputs(
             q, k, v, fwd_mid.SUB, fwd_mid.SUB
         )
-        o, lse = fwd_mid.fwd_mid_pallas(
+        o, stats = fwd_mid.fwd_mid_pallas(
             qp, kp, vp,
             sm_scale=sm_scale, kv_len=kv_len, window=window,
             softcap=float(softcap), save_residuals=save_residuals,
             interpret=interpret,
         )
         if save_residuals:
-            return o[:, :, :q_len, :d], layout.unpack_stat(lse)[:, :, :q_len]
+            m2, linv = (
+                layout.unpack_stat(s)[:, :, :q_len] for s in stats
+            )
+            return o[:, :, :q_len, :d], (m2, linv)
         return o[:, :, :q_len, :d], None
     if small:
         n_pad = geo.current_geometry().round_up(
@@ -393,7 +430,7 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, alibi,
         )
         qp, kp, vp, q_len, kv_len, d = _pad_inputs(q, k, v, n_pad, n_pad)
         qseg_p, kvseg_p = _pad_segments(seg, n_pad, n_pad)
-        o, lse = fwd_small.fwd_small_pallas(
+        o, stats = fwd_small.fwd_small_pallas(
             qp, kp, vp, qseg_p, kvseg_p,
             sm_scale=sm_scale, causal=causal, kv_len=kv_len,
             window=window, softcap=float(softcap),
@@ -405,7 +442,7 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, alibi,
             q, k, v, bs.block_q, bs.block_kv
         )
         qseg_p, kvseg_p = _pad_segments(seg, bs.block_q, bs.block_kv)
-        o, lse = fwd.fwd_pallas(
+        o, stats = fwd.fwd_pallas(
             qp, kp, vp, qseg_p, kvseg_p, seed,
             sm_scale=sm_scale, causal=causal, window=window,
             softcap=float(softcap),
@@ -415,18 +452,21 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, alibi,
             alibi_slopes=alibi, dropout_rate=rate,
         )
     if save_residuals:
-        # Small path emits the plain packed layout (full-n stat block);
-        # the blocked path emits the grouped layout keyed by its block_q.
+        # Small path emits a single lse in the plain packed layout (its
+        # backward recomputes softmax inline; raw stats would be unused) —
+        # synthesize.  The blocked path emits raw (m, 1/l) stats in the
+        # grouped layout keyed by its block_q.  ALiBi stats stay in the
+        # kernels' SEPARABLE convention — exactly what the backward
+        # kernels recompute in; the public forward derives + shifts the
+        # true lse (flash_attention_forward).
         if small:
-            lse_u = layout.unpack_stat(lse)[:, :, :q_len]
+            m2, linv = lse_to_stats(layout.unpack_stat(stats)[:, :, :q_len])
         else:
-            lse_u = layout.unpack_stat_grouped(
-                lse, bs.block_q
-            )[:, :, :q_len]
-        if alibi is not None:
-            # Kernels run the separable form; publish the true logsumexp.
-            lse_u = _alibi_lse_shift(lse_u, alibi, q_len, kv_len - q_len, -1.0)
-        return o[:, :, :q_len, :d], lse_u
+            m2, linv = (
+                layout.unpack_stat_grouped(s, bs.block_q)[:, :, :q_len]
+                for s in stats
+            )
+        return o[:, :, :q_len, :d], (m2, linv)
     return o[:, :, :q_len, :d], None
 
 
@@ -480,14 +520,22 @@ def flash_attention_forward(
     xla_small = _use_xla_small(q, k, block_sizes)
     sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
     if xla_small:  # pure-XLA route partitions natively
-        return _forward_impl(
+        o, stats = _forward_impl(
             q, k, v, seg, causal, sm_scale, window, logit_softcap, alibi,
             rate, seed, bs, small, xla_small, interpret, save_residuals=True,
         )
-    return _partitioned_fwd_call(
+        return o, stats_to_lse(*stats)  # xla stats are true-lse already
+    o, stats = _partitioned_fwd_call(
         q, k, v, seg, seed, causal, sm_scale, window, float(logit_softcap),
         alibi, rate, bs, small, xla_small, interpret, save_residuals=True,
     )
+    lse = stats_to_lse(*stats)
+    if alibi is not None:
+        # Kernel stats are in the separable convention; publish true lse.
+        lse = _alibi_lse_shift(
+            lse, alibi, q.shape[2], k.shape[2] - q.shape[2], -1.0
+        )
+    return o, lse
 
 
 def flash_attention_backward(
@@ -530,9 +578,18 @@ def flash_attention_backward(
     seg = _normalize_segments(segment_ids, q, k)
     rate, seed = _normalize_dropout(dropout_rate, dropout_seed)
     alibi = _normalize_alibi(alibi_slopes, q.shape[1], causal)
+    if alibi is not None:
+        # Callers pass the true logsumexp (the forward's public contract);
+        # the kernels recompute P in the separable convention — re-shift.
+        lse = _alibi_lse_shift(
+            lse, alibi, q.shape[2], k.shape[2] - q.shape[2], +1.0
+        )
+    # Combined-lse callers (ring attention feeds a globally MERGED lse, for
+    # which no raw stats exist) get the synthesized stats.
+    m2, linv = lse_to_stats(lse)
     if alibi is not None or not partitioning.ENABLED:
         return _backward_unpartitioned(
-            q, k, v, o, do, lse,
+            q, k, v, o, do, m2, linv,
             causal=causal, sm_scale=sm_scale, segment_ids=seg, window=window,
             logit_softcap=logit_softcap, alibi_slopes=alibi,
             dropout_rate=rate, dropout_seed=seed,
@@ -542,7 +599,7 @@ def flash_attention_backward(
         causal, sm_scale, window, float(logit_softcap), alibi, rate,
         block_sizes, interpret, seg is not None, seed is not None,
     )
-    return cp(q, k, v, o, do, lse, *partitioning._pack(seg, seed))
+    return cp(q, k, v, o, do, m2, linv, *partitioning._pack(seg, seed))
 
 
 def _backward_unpartitioned(
@@ -551,7 +608,8 @@ def _backward_unpartitioned(
     v,
     o,
     do,
-    lse,
+    m2,
+    linv,
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
@@ -571,12 +629,9 @@ def _backward_unpartitioned(
     seg = _normalize_segments(segment_ids, q, k)
     alibi = _normalize_alibi(alibi_slopes, q.shape[1], causal)
     rate, seed = _normalize_dropout(dropout_rate, dropout_seed)
-    if alibi is not None:
-        # Callers pass the true logsumexp (the forward's public contract);
-        # the kernels recompute P in the separable convention — re-shift.
-        lse = _alibi_lse_shift(
-            lse, alibi, q.shape[2], k.shape[2] - q.shape[2], +1.0
-        )
+    # Stats arrive in the kernels' own convention (raw separable stats on
+    # the vjp path; lse_to_stats-synthesized on the public path, already
+    # alibi-re-shifted by the caller).
     user_blocks = block_sizes is not None
     sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
     num_kv_heads = k.shape[1]
@@ -605,9 +660,10 @@ def _backward_unpartitioned(
         if qp.shape[-1] != d:
             op, _ = pad_axis_to(op, 3, qp.shape[-1])
             dop, _ = pad_axis_to(dop, 3, qp.shape[-1])
-        lse_pk = _pack_stat_padded(lse, bwd_mid.SUB)
+        m_pk = _pack_stat_padded(m2, bwd_mid.SUB)
+        linv_pk = _pack_stat_padded(linv, bwd_mid.SUB)
         dq, dk, dv = bwd_mid.bwd_mid_pallas(
-            qp, kp, vp, op, dop, lse_pk,
+            qp, kp, vp, op, dop, m_pk, linv_pk,
             sm_scale=sm_scale, kv_len=kv_len, window=window,
             softcap=float(logit_softcap), interpret=interpret,
         )
@@ -642,7 +698,7 @@ def _backward_unpartitioned(
     )
     if use_seg_fused:
         return _backward_fused_segmented(
-            q, k, v, o, do, lse, seg_n,
+            q, k, v, o, do, m2, linv, seg_n,
             sm_scale=sm_scale, softcap=float(logit_softcap), alibi=alibi,
             rate=rate, seed=seed,
             num_kv_heads=num_kv_heads, d_est=d_est, interpret=interpret,
@@ -673,15 +729,18 @@ def _backward_unpartitioned(
         op, _ = pad_axis_to(op, 3, d_pad)
         dop, _ = pad_axis_to(dop, 3, d_pad)
     # Stats arrive [B, H, Nq]; pad and pack to the grouped layout the
-    # blocked backward kernels read (layout.py).
-    lse_pk = _pack_stat_grouped_padded(lse, bq)
+    # blocked backward kernels read (layout.py).  linv pads with 0 -> padded
+    # q rows recompute p = exp2(s)·0 = 0; m2 pads with 0, safe because
+    # padded q rows are zeros (s = 0, finite).
+    m_pk = _pack_stat_grouped_padded(m2, bq)
+    linv_pk = _pack_stat_grouped_padded(linv, bq)
 
     # Fused single-sweep backward (5 matmuls per block pair, D inline)
     # whenever the pane-resident dQ buffer fits VMEM; two-sweep kernels
     # (7 matmuls, separate D-preprocess) otherwise — see bwd_fused.py.
     if use_fused:
         dq, dk, dv = bwd_fused.bwd_fused_pallas(
-            qp, kp, vp, op, dop, lse_pk, qseg_p, kvseg_p, seed,
+            qp, kp, vp, op, dop, m_pk, linv_pk, qseg_p, kvseg_p, seed,
             sm_scale=sm_scale, causal=causal, window=window,
             softcap=float(logit_softcap),
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
@@ -690,14 +749,14 @@ def _backward_unpartitioned(
     else:
         dpre = bwd.bwd_d_pallas(op, dop, block_q=bq, interpret=interpret)
         dk, dv = bwd.bwd_dkv_pallas(
-            qp, kp, vp, dop, lse_pk, dpre, qseg_p, kvseg_p, seed,
+            qp, kp, vp, dop, m_pk, linv_pk, dpre, qseg_p, kvseg_p, seed,
             sm_scale=sm_scale, causal=causal, window=window,
             softcap=float(logit_softcap),
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
             q_off=kv_len - q_len, alibi_slopes=alibi, dropout_rate=rate,
         )
         dq = bwd.bwd_dq_pallas(
-            qp, kp, vp, dop, lse_pk, dpre, qseg_p, kvseg_p, seed,
+            qp, kp, vp, dop, m_pk, linv_pk, dpre, qseg_p, kvseg_p, seed,
             sm_scale=sm_scale, causal=causal, window=window,
             softcap=float(logit_softcap),
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
@@ -715,7 +774,7 @@ def _backward_unpartitioned(
     return dq, dk, dv
 
 
-def _backward_fused_segmented(q, k, v, o, do, lse, seg_n, *, sm_scale,
+def _backward_fused_segmented(q, k, v, o, do, m2, linv, seg_n, *, sm_scale,
                               softcap, alibi, rate, seed, num_kv_heads,
                               d_est, interpret):
     """Fused single-sweep backward run per Q row segment (plain causal
@@ -733,7 +792,7 @@ def _backward_fused_segmented(q, k, v, o, do, lse, seg_n, *, sm_scale,
     while s0 < n:
         s1 = min(s0 + seg_n, n)
         q_s, o_s, do_s = (t[:, :, s0:s1] for t in (q, o, do))
-        lse_s = lse[:, :, s0:s1]
+        m_s, linv_s = m2[:, :, s0:s1], linv[:, :, s0:s1]
         k_s, v_s = k[:, :, :s1], v[:, :, :s1]
         blocks = bwd_fused.pick_fused_blocks(
             s1 - s0, s1, d_est, q.dtype
@@ -745,9 +804,10 @@ def _backward_fused_segmented(q, k, v, o, do, lse, seg_n, *, sm_scale,
         if qp.shape[-1] != d:
             op, _ = pad_axis_to(op, 3, qp.shape[-1])
             dop, _ = pad_axis_to(dop, 3, qp.shape[-1])
-        lse_pk = _pack_stat_grouped_padded(lse_s, bq)
+        m_pk = _pack_stat_grouped_padded(m_s, bq)
+        linv_pk = _pack_stat_grouped_padded(linv_s, bq)
         dq_s, dk_p, dv_p = bwd_fused.bwd_fused_pallas(
-            qp, kp, vp, op, dop, lse_pk, None, None, seed,
+            qp, kp, vp, op, dop, m_pk, linv_pk, None, None, seed,
             sm_scale=sm_scale, causal=True, window=0, softcap=softcap,
             block_q=bq, block_kv=bkv, kv_len=kv_len, interpret=interpret,
             q_off=kv_len - q_len, alibi_slopes=alibi, dropout_rate=rate,
@@ -829,12 +889,11 @@ def _partitioned_fwd_call(q, k, v, seg, seed, causal, sm_scale, window,
     from . import partitioning
 
     if alibi is not None or not partitioning.ENABLED:
-        o, lse = _forward_impl(
+        return _forward_impl(
             q, k, v, seg, causal, sm_scale, window, softcap, alibi, rate,
             seed, block_sizes, small, xla_small, interpret,
             save_residuals=save_residuals,
         )
-        return (o, lse)
 
     cp = partitioning.partitioned_forward(
         causal, sm_scale, window, softcap, alibi, rate, block_sizes, small,
@@ -842,7 +901,10 @@ def _partitioned_fwd_call(q, k, v, seg, seed, causal, sm_scale, window,
         save_residuals,
     )
     out = cp(q, k, v, *partitioning._pack(seg, seed))
-    return out if save_residuals else (out, None)
+    if save_residuals:
+        o, m2, linv = out
+        return o, (m2, linv)
+    return out, None
 
 
 @functools.partial(
@@ -879,8 +941,8 @@ def _flash_attention_fwd(q, k, v, seg, seed, causal, sm_scale, window,
         from jax.ad_checkpoint import checkpoint_name
 
         o = checkpoint_name(o, "flash_o")
-        return o, (q, k, v, o, None, seg, seed)
-    o, lse = _partitioned_fwd_call(
+        return o, (q, k, v, o, None, None, seg, seed)
+    o, (m2, linv) = _partitioned_fwd_call(
         q, k, v, seg, seed, causal, sm_scale, window, softcap, alibi, rate,
         block_sizes, small, xla_small, interpret, save_residuals=True,
     )
@@ -896,8 +958,9 @@ def _flash_attention_fwd(q, k, v, seg, seed, causal, sm_scale, window,
     from jax.ad_checkpoint import checkpoint_name
 
     o = checkpoint_name(o, "flash_o")
-    lse = checkpoint_name(lse, "flash_lse")
-    return o, (q, k, v, o, lse, seg, seed)
+    m2 = checkpoint_name(m2, "flash_lse")
+    linv = checkpoint_name(linv, "flash_lse")
+    return o, (q, k, v, o, m2, linv, seg, seed)
 
 
 def _seed_cotangent(seed):
@@ -908,7 +971,7 @@ def _seed_cotangent(seed):
 
 def _flash_attention_bwd(causal, sm_scale, window, softcap, alibi, rate,
                          block_sizes, small, xla_small, interpret, res, do):
-    q, k, v, o, lse, seg, seed = res
+    q, k, v, o, m2, linv, seg, seed = res
     if xla_small:
         # Tiny-N XLA route: differentiate the same whole-fused attention
         # the forward ran (XLA fuses the recompute + grads into batched
@@ -939,7 +1002,7 @@ def _flash_attention_bwd(causal, sm_scale, window, softcap, alibi, rate,
             )
         else:
             dq, dk, dv = _backward_unpartitioned(
-                q, k, v, o, do, lse,
+                q, k, v, o, do, m2, linv,
                 causal=causal, sm_scale=sm_scale, segment_ids=seg,
                 window=window, logit_softcap=softcap, alibi_slopes=alibi,
                 dropout_rate=rate, dropout_seed=seed,
@@ -950,7 +1013,8 @@ def _flash_attention_bwd(causal, sm_scale, window, softcap, alibi, rate,
         causal, sm_scale, window, softcap, alibi, rate, block_sizes, small,
         interpret, seg is not None, seed is not None,
     )
-    dq, dk, dv = cp(q, k, v, o, do, lse, *partitioning._pack(seg, seed))
+    dq, dk, dv = cp(q, k, v, o, do, m2, linv,
+                    *partitioning._pack(seg, seed))
     return dq, dk, dv, _seg_cotangent(seg), _seed_cotangent(seed)
 
 

@@ -108,17 +108,26 @@ def seed_block_spec():
 
 
 def slope_input(alibi_slopes, num_q_heads: int):
-    """Per-head ALiBi slopes as a kernel input: [Hq, LANES] fp32 holding
-    m_h·log2e (base-2 units, matching the pre-scaled scores), lane-replicated
-    so the kernel reads a scalar without a sublane gather."""
+    """Per-head ALiBi slopes as a kernel input: [Hq, SUBLANES, LANES] fp32
+    holding m_h·log2e (base-2 units, matching the pre-scaled scores),
+    tile-replicated so the kernel reads a scalar without a gather.  The
+    full (8, 128) trailing tile per head is a Mosaic legality requirement:
+    a [1, LANES] block over a [Hq, LANES] array is rejected on hardware
+    (sublane dim of a block must be a multiple of 8 or the whole array dim
+    — found by scripts/probe_alibi_tpu.py; interpret mode accepts it)."""
     slopes = jnp.asarray(alibi_slopes, jnp.float32) * LOG2E
-    return jnp.broadcast_to(slopes[:, None], (num_q_heads, geo.NUM_LANES))
+    return jnp.broadcast_to(
+        slopes[:, None, None],
+        (num_q_heads, geo.NUM_SUBLANES, geo.NUM_LANES),
+    )
 
 
 def slope_block_spec():
-    """One [1, LANES] slope row per grid step, indexed by the q-head axis
-    (grid axis 1 in every kernel of this package)."""
-    return pl.BlockSpec((1, geo.NUM_LANES), lambda *idx: (idx[1], 0))
+    """One [1, SUBLANES, LANES] slope tile per grid step, indexed by the
+    q-head axis (grid axis 1 in every kernel of this package)."""
+    return pl.BlockSpec(
+        (1, geo.NUM_SUBLANES, geo.NUM_LANES), lambda *idx: (idx[1], 0, 0)
+    )
 
 
 def adapt_optional_refs(base, *, n_lead: int, segmented: bool,
@@ -170,7 +179,8 @@ def _fwd_kernel(
     slope_ref,  # [1, LANES] fp32 per-head ALiBi slope (base-2), or None
     seed_ref,  # [1, LANES] int32 dropout seed, or None
     o_ref,
-    lse_ref,  # None when save_residuals=False
+    m_out_ref,  # None when save_residuals=False (row max, base-2 units)
+    linv_out_ref,  # None when save_residuals=False (1/l; 0 on empty rows)
     m_scratch,
     l_scratch,
     acc_scratch,
@@ -256,7 +266,7 @@ def _fwd_kernel(
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
                 + ikv * block_kv
             )
-            s = s + slope_ref[0, 0] * colp.astype(jnp.float32)
+            s = s + slope_ref[0, 0, 0] * colp.astype(jnp.float32)
 
         # Masking: causal within diagonal-crossing blocks + KV-length tail
         # + (packed sequences) segment-id equality.
@@ -364,7 +374,7 @@ def _fwd_kernel(
             if slope_ref is not None:
                 # Strip columns are the block's first w: absolute column
                 # = col + ikv·block_kv (same separable form as _compute).
-                s = s + slope_ref[0, 0] * (
+                s = s + slope_ref[0, 0, 0] * (
                     col + ikv * block_kv
                 ).astype(jnp.float32)
             mask = (row + i * sub_d) >= col
@@ -434,16 +444,25 @@ def _fwd_kernel(
         # Fully-masked rows (l == 0) produce O = 0, finite LSE sentinel.
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
-        if lse_ref is not None:
-            # m is in base-2 units (scores were pre-scaled by log2e); the
-            # residual stays natural-base: L = ln2·m₂ + ln(l₂).  Written in
-            # the GROUPED packed layout (layout.py): the block's k =
-            # block_q/128 dense stat rows, the remaining stat_rows−k sublanes
-            # are Mosaic tile padding left untouched.
-            lse = LN2 * m + jnp.log(jnp.where(l == 0.0, 1.0, l))
-            lse = jnp.where(l == 0.0, DEFAULT_MASK_VALUE, lse)
-            lse_ref[0, 0, : block_q // geo.NUM_LANES, :] = (
-                layout.column_to_lanes(lse)
+        if m_out_ref is not None:
+            # Residuals are the RAW softmax stats (m in base-2 units — the
+            # scores were pre-scaled by log2e — and 1/l), NOT the combined
+            # lse: the backward recomputes P = exp2(s − m)·(1/l) with
+            # bit-identical exp2 arguments to this forward, so the
+            # recompute error CANCELS in dS (measured on v5e: 3e-8 max
+            # |ΔP| vs 5e-5 through a combined-lse round trip — which cost
+            # ~3e-3 in fp32 dQ/dK through the (dP−D) cancellation).  lse
+            # for the public API is derived host-side (stats_to_lse).
+            # Empty (fully-masked) rows: m := +BIG, 1/l := 0 ⇒ P = 0
+            # without inf/NaN.  GROUPED packed layout (layout.py): the
+            # block's k = block_q/128 dense stat rows, remaining
+            # stat_rows−k sublanes are Mosaic tile padding.
+            m_out = jnp.where(l == 0.0, -DEFAULT_MASK_VALUE, m)
+            m_out_ref[0, 0, : block_q // geo.NUM_LANES, :] = (
+                layout.column_to_lanes(m_out)
+            )
+            linv_out_ref[0, 0, : block_q // geo.NUM_LANES, :] = (
+                layout.column_to_lanes(l_inv[:, :1])
             )
 
 
@@ -552,7 +571,7 @@ def fwd_pallas(
         def base2(q_r, k_r, v_r, qs_r, ks_r, sl_r, sd_r, o_r, m_s, l_s,
                   acc_s):
             return base(q_r, k_r, v_r, qs_r, ks_r, sl_r, sd_r, o_r, None,
-                        m_s, l_s, acc_s)
+                        None, m_s, l_s, acc_s)
     kernel = adapt_optional_refs(
         base2, n_lead=3, segmented=segmented,
         has_slope=alibi_slopes is not None,
@@ -652,19 +671,20 @@ def fwd_pallas(
         # arithmetic carries over unchanged because index maps are in block
         # units.
         s_rows = layout.stat_rows(block_q)
-        out_specs.append(
-            pl.BlockSpec(
-                (1, 1, s_rows, geo.NUM_LANES),
-                lambda *idx: q_index(*idx),
+        for _ in range(2):  # m then linv, same packed stat layout
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, 1, s_rows, geo.NUM_LANES),
+                    lambda *idx: q_index(*idx),
+                )
             )
-        )
-        out_shape.append(
-            jax.ShapeDtypeStruct(
-                (batch, num_q_heads, (n_q // block_q) * s_rows,
-                 geo.NUM_LANES),
-                jnp.float32,
+            out_shape.append(
+                jax.ShapeDtypeStruct(
+                    (batch, num_q_heads, (n_q // block_q) * s_rows,
+                     geo.NUM_LANES),
+                    jnp.float32,
+                )
             )
-        )
 
     flops_matmul = 2 * batch * num_q_heads * n_q * n_kv * head_dim * 2
     if causal:
@@ -697,5 +717,5 @@ def fwd_pallas(
         interpret=interpret,
     )(*inputs)
     if save_residuals:
-        return outs[0], outs[1]
+        return outs[0], (outs[1], outs[2])
     return outs[0], None

@@ -95,7 +95,8 @@ def _mid_kernel(
     k_ref,  # [1, hb_kv, n, d]
     v_ref,
     o_ref,
-    lse_ref,  # [1, hb, n/128, 128] f32 packed (layout.py) or None
+    m_out_ref,  # [1, hb, n/128, 128] f32 packed (layout.py) or None
+    linv_out_ref,  # same shape; 1/l (0 on empty rows)
     *,
     n: int,
     kv_len: int,
@@ -165,12 +166,16 @@ def _mid_kernel(
         o_ref[0, j, iq * SUB:(iq + 1) * SUB, :] = (acc * l_inv).astype(
             o_ref.dtype
         )
-        if lse_ref is not None:
-            lse = LN2 * m + jnp.log(jnp.where(l == 0.0, 1.0, l))
-            lse = jnp.where(l == 0.0, DEFAULT_MASK_VALUE, lse)
+        if m_out_ref is not None:
+            # Raw (m, 1/l) stats — see fwd_kernel epilogue for why the
+            # combined lse is NOT stored (bit-cancelling backward recompute).
+            m_out = jnp.where(l == 0.0, -DEFAULT_MASK_VALUE, m)
             rs = SUB // geo.NUM_LANES
-            lse_ref[0, j, iq * rs:(iq + 1) * rs, :] = (
-                layout.column_to_lanes(lse)
+            m_out_ref[0, j, iq * rs:(iq + 1) * rs, :] = (
+                layout.column_to_lanes(m_out)
+            )
+            linv_out_ref[0, j, iq * rs:(iq + 1) * rs, :] = (
+                layout.column_to_lanes(l_inv[:, :1])
             )
 
 
@@ -222,7 +227,7 @@ def fwd_mid_pallas(
         inner = kernel
 
         def kernel(q_r, k_r, v_r, o_r):  # noqa: F811
-            return inner(q_r, k_r, v_r, o_r, None)
+            return inner(q_r, k_r, v_r, o_r, None, None)
 
     grid = (batch, num_q_heads // hb)
     q_spec = pl.BlockSpec((1, hb, n, head_dim), lambda b, h: (b, h, 0, 0))
@@ -234,18 +239,19 @@ def fwd_mid_pallas(
     out_specs = [q_spec]
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
     if save_residuals:
-        out_specs.append(
-            pl.BlockSpec(
-                (1, hb, n // geo.NUM_LANES, geo.NUM_LANES),
-                lambda b, h: (b, h, 0, 0),
+        for _ in range(2):  # m then linv, same packed layout
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, hb, n // geo.NUM_LANES, geo.NUM_LANES),
+                    lambda b, h: (b, h, 0, 0),
+                )
             )
-        )
-        out_shape.append(
-            jax.ShapeDtypeStruct(
-                (batch, num_q_heads, n // geo.NUM_LANES, geo.NUM_LANES),
-                jnp.float32,
+            out_shape.append(
+                jax.ShapeDtypeStruct(
+                    (batch, num_q_heads, n // geo.NUM_LANES, geo.NUM_LANES),
+                    jnp.float32,
+                )
             )
-        )
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -258,5 +264,5 @@ def fwd_mid_pallas(
         interpret=interpret,
     )(q, k, v)
     if save_residuals:
-        return outs[0], outs[1]
+        return outs[0], (outs[1], outs[2])
     return outs[0], None

@@ -175,12 +175,14 @@ def partitioned_forward(causal, sm_scale, window, softcap, alibi, rate,
         seg, seed = _unpack((q, k, v) + tail, 3, has_seg, has_seed)
         if seed_override is not None:
             seed = seed_override
-        o, lse = _forward_impl(
+        o, stats = _forward_impl(
             q, k, v, seg, causal, sm_scale, window, softcap, alibi, rate,
             seed, block_sizes, small, xla_small, interpret,
             save_residuals=save_residuals,
         )
-        return (o, lse) if save_residuals else o
+        # stats = (m2, linv): the kernels' raw softmax stats, flattened into
+        # two lse-shaped [B, H, Nq] outputs (see flash_attention.stats_to_lse)
+        return (o, *stats) if save_residuals else o
 
     def impl(q, k, v, *tail):
         return _impl(q, k, v, tail, None)
@@ -194,7 +196,8 @@ def partitioned_forward(causal, sm_scale, window, softcap, alibi, rate,
         o_sh = NamedSharding(mesh, P(b_ax, h_ax, None, None))
         if not save_residuals:
             return o_sh
-        return (o_sh, NamedSharding(mesh, P(b_ax, h_ax, None)))
+        stat_sh = NamedSharding(mesh, P(b_ax, h_ax, None))
+        return (o_sh, stat_sh, stat_sh)
 
     def partition(mesh, arg_shapes, result_shape):
         b_ax, h_ax = _plan(mesh, arg_shapes[0], arg_shapes[1], head_ok)
@@ -205,10 +208,8 @@ def partitioned_forward(causal, sm_scale, window, softcap, alibi, rate,
             NamedSharding(mesh, s) for s in _tail_specs(b_ax, has_seg, has_seed)
         )
         o_sh = NamedSharding(mesh, P(b_ax, h_ax, None, None))
-        out_sh = (
-            (o_sh, NamedSharding(mesh, P(b_ax, h_ax, None)))
-            if save_residuals else o_sh
-        )
+        stat_sh = NamedSharding(mesh, P(b_ax, h_ax, None))
+        out_sh = (o_sh, stat_sh, stat_sh) if save_residuals else o_sh
 
         def lower(q, k, v, *tail_args):
             override = None
@@ -233,7 +234,8 @@ def partitioned_forward(causal, sm_scale, window, softcap, alibi, rate,
         maps = (q_map, k_map, v_map) + _tail_mappings(3, has_seg, has_seed)
         outs = (ArrayMapping("b", hq_f, "n_o", "d_o"),)
         if save_residuals:
-            outs += (ArrayMapping("b", hq_f, "n_l"),)
+            outs += (ArrayMapping("b", hq_f, "n_m"),
+                     ArrayMapping("b", hq_f, "n_li"),)
         kw = {"g": g} if (g > 1 and head_ok) else {}
         return SdyShardingRule(maps, outs, **kw)
 
@@ -244,19 +246,20 @@ def partitioned_forward(causal, sm_scale, window, softcap, alibi, rate,
 
 def _make_backward_cp(local_impl, head_ok, rate, has_seg, has_seed):
     """Wrap a local (dq, dk, dv) impl — signature
-    (q, k, v, o, do, lse, tail, seed_override) — with the (batch, head)
-    partition rules.  Operands: (q, k, v, o, do, lse, *segs, *seed)."""
+    (q, k, v, o, do, m2, linv, tail, seed_override) — with the (batch,
+    head) partition rules.  Operands: (q, k, v, o, do, m2, linv, *segs,
+    *seed); m2/linv are the forward's raw softmax stats (lse-shaped)."""
 
-    def impl(q, k, v, o, do, lse, *tail):
-        return local_impl(q, k, v, o, do, lse, tail, None)
+    def impl(q, k, v, o, do, m2, linv, *tail):
+        return local_impl(q, k, v, o, do, m2, linv, tail, None)
 
     cp = custom_partitioning(impl)
 
     def shardings(mesh, arg_shapes):
         b_ax, h_ax = _plan(mesh, arg_shapes[0], arg_shapes[1], head_ok)
         q_sh = NamedSharding(mesh, P(b_ax, h_ax, None, None))
-        lse_sh = NamedSharding(mesh, P(b_ax, h_ax, None))
-        args = (q_sh, q_sh, q_sh, q_sh, q_sh, lse_sh) + tuple(
+        stat_sh = NamedSharding(mesh, P(b_ax, h_ax, None))
+        args = (q_sh, q_sh, q_sh, q_sh, q_sh, stat_sh, stat_sh) + tuple(
             NamedSharding(mesh, s) for s in _tail_specs(b_ax, has_seg, has_seed)
         )
         outs = (q_sh, q_sh, q_sh)
@@ -269,13 +272,14 @@ def _make_backward_cp(local_impl, head_ok, rate, has_seg, has_seed):
     def partition(mesh, arg_shapes, result_shape):
         b_ax, h_ax, args, outs = shardings(mesh, arg_shapes)
 
-        def lower(q, k, v, o, do, lse, *tail_args):
+        def lower(q, k, v, o, do, m2, linv, *tail_args):
             override = None
             if rate and (b_ax is not None or h_ax is not None):
                 _, seed = _unpack(
-                    (q, k, v, o, do, lse) + tail_args, 6, has_seg, has_seed)
+                    (q, k, v, o, do, m2, linv) + tail_args, 7,
+                    has_seg, has_seed)
                 override = _fold_seed(seed, b_ax, h_ax, mesh)
-            return local_impl(q, k, v, o, do, lse, tail_args, override)
+            return local_impl(q, k, v, o, do, m2, linv, tail_args, override)
 
         return mesh, lower, outs, args
 
@@ -289,8 +293,10 @@ def _make_backward_cp(local_impl, head_ok, rate, has_seg, has_seed):
 
         maps = (
             m4(hq_f, "q"), m4(hkv_f, "k"), m4(hkv_f, "v"),
-            m4(hq_f, "o"), m4(hq_f, "g"), ArrayMapping("b", hq_f, "n_l"),
-        ) + _tail_mappings(6, has_seg, has_seed)
+            m4(hq_f, "o"), m4(hq_f, "g"),
+            ArrayMapping("b", hq_f, "n_m"),
+            ArrayMapping("b", hq_f, "n_li"),
+        ) + _tail_mappings(7, has_seg, has_seed)
         outs = (m4(hq_f, "dq"), m4(hkv_f, "dk"), m4(hkv_f, "dv"))
         kw = {"g": g} if (g > 1 and head_ok) else {}
         return SdyShardingRule(maps, outs, **kw)
@@ -309,8 +315,9 @@ def partitioned_backward(causal, sm_scale, window, softcap, alibi, rate,
     iotas keep dropout exact under GSPMD)."""
     from .flash_attention import _backward_small, _backward_unpartitioned
 
-    def local_impl(q, k, v, o, do, lse, tail, seed_override):
-        seg, seed = _unpack((q, k, v, o, do, lse) + tail, 6, has_seg, has_seed)
+    def local_impl(q, k, v, o, do, m2, linv, tail, seed_override):
+        seg, seed = _unpack(
+            (q, k, v, o, do, m2, linv) + tail, 7, has_seg, has_seed)
         if seed_override is not None:
             seed = seed_override
         if small and max(q.shape[2], k.shape[2]) <= 320:
@@ -319,7 +326,7 @@ def partitioned_backward(causal, sm_scale, window, softcap, alibi, rate,
                 interpret,
             )
         return _backward_unpartitioned(
-            q, k, v, o, do, lse,
+            q, k, v, o, do, m2, linv,
             causal=causal, sm_scale=sm_scale, segment_ids=seg, window=window,
             logit_softcap=softcap, alibi_slopes=alibi,
             dropout_rate=rate, dropout_seed=seed,
@@ -338,12 +345,13 @@ def partitioned_backward_public(causal, sm_scale, window, softcap, alibi,
     (flash_attention_backward): honors the passed lse on every shard."""
     from .flash_attention import _backward_unpartitioned
 
-    def local_impl(q, k, v, o, do, lse, tail, seed_override):
-        seg, seed = _unpack((q, k, v, o, do, lse) + tail, 6, has_seg, has_seed)
+    def local_impl(q, k, v, o, do, m2, linv, tail, seed_override):
+        seg, seed = _unpack(
+            (q, k, v, o, do, m2, linv) + tail, 7, has_seg, has_seed)
         if seed_override is not None:
             seed = seed_override
         return _backward_unpartitioned(
-            q, k, v, o, do, lse,
+            q, k, v, o, do, m2, linv,
             causal=causal, sm_scale=sm_scale, segment_ids=seg, window=window,
             logit_softcap=softcap, alibi_slopes=alibi,
             dropout_rate=rate, dropout_seed=seed,

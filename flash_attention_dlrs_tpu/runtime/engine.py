@@ -749,13 +749,28 @@ class DecodeEngine:
             raise ValueError("draft and target page sizes must match")
         if gamma < 2:
             raise ValueError("gamma must be >= 2 (draft proposes gamma-1)")
-        verify = self._verify_cache.get(gamma)
-        if verify is None:
-            verify = make_verify_step(
-                self.cfg, gamma, pages_per_block=self.pages_per_block,
-                interpret=self.interpret,
+        # Fused round programs (runtime/speculative.py): ONE dispatch for
+        # the whole γ−1-step draft loop (device-side lax.scan + sampling)
+        # and ONE for verify+accept — 2 dispatches/round instead of γ+2,
+        # which is what makes measured end-to-end speedup dispatch-bound
+        # environments (and real serving) see the algorithmic win.
+        spec_fns = self._verify_cache.get((gamma, id(draft)))
+        if spec_fns is None:
+            from .speculative import make_draft_propose, make_verify_accept
+
+            spec_fns = (
+                make_draft_propose(
+                    draft.cfg, gamma, draft.page_size,
+                    pages_per_block=draft.pages_per_block,
+                    interpret=draft.interpret,
+                ),
+                make_verify_accept(
+                    self.cfg, gamma, pages_per_block=self.pages_per_block,
+                    interpret=self.interpret,
+                ),
             )
-            self._verify_cache[gamma] = verify
+            self._verify_cache[(gamma, id(draft))] = spec_fns
+        propose, verify_accept = spec_fns
         sp = sampling or GREEDY
         b = self.num_slots
         temp, top_k, top_p, seeds = batch_params([sp] * n + [None] * (b - n))
@@ -780,6 +795,11 @@ class DecodeEngine:
         sids = [r.request_id for r in reqs]
         outputs = [[r.output_tokens[0]] for r in reqs]
 
+        # measured-acceptance telemetry (read by bench_speculative and the
+        # stats dashboard): rounds run, proposals offered, proposals
+        # accepted (committed minus the per-round correction/bonus token)
+        self.spec_stats = {"rounds": 0, "proposed": 0, "accepted": 0}
+
         for _ in range(max_rounds):
             live = [
                 i for i in range(n)
@@ -796,31 +816,32 @@ class DecodeEngine:
             base_pos_d[:n] = [draft.allocator.seq_lengths[s] for s in sids]
 
             # --- draft proposes gamma−1 continuation tokens ----------------
-            # Proposal d_j is SAMPLED from the draft's filtered distribution
-            # q_{j-1} (greedy when temperature is 0); the logits are kept —
-            # rejection sampling needs q at the proposed tokens.
-            proposals = np.zeros((n, gamma), np.int64)
-            proposals[:, 0] = x0
-            d_logits = []
-            cur = x0
-            for j in range(1, gamma):
-                logits_j = draft._single_decode_logits(sids, cur)
-                d_logits.append(logits_j)
-                cur = np.asarray(
-                    sample_tokens(
-                        logits_j, temp, top_k, top_p, seeds,
-                        jnp.asarray(base_pos_d + j, jnp.int32),
-                    )
-                )[:n]
-                proposals[:, j] = cur
-            # Insert the FINAL proposal's K/V too: if every proposal is
-            # accepted the draft stream is x0..d_{γ-1} and the next round
-            # decodes on top of position base+γ−1 — without this write that
-            # slot would be stale and acceptance would silently degrade.
-            draft._single_decode_logits(sids, proposals[:, gamma - 1])
+            # ONE dispatch (runtime.speculative.make_draft_propose): device-
+            # side lax.scan runs the γ−1 decode steps with sampling between
+            # — proposal d_j is SAMPLED from the draft's filtered
+            # distribution q_{j-1} (greedy when temperature is 0), the
+            # logits come back for rejection sampling, and the final
+            # proposal's K/V is written so a fully-accepted round leaves the
+            # draft cache complete.
+            x0_b = np.zeros(b, np.int32)
+            x0_b[:n] = x0
+            d_tbl = np.full((b, draft.pages_per_seq), draft._null_page,
+                            np.int32)
+            for slot in range(n):
+                sid = sids[slot]
+                base = int(base_pos_d[slot])
+                draft.allocator.ensure_capacity(sid, base + gamma)
+                table = draft.allocator.page_tables[sid]
+                d_tbl[slot, : len(table)] = table
+                draft.allocator.seq_lengths[sid] = base + gamma
+            props_b, draft_logits, draft.pools = propose(
+                draft.params, draft.pools, jnp.asarray(x0_b),
+                jnp.asarray(base_pos_d), jnp.asarray(d_tbl),
+                temp, top_k, top_p, seeds,
+            )
+            proposals = np.asarray(props_b)[:n]  # [n, γ]
 
-            # --- target verifies all gamma tokens in one step --------------
-            tokens = np.zeros((b, gamma), np.int32)
+            # --- target verify + accept/resample: ONE fused dispatch -------
             positions = np.zeros((b, gamma), np.int32)
             rows = np.full((b, gamma), self._null_page, np.int32)
             offs = np.zeros((b, gamma), np.int32)
@@ -833,7 +854,6 @@ class DecodeEngine:
                 base_pos[slot] = p0
                 self.allocator.ensure_capacity(sid, p0 + gamma)
                 table = self.allocator.page_tables[sid]
-                tokens[slot] = proposals[slot]
                 positions[slot] = p0 + np.arange(gamma)
                 for j in range(gamma):
                     pos = p0 + j
@@ -841,25 +861,21 @@ class DecodeEngine:
                     offs[slot, j] = pos % self.page_size
                 tbl[slot, : len(table)] = table
                 lens[slot] = p0 + gamma
-            logits, self.pools = verify(
-                self.params, self.pools,
-                jnp.asarray(tokens), jnp.asarray(positions),
-                jnp.asarray(rows), jnp.asarray(offs), jnp.asarray(tbl),
-                jnp.asarray(lens),
-            )
-
-            # --- accept/reject + correction/bonus (one jitted call) --------
-            draft_logits = jnp.stack(d_logits, axis=1)  # [b, γ-1, V]
-            proposals_b = np.zeros((b, gamma), np.int64)
-            proposals_b[:n] = proposals
             base_pos_b = np.zeros(b, np.int32)
             base_pos_b[:n] = base_pos
-            round_tokens, n_committed = speculative_verify(
-                logits, draft_logits, jnp.asarray(proposals_b, jnp.int32),
-                temp, top_k, top_p, seeds, jnp.asarray(base_pos_b),
+            round_tokens, n_committed, self.pools = verify_accept(
+                self.params, self.pools, props_b,
+                jnp.asarray(positions), jnp.asarray(rows),
+                jnp.asarray(offs), jnp.asarray(tbl), jnp.asarray(lens),
+                draft_logits, temp, top_k, top_p, seeds,
+                jnp.asarray(base_pos_b),
             )
             round_tokens = np.asarray(round_tokens)
             n_committed = np.asarray(n_committed)
+            self.spec_stats["rounds"] += 1
+            self.spec_stats["proposed"] += len(live) * (gamma - 1)
+            self.spec_stats["accepted"] += int(
+                sum(n_committed[s] - 1 for s in live))
 
             live_set = set(live)
             for slot in live:

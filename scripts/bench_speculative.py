@@ -1,13 +1,15 @@
-"""Speculative-decoding component benchmark.
+"""Speculative-decoding benchmark: MEASURED end-to-end + component sanity.
 
-Wall-clock end-to-end timing is meaningless in this environment — every
-dispatch crosses a remote tunnel costing ~100 ms, which swamps sub-ms decode
-steps — so this measures the DEVICE cost of the three speculative components
-with dispatch-amortized chained timing and derives the speedup model:
+With --target-ckpt/--draft-ckpt (scripts/train_lm.py run dirs) this runs
+REAL generation through DecodeEngine on real held-out prompts and reports
+measured wall-clock tokens/s for plain vs speculative decoding, plus the
+MEASURED acceptance rate (engine.spec_stats) — the round-3 fused programs
+(runtime/speculative.py: device-side draft scan + fused verify/accept)
+keep the round at 2 dispatches, so wall-clock is meaningful even through
+this environment's remote-dispatch tunnel.
 
-    speedup(gamma, a) = tokens_per_round / round_cost_in_target_steps
-      tokens_per_round = expected accepted prefix + 1   (a = acceptance rate)
-      round_cost       = verify/decode + (gamma-1) * draft/decode
+Without checkpoints it falls back to the round-2 component cost model
+(device step costs + derived speedup) — kept as the sanity column.
 
 Output equality with plain greedy is exercised in tests/test_speculative.py.
 """
@@ -32,7 +34,17 @@ def main():
     ap.add_argument("--gamma", type=int, default=4)
     ap.add_argument("--ctx", type=int, default=2048)
     ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--target-ckpt", default=None,
+                    help="trained target run dir -> measured end-to-end mode")
+    ap.add_argument("--draft-ckpt", default=None)
+    ap.add_argument("--data", default="/tmp/code_corpus")
+    ap.add_argument("--prompt-len", type=int, default=512)
+    ap.add_argument("--max-new", type=int, default=256)
+    ap.add_argument("--gammas", type=int, nargs="*", default=[3, 4, 6])
     args = ap.parse_args()
+
+    if args.target_ckpt:
+        return measured_end_to_end(args)
 
     from flash_attention_dlrs_tpu.bench.suite import time_fn
     from flash_attention_dlrs_tpu.models import ModelConfig, init_params
@@ -127,10 +139,94 @@ def main():
         # expected committed tokens/round under per-token acceptance a
         exp_tokens = sum(a**j for j in range(1, g)) + 1
         out[f"speedup@accept={a}"] = (exp_tokens * t_target) / round_cost
+    out["mode"] = "component-cost-model (sanity only — see measured mode)"
     print(json.dumps(out, indent=2))
+    os.makedirs("bench_out", exist_ok=True)
+    with open("bench_out/speculative_cost_model.json", "w") as f:
+        json.dump(out, f, indent=2)
+
+
+def measured_end_to_end(args):
+    """Measured mode: real prompts, real engines, wall-clock + acceptance."""
+    import time
+
+    import numpy as np
+
+    from flash_attention_dlrs_tpu.models.convert import load_trained
+    from flash_attention_dlrs_tpu.runtime.engine import DecodeEngine
+
+    t_params, t_cfg = load_trained(args.target_ckpt)
+    d_params, d_cfg = load_trained(args.draft_ckpt)
+    assert t_cfg.vocab_size == d_cfg.vocab_size
+
+    val = np.memmap(os.path.join(args.data, "val.bin"), dtype=np.uint16,
+                    mode="r")
+    b = args.slots
+    prompts = [
+        [int(t) for t in val[i * args.prompt_len:(i + 1) * args.prompt_len]]
+        for i in range(b)
+    ]
+    ps = 256
+    total = args.prompt_len + args.max_new + args.gammas[-1] * 2
+    pps = -(-total // ps)
+
+    def build(params, cfg):
+        return DecodeEngine(
+            params, cfg, num_pages=b * pps + 8, page_size=ps,
+            num_slots=b, pages_per_seq=pps, kv_dtype=jnp.bfloat16,
+        )
+
+    # plain greedy baseline (includes prefill, same as speculative runs).
+    # Warm-up and timed run share ONE engine: each build() makes fresh jit
+    # closures that would recompile; generate() retires its requests, so
+    # reuse is clean.
+    eng = build(t_params, t_cfg)
+    eng.generate(prompts, max_new_tokens=4)  # compile prefill+decode
+    t0 = time.perf_counter()
+    plain_out = eng.generate(prompts, max_new_tokens=args.max_new)
+    t_plain = time.perf_counter() - t0
+    n_tokens = sum(len(o) for o in plain_out)
+    out = {
+        "mode": "measured",
+        "model": {"target_ckpt": args.target_ckpt,
+                  "draft_ckpt": args.draft_ckpt,
+                  "prompt_len": args.prompt_len, "max_new": args.max_new,
+                  "slots": b},
+        "plain": {"tokens": n_tokens, "seconds": t_plain,
+                  "tokens_per_s": n_tokens / t_plain},
+    }
+    print(f"plain greedy: {n_tokens} tok in {t_plain:.2f}s = "
+          f"{n_tokens / t_plain:,.0f} tok/s", flush=True)
+
+    for g in args.gammas:
+        tgt = build(t_params, t_cfg)
+        dft = build(d_params, d_cfg)
+        tgt.generate_speculative(   # compile pass (same engines reused)
+            prompts, draft=dft, gamma=g, max_new_tokens=4)
+        t0 = time.perf_counter()
+        spec_out = tgt.generate_speculative(
+            prompts, draft=dft, gamma=g, max_new_tokens=args.max_new)
+        t_spec = time.perf_counter() - t0
+        n_spec = sum(len(o) for o in spec_out)
+        st = tgt.spec_stats
+        acc = st["accepted"] / max(1, st["proposed"])
+        assert spec_out == plain_out, "greedy speculative output diverged"
+        out[f"gamma{g}"] = {
+            "tokens": n_spec, "seconds": t_spec,
+            "tokens_per_s": n_spec / t_spec,
+            "speedup_vs_plain": (n_spec / t_spec) / out["plain"]["tokens_per_s"],
+            "rounds": st["rounds"], "measured_acceptance": acc,
+            "tokens_per_round": n_spec / max(1, st["rounds"]) / b,
+        }
+        print(f"gamma={g}: {n_spec / t_spec:,.0f} tok/s "
+              f"({out[f'gamma{g}']['speedup_vs_plain']:.2f}x plain), "
+              f"acceptance {acc:.1%}, {st['rounds']} rounds", flush=True)
+
     os.makedirs("bench_out", exist_ok=True)
     with open("bench_out/speculative.json", "w") as f:
         json.dump(out, f, indent=2)
+    print("wrote bench_out/speculative.json")
+    return 0
 
 
 if __name__ == "__main__":

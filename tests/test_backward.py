@@ -271,9 +271,10 @@ def test_bwd_fused_segmented_matches_oracle():
     dq_r, dk_r, dv_r = reference_attention_grads(
         q, k, v, do, causal=True, sm_scale=1.0
     )
+    m2, linv = fam.lse_to_stats(lse)
     for seg_n in (512, 768):
         dq, dk, dv = fam._backward_fused_segmented(
-            q, k, v, o, do, lse, seg_n,
+            q, k, v, o, do, m2, linv, seg_n,
             sm_scale=1.0, softcap=0.0, alibi=None, rate=0.0, seed=None,
             num_kv_heads=hkv, d_est=d,
             interpret=True,

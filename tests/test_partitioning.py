@@ -224,16 +224,16 @@ def test_partitioned_backward_route_traces_const_free():
 
     for n in (512, 2048, 12288, 20480):
         q = jax.ShapeDtypeStruct((1, 2, n, 128), jnp.bfloat16)
-        lse = jax.ShapeDtypeStruct((1, 2, n), jnp.float32)
+        stat = jax.ShapeDtypeStruct((1, 2, n), jnp.float32)
 
-        def f(q_, k_, v_, o_, do_, lse_):
+        def f(q_, k_, v_, o_, do_, m2_, linv_):
             return _backward_unpartitioned(
-                q_, k_, v_, o_, do_, lse_, causal=True, sm_scale=0.0883,
-                segment_ids=None, window=0, logit_softcap=0.0,
-                alibi_slopes=None, dropout_rate=0.0, dropout_seed=None,
-                block_sizes=None, interpret=None)
+                q_, k_, v_, o_, do_, m2_, linv_, causal=True,
+                sm_scale=0.0883, segment_ids=None, window=0,
+                logit_softcap=0.0, alibi_slopes=None, dropout_rate=0.0,
+                dropout_seed=None, block_sizes=None, interpret=None)
 
-        closed = jax.make_jaxpr(f)(q, q, q, q, q, lse)
+        closed = jax.make_jaxpr(f)(q, q, q, q, q, stat, stat)
         assert not closed.consts, (
             f"N={n}: backward captured {len(closed.consts)} consts "
             f"{[c.shape for c in closed.consts]} — will crash "

@@ -76,7 +76,9 @@ def test_speculative_perfect_draft_minimal_rounds():
     decoded over a stale slot and acceptance silently degraded (extra
     rounds), even though the output stayed correct.
     """
-    from flash_attention_dlrs_tpu.models.decoding import make_verify_step
+    from flash_attention_dlrs_tpu.runtime.speculative import (
+        make_draft_propose, make_verify_accept,
+    )
 
     cfg = ModelConfig(**CFG)
     params = init_params(jax.random.PRNGKey(0), cfg)
@@ -84,13 +86,17 @@ def test_speculative_perfect_draft_minimal_rounds():
     draft = _engine(params, cfg)
     gamma, max_new = 4, 13  # 12 post-admit tokens = 3 full rounds
     calls = []
-    inner = make_verify_step(cfg, gamma, interpret=target.interpret)
+    inner = make_verify_accept(cfg, gamma, interpret=target.interpret)
 
     def counting(*a, **k):
         calls.append(1)
         return inner(*a, **k)
 
-    target._verify_cache[gamma] = counting
+    target._verify_cache[(gamma, id(draft))] = (
+        make_draft_propose(cfg, gamma, draft.page_size,
+                           interpret=draft.interpret),
+        counting,
+    )
     spec = target.generate_speculative(
         [[1, 2, 3, 4, 5]], draft=draft, gamma=gamma, max_new_tokens=max_new
     )
