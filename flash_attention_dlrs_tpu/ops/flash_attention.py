@@ -424,6 +424,43 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, alibi,
             )
             return o[:, :, :q_len, :d], (m2, linv)
         return o[:, :, :q_len, :d], None
+    # Strip path: same constraints as the pane path but for
+    # MAX_MID_N < N <= MAX_STRIP_N — K/V panes VMEM-resident, q/o streamed
+    # in strips (see fwd_mid.py).  Measured v5e bf16 B=8 H=16 d=128:
+    # 112.5 TF/s @4096 / 121.2 @6144 / 118.4 @8192 vs the tri grid's
+    # 95.8 @4096.
+    use_strip = (
+        unpinned
+        and causal
+        and seg is None
+        and alibi is None
+        and rate == 0.0
+        and q.shape[2] == k.shape[2]
+        and fwd_mid.MAX_MID_N
+        < q.shape[2]
+        <= fwd_mid.MAX_STRIP_N
+        and fwd_mid.strip_path_fits(
+            geo.current_geometry().round_up(q.shape[2], fwd_mid.STRIP),
+            geo.current_geometry().round_up(q.shape[-1]),
+            q.dtype,
+        )
+    )
+    if use_strip:
+        qp, kp, vp, q_len, kv_len, d = _pad_inputs(
+            q, k, v, fwd_mid.STRIP, fwd_mid.STRIP
+        )
+        o, stats = fwd_mid.fwd_mid_strip_pallas(
+            qp, kp, vp,
+            sm_scale=sm_scale, kv_len=kv_len, window=window,
+            softcap=float(softcap), save_residuals=save_residuals,
+            interpret=interpret,
+        )
+        if save_residuals:
+            m2, linv = (
+                layout.unpack_stat(s)[:, :, :q_len] for s in stats
+            )
+            return o[:, :, :q_len, :d], (m2, linv)
+        return o[:, :, :q_len, :d], None
     if small:
         n_pad = geo.current_geometry().round_up(
             max(q.shape[2], k.shape[2]), geo.NUM_LANES

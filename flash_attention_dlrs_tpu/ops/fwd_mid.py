@@ -39,33 +39,59 @@ from .. import geometry as geo
 from . import layout
 from .fwd_kernel import DEFAULT_MASK_VALUE, LN2, LOG2E, mxu_dot
 
-# Padded-length ceiling for this path; beyond it the general tri-grid kernel
-# is already near its efficiency asymptote and VMEM residency gets tight.
+# Padded-length ceiling for the pane path: the whole q/k/v/o pane set is
+# VMEM-resident and Mosaic's 16 MiB scoped stack rejects 3072+ (measured on
+# v5e: n=3072 hb=1 sub=512 bf16 fails to compile, 2048 runs at 110 TF/s).
 MAX_MID_N = 2048
+
+# Ceiling for the STRIP path (fwd_mid_strip_pallas): K/V panes stay VMEM-
+# resident but q/o stream in strips, so the footprint is 2·2·n·d·isz for
+# K/V double-buffers plus strip-sized temporaries — 8192 bf16 d=128 is
+# ~12 MiB, the last power of two under the scoped ceiling.
+MAX_STRIP_N = 8192
+
+# q/o strip length for the strip path.  Multiple of 1024 so the packed-stat
+# BlockSpec's sublane dim (strip/128) is a multiple of 8 (Mosaic rule).
+STRIP = 1024
 
 # Padding unit for this path (inputs are padded to a multiple of this; the
 # in-kernel sub edge divides it).
 SUB = 256
 
+# Unrolled-sub-pair budget: Mosaic compile time grows with the static
+# T(T+1)/2 pair unroll (sub=128 at N=1024, 36 pairs of 128-edge, blew past
+# 9 minutes; 256-edge 36-pair panes compile in seconds).  45 pairs = T=9,
+# the largest T a non-power-of-two padded length can need at sub=256.
+MAX_SUB_PAIRS = 45
+
 
 def pick_sub(n: int) -> int:
-    """In-kernel sub-block edge: causal efficiency is 1 − 0.5·sub/n, so a
-    finer edge helps short panes — but sub=128 made Mosaic compilation blow
-    up past 9 minutes (measured; 256-edge panes with the same 36-pair unroll
-    compile in seconds), so 256 is the floor."""
-    return 256
+    """In-kernel sub-block edge for a padded pane length ``n`` (multiple of
+    SUB): the SMALLEST divisor of n in {256, 512, 1024} whose T(T+1)/2
+    unroll stays within the compile-time budget.  Finer is better for
+    causal efficiency (waste fraction = 1/(T+1)); the budget is what kept
+    sub=128 out (36 pairs of 128-edge blew past 9 min of Mosaic compile)."""
+    for sub in (256, 512, 1024):
+        if n % sub:
+            continue
+        t = n // sub
+        if t * (t + 1) // 2 <= MAX_SUB_PAIRS:
+            return sub
+    return max(256, n // 8)
 
 
 def mid_path_fits(n_pad: int, head_dim: int, dtype, hb: int = 1,
-                  margin: float = 1.0) -> bool:
+                  margin: float = 1.0, sub: int | None = None) -> bool:
     """VMEM feasibility: q/k/v/o panes (double-buffered) + lse + score/acc
     temporaries must fit the scoped budget.  ``margin`` scales the estimate
     — Mosaic's real stack allocation runs ~1.5× this model (measured: hb=2
     n=2048 bf16 21.09M actual vs 13.8M modeled; fp32 n=1024 hb=2 also
     over), so optional paths pass margin=1.5."""
     isz = jnp.dtype(dtype).itemsize
+    if sub is None:
+        sub = pick_sub(n_pad) if n_pad % SUB == 0 else SUB
     panes = 2 * hb * (4 * n_pad * head_dim * isz + n_pad * geo.NUM_LANES * 4)
-    temps = 3 * SUB * SUB * 4 + n_pad * head_dim * 4
+    temps = 3 * sub * sub * 4 + n_pad * head_dim * 4
     return geo.fits_vmem(
         int((panes + temps) * margin), geo.current_geometry()
     )
@@ -215,6 +241,7 @@ def fwd_mid_pallas(
     if sub is None:
         sub = pick_sub(n)
     assert n % sub == 0, (n, sub)
+    assert (n // sub) * (n // sub + 1) // 2 <= 2 * MAX_SUB_PAIRS, (n, sub)
     if hb is None:
         hb = pick_hb(n, head_dim, q.dtype, num_q_heads, q_per_kv)
     hb_kv = hb // q_per_kv if hb % q_per_kv == 0 else 1
@@ -260,6 +287,282 @@ def fwd_mid_pallas(
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    if save_residuals:
+        return outs[0], (outs[1], outs[2])
+    return outs[0], None
+
+
+# ---------------------------------------------------------------------------
+# Strip path: K/V panes resident, q/o streamed — 2048 < N <= MAX_STRIP_N
+# ---------------------------------------------------------------------------
+#
+# The pane kernel above holds the whole q/k/v/o pane set in VMEM, which dies
+# at Mosaic's 16 MiB scoped-stack ceiling past N=2048.  This variant keeps
+# only K/V resident — the part every query row needs — and streams q/o in
+# STRIP-row slabs along a third grid axis whose K/V index map is constant,
+# so Mosaic fetches each pane once per (batch, head) and revisits it for
+# every strip.  The causal structure moves in-kernel: the diagonal sub-block
+# is computed with a static mask, the strictly-visible interior sub-blocks
+# run in a dynamic-bound fori_loop with no masking at all (the reference's
+# rectangular grid masks EVERY block against the diagonal,
+# ≙ src/flash_attention_openai_tutorial.py:164-181).  Efficiency is
+# 1 − sub/(2·N_visible) with zero per-sub grid overhead; grid steps per pane
+# shrink from (N/1024)²/2 (tri grid) to N/STRIP.
+
+
+def pick_wide(n_pad: int, head_dim: int, dtype) -> int:
+    """Interior merge width: 1024 while the double-buffered K/V panes
+    leave room for each live strip's [sub, wide] f32 score temporaries,
+    else 512.  Cutover measured on v5e (bf16 d=128: n=6144 compiles and
+    runs 121 TF/s at wide=1024, n=8192 compile-OOMs at 1024 and runs
+    118 TF/s at 512)."""
+    kv = 2 * 2 * n_pad * head_dim * jnp.dtype(dtype).itemsize
+    return 1024 if kv < 8 * 1024 * 1024 else 512
+
+
+def strip_path_fits(n_pad: int, head_dim: int, dtype) -> bool:
+    """VMEM feasibility of the strip path.  The hard wall is the
+    double-buffered K/V pane pair; the measured v5e envelope (16 MiB
+    scoped stack) admits kv ≤ 10 MiB with the wide=512 temporaries —
+    bf16 d=128 up to n=8192, fp32 up to n=4096."""
+    kv = 2 * 2 * n_pad * head_dim * jnp.dtype(dtype).itemsize
+    return kv <= 10 * 1024 * 1024 and geo.fits_vmem(
+        int(kv + 4 * 1024 * 1024), geo.current_geometry()
+    )
+
+
+def _mid_strip_kernel(
+    q_ref,  # [1, 1, strip, d] — pre-scaled by sm_scale·log2e
+    k_ref,  # [1, 1, n, d] (whole pane, constant along the strip axis)
+    v_ref,
+    o_ref,
+    m_out_ref,  # [1, 1, strip/128, 128] f32 packed or None
+    linv_out_ref,
+    *,
+    n: int,
+    kv_len: int,
+    window: int,
+    softcap: float,
+    sub: int,
+    strip: int,
+    wide: int,
+    unroll: int = 1,
+):
+    t = pl.program_id(2)
+    t_strip = strip // sub
+    row = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
+    diag_mask = row >= col
+    c2 = softcap * LOG2E if softcap else 0.0
+
+    def visible_block(qi, row0, col0, width, carry):
+        """Online-softmax merge of one fully-visible [sub, width] score
+        block at dynamic kv offset ``col0`` into (m, l, acc)."""
+        m, l, acc = carry
+        k_blk = k_ref[0, 0, pl.ds(col0, width), :]
+        s = mxu_dot(qi, k_blk, (((1,), (1,)), ((), ())))
+        if softcap:
+            s = c2 * jnp.tanh(s * (1.0 / c2))
+        if window:
+            # sliding window's trailing edge (dynamic column offsets)
+            wm = (
+                row[:, :1] + row0
+            ) - (
+                jax.lax.broadcasted_iota(jnp.int32, (sub, width), 1) + col0
+            ) < window
+            s = jnp.where(wm, s, DEFAULT_MASK_VALUE)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp2(m - m_new)
+        p = jnp.exp2(s - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + mxu_dot(
+            p.astype(v_ref.dtype),
+            v_ref[0, 0, pl.ds(col0, width), :],
+            (((1,), (0,)), ((), ())),
+        )
+        return m_new, l, acc
+
+    # Static phase per strip: the diagonal sub-block plus the strip-local
+    # pre-diagonal columns [t·strip, row0) — width iq·sub, a compile-time
+    # constant.  The dynamic interior [0, t·strip) is IDENTICAL for every
+    # strip, so all strips share ONE fori_loop below: each K/V wide-block
+    # is loaded once and merged into every strip's online softmax (t_strip
+    # dots per load), and Mosaic sees a single dynamic loop — two dynamic
+    # fori_loops in one body crash its compiler (measured on v5e; one
+    # compiles fine).
+    strip0 = t * strip  # dynamic first column of this strip's rows
+    qis = []
+    carries = []
+    for iq in range(t_strip):
+        qi = q_ref[0, 0, iq * sub:(iq + 1) * sub, :]
+        qis.append(qi)
+        row0 = strip0 + iq * sub
+
+        # Diagonal sub-block: static triangular mask, dynamic K/V slice.
+        kj = k_ref[0, 0, pl.ds(row0, sub), :]
+        s = mxu_dot(qi, kj, (((1,), (1,)), ((), ())))
+        if softcap:
+            s = c2 * jnp.tanh(s * (1.0 / c2))
+        mask = diag_mask
+        if kv_len < n:
+            # padded tail: mask columns past the real length so fully
+            # padded rows come out l=0 (-> linv=0 residual, clean backward)
+            mask = jnp.logical_and(mask, (col + row0) < kv_len)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = mxu_dot(
+            p.astype(v_ref.dtype),
+            v_ref[0, 0, pl.ds(row0, sub), :],
+            (((1,), (0,)), ((), ())),
+        )
+        carry = (m, l, acc)
+        # strip-local fully-visible columns [t·strip, row0), in static
+        # chunks of at most ``wide`` so score temporaries stay bounded
+        # (one iq·sub-wide merge at strip=n would need a strip-sized f32
+        # score block in VMEM)
+        off = 0
+        while off < iq * sub:
+            w = min(wide, iq * sub - off)
+            carry = visible_block(qi, row0, strip0 + off, w, carry)
+            off += w
+        carries.append(carry)
+
+    # Shared dynamic interior [0, t·strip) in wide-width blocks.
+    def wide_body(jw, carries):
+        col0 = jw * wide
+        return tuple(
+            visible_block(qis[iq], strip0 + iq * sub, col0, wide, c)
+            for iq, c in enumerate(carries)
+        )
+
+    jw_lo = jnp.int32(0)
+    if window:
+        # lowest strip's window edge; higher strips' stale blocks are
+        # fully window-masked inside visible_block (no-op merges)
+        jw_lo = jnp.maximum(jw_lo, (strip0 - window + 1) // wide)
+    carries = jax.lax.fori_loop(
+        jw_lo, t * (strip // wide), wide_body, tuple(carries),
+        unroll=unroll,
+    )
+
+    for iq in range(t_strip):
+        m, l, acc = carries[iq]
+        row0 = strip0 + iq * sub
+
+        if kv_len < n:
+            # Padded q rows DID attend to real columns through the interior
+            # loop (only the diagonal sub is kv_len-masked); force them to
+            # the l=0 contract here — their dO is zero-padded so grads are
+            # unaffected either way, but the (m, 1/l) residuals must read
+            # "empty row" for the backward's recompute.
+            rvalid = (
+                jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0) + row0
+            ) < kv_len
+            l = jnp.where(rvalid, l, 0.0)
+            m = jnp.where(rvalid, m, -DEFAULT_MASK_VALUE)
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0, iq * sub:(iq + 1) * sub, :] = (acc * l_inv).astype(
+            o_ref.dtype
+        )
+        if m_out_ref is not None:
+            m_out = jnp.where(l == 0.0, -DEFAULT_MASK_VALUE, m)
+            rs = sub // geo.NUM_LANES
+            m_out_ref[0, 0, iq * rs:(iq + 1) * rs, :] = (
+                layout.column_to_lanes(m_out)
+            )
+            linv_out_ref[0, 0, iq * rs:(iq + 1) * rs, :] = (
+                layout.column_to_lanes(l_inv[:, :1])
+            )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale", "kv_len", "window", "softcap", "save_residuals",
+        "interpret", "sub", "strip", "wide", "unroll",
+    ),
+)
+def fwd_mid_strip_pallas(
+    q,
+    k,
+    v,
+    *,
+    sm_scale: float,
+    kv_len: int,
+    window: int = 0,
+    softcap: float = 0.0,
+    save_residuals: bool = False,
+    interpret: bool = False,
+    sub: int | None = None,
+    strip: int = STRIP,
+    wide: int | None = None,
+    unroll: int = 1,
+):
+    """Causal attention for padded [B, H, n, d], MAX_MID_N < n ≤ MAX_STRIP_N.
+
+    Same contract as fwd_mid_pallas; n must be a multiple of ``strip``.  GQA
+    is served by the kv-head index map (each q head reads its group's pane).
+    """
+    batch, num_q_heads, n, head_dim = q.shape
+    num_kv_heads = k.shape[1]
+    q_per_kv = num_q_heads // num_kv_heads
+    assert n % strip == 0, (n, strip)
+    if sub is None:
+        sub = 512 if n % 512 == 0 else SUB
+    if wide is None:
+        wide = min(pick_wide(n, head_dim, q.dtype), strip)
+    assert strip % sub == 0 and n % sub == 0, (n, sub)
+    assert wide % sub == 0 and strip % wide == 0, (strip, wide, sub)
+
+    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
+
+    kernel = functools.partial(
+        _mid_strip_kernel,
+        n=n, kv_len=kv_len, window=window, softcap=float(softcap), sub=sub,
+        strip=strip, wide=wide, unroll=unroll,
+    )
+    if not save_residuals:
+        inner = kernel
+
+        def kernel(q_r, k_r, v_r, o_r):  # noqa: F811
+            return inner(q_r, k_r, v_r, o_r, None, None)
+
+    grid = (batch, num_q_heads, n // strip)
+    q_spec = pl.BlockSpec(
+        (1, 1, strip, head_dim), lambda b, h, t: (b, h, t, 0)
+    )
+    kv_spec = pl.BlockSpec(
+        (1, 1, n, head_dim), lambda b, h, t: (b, h // q_per_kv, 0, 0)
+    )
+    out_specs = [q_spec]
+    out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    if save_residuals:
+        for _ in range(2):  # m then linv, same packed layout
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, 1, strip // geo.NUM_LANES, geo.NUM_LANES),
+                    lambda b, h, t: (b, h, t, 0),
+                )
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct(
+                    (batch, num_q_heads, n // geo.NUM_LANES, geo.NUM_LANES),
+                    jnp.float32,
+                )
+            )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(q, k, v)

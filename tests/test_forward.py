@@ -446,6 +446,60 @@ def test_fwd_mid_lse_feeds_backward():
     np.testing.assert_allclose(dv, dv_r, atol=7e-5, rtol=1e-5)
 
 
+# ---------------------------------------------------------------------------
+# Strip path (K/V-resident, q/o streamed, 2048 < N <= 8192)
+# ---------------------------------------------------------------------------
+
+
+def test_fwd_strip_path_dispatch_and_value():
+    """2048 < N routes to fwd_mid_strip_pallas and matches the reference,
+    including a non-multiple-of-1024 length (padded tail)."""
+    from unittest import mock
+
+    from flash_attention_dlrs_tpu.ops import fwd_mid
+
+    b, hq, hkv, n, d = 1, 2, 1, 2100, 64
+    q, _, _ = _make_qkv(jax.random.PRNGKey(71), (b, hq, n, d), (b, hq, n, d))
+    _, k, v = _make_qkv(jax.random.PRNGKey(72), (b, hkv, n, d), (b, hkv, n, d))
+    with mock.patch.object(
+        fwd_mid, "fwd_mid_strip_pallas", wraps=fwd_mid.fwd_mid_strip_pallas
+    ) as spy:
+        o = flash_attention(q, k, v, causal=True, sm_scale=0.5)
+        assert spy.call_count == 1, "strip path not taken at N=2100"
+    o_ref = reference_attention(q, k, v, causal=True, sm_scale=0.5)
+    np.testing.assert_allclose(o, o_ref, atol=FWD_ATOL, rtol=FWD_RTOL)
+
+
+def test_fwd_strip_window_softcap():
+    b, h, n, d = 1, 1, 3072, 64
+    q, k, v = _make_qkv(jax.random.PRNGKey(73), (b, h, n, d), (b, h, n, d))
+    for kw in (dict(window=900), dict(logit_softcap=20.0)):
+        o = flash_attention(q, k, v, causal=True, sm_scale=0.5, **kw)
+        o_ref = reference_attention(q, k, v, causal=True, sm_scale=0.5, **kw)
+        np.testing.assert_allclose(o, o_ref, atol=FWD_ATOL, rtol=FWD_RTOL,
+                                   err_msg=str(kw))
+
+
+def test_fwd_strip_lse_feeds_backward():
+    """Grads through the strip forward's packed (m, 1/l) residuals."""
+    from flash_attention_dlrs_tpu.ops import reference_attention_grads
+
+    b, h, n, d = 1, 1, 2176, 64
+    q, k, v = _make_qkv(jax.random.PRNGKey(74), (b, h, n, d), (b, h, n, d))
+    do = jax.random.normal(jax.random.PRNGKey(75), (b, h, n, d))
+    _, vjp = jax.vjp(
+        lambda a, b_, c: flash_attention(a, b_, c, causal=True, sm_scale=0.5),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(do)
+    dq_r, dk_r, dv_r = reference_attention_grads(
+        q, k, v, do, causal=True, sm_scale=0.5
+    )
+    np.testing.assert_allclose(dq, dq_r, atol=9e-4, rtol=1e-5)
+    np.testing.assert_allclose(dk, dk_r, atol=7e-4, rtol=1e-5)
+    np.testing.assert_allclose(dv, dv_r, atol=7e-5, rtol=1e-5)
+
+
 def test_fwd_small_lse_feeds_general_backward():
     """Grads through the small fwd (residual LSE) + general bwd kernels."""
     from flash_attention_dlrs_tpu.ops import reference_attention_grads
