@@ -90,7 +90,12 @@ def mid_path_fits(n_pad: int, head_dim: int, dtype, hb: int = 1,
     isz = jnp.dtype(dtype).itemsize
     if sub is None:
         sub = pick_sub(n_pad) if n_pad % SUB == 0 else SUB
-    panes = 2 * hb * (4 * n_pad * head_dim * isz + n_pad * geo.NUM_LANES * 4)
+    panes = 2 * hb * (4 * n_pad * head_dim * isz + n_pad * 4)
+    if isz == 4:
+        # fp32 matmuls multipass on the MXU and carry extra Mosaic
+        # temporaries beyond the byte model (fp32 n=1024 hb=2 compile-OOMs
+        # while the byte-identical bf16 n=1024 hb=4 compiles)
+        panes = int(panes * 1.25)
     temps = 3 * sub * sub * 4 + n_pad * head_dim * 4
     return geo.fits_vmem(
         int((panes + temps) * margin), geo.current_geometry()
@@ -103,21 +108,23 @@ def pick_hb(n_pad: int, head_dim: int, dtype, num_q_heads: int,
     per-cell fixed cost), else 1.  Validity: hb must divide Hq and nest with
     the GQA group (share one kv head or own whole groups).
 
-    Gated with the measured 1.5× Mosaic stack margin (hb=2 at n=2048 bf16
-    and n=1024 fp32 both compile-OOM without it); measured +10% at
-    N=1024 bf16 on v5e (86.6 → 95.4 TF/s)."""
-    hb = 2
-    if (
-        num_q_heads % hb == 0
-        and (hb % q_per_kv == 0 or q_per_kv % hb == 0)
-        and mid_path_fits(n_pad, head_dim, dtype, hb=hb, margin=1.5)
-    ):
-        return hb
+    Gated with the measured 1.6× Mosaic stack margin (hb=2 at n=2048 bf16
+    and n=1024 fp32 both compile-OOM without it).  Short panes are
+    HBM-bound, so packing more heads per cell amortizes the per-step
+    pipeline cost: measured v5e bf16 B=8 H=16 d=128: N=512 47.2 → 54.1
+    TF/s (hb 2 → 8), N=1024 90.9 → 94.8 (hb 2 → 4)."""
+    for hb in (8, 4, 2):
+        if (
+            num_q_heads % hb == 0
+            and (hb % q_per_kv == 0 or q_per_kv % hb == 0)
+            and mid_path_fits(n_pad, head_dim, dtype, hb=hb, margin=1.6)
+        ):
+            return hb
     return 1
 
 
 def _mid_kernel(
-    q_ref,  # [1, hb, n, d] — pre-scaled by sm_scale·log2e
+    q_ref,  # [1, hb, n, d] — raw; scores scaled by scale2 post-dot
     k_ref,  # [1, hb_kv, n, d]
     v_ref,
     o_ref,
@@ -131,6 +138,7 @@ def _mid_kernel(
     sub: int,
     hb: int,
     q_per_kv: int,
+    scale2: float,
 ):
     SUB = sub
     T = n // SUB
@@ -150,7 +158,7 @@ def _mid_kernel(
             jk_lo = max(0, (iq * SUB - window + 1) // SUB)
         for jk in range(jk_lo, iq + 1):
             kj = k_ref[0, jkv_h, jk * SUB:(jk + 1) * SUB, :]
-            s = mxu_dot(qi, kj, (((1,), (1,)), ((), ())))
+            s = mxu_dot(qi, kj, (((1,), (1,)), ((), ()))) * scale2
             if softcap:
                 c2 = softcap * LOG2E
                 s = c2 * jnp.tanh(s * (1.0 / c2))
@@ -236,8 +244,6 @@ def fwd_mid_pallas(
     q_per_kv = num_q_heads // num_kv_heads
     assert n % SUB == 0, n
 
-    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
-
     if sub is None:
         sub = pick_sub(n)
     assert n % sub == 0, (n, sub)
@@ -248,7 +254,7 @@ def fwd_mid_pallas(
     kernel = functools.partial(
         _mid_kernel,
         n=n, kv_len=kv_len, window=window, softcap=float(softcap), sub=sub,
-        hb=hb, q_per_kv=q_per_kv,
+        hb=hb, q_per_kv=q_per_kv, scale2=float(sm_scale) * LOG2E,
     )
     if not save_residuals:
         inner = kernel
@@ -335,7 +341,7 @@ def strip_path_fits(n_pad: int, head_dim: int, dtype) -> bool:
 
 
 def _mid_strip_kernel(
-    q_ref,  # [1, 1, strip, d] — pre-scaled by sm_scale·log2e
+    q_ref,  # [1, 1, strip, d] — raw; scores scaled by scale2 post-dot
     k_ref,  # [1, 1, n, d] (whole pane, constant along the strip axis)
     v_ref,
     o_ref,
@@ -349,6 +355,7 @@ def _mid_strip_kernel(
     sub: int,
     strip: int,
     wide: int,
+    scale2: float,
     unroll: int = 1,
 ):
     t = pl.program_id(2)
@@ -363,7 +370,7 @@ def _mid_strip_kernel(
         block at dynamic kv offset ``col0`` into (m, l, acc)."""
         m, l, acc = carry
         k_blk = k_ref[0, 0, pl.ds(col0, width), :]
-        s = mxu_dot(qi, k_blk, (((1,), (1,)), ((), ())))
+        s = mxu_dot(qi, k_blk, (((1,), (1,)), ((), ()))) * scale2
         if softcap:
             s = c2 * jnp.tanh(s * (1.0 / c2))
         if window:
@@ -403,7 +410,7 @@ def _mid_strip_kernel(
 
         # Diagonal sub-block: static triangular mask, dynamic K/V slice.
         kj = k_ref[0, 0, pl.ds(row0, sub), :]
-        s = mxu_dot(qi, kj, (((1,), (1,)), ((), ())))
+        s = mxu_dot(qi, kj, (((1,), (1,)), ((), ()))) * scale2
         if softcap:
             s = c2 * jnp.tanh(s * (1.0 / c2))
         mask = diag_mask
@@ -519,12 +526,11 @@ def fwd_mid_strip_pallas(
     assert strip % sub == 0 and n % sub == 0, (n, sub)
     assert wide % sub == 0 and strip % wide == 0, (strip, wide, sub)
 
-    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
-
     kernel = functools.partial(
         _mid_strip_kernel,
         n=n, kv_len=kv_len, window=window, softcap=float(softcap), sub=sub,
         strip=strip, wide=wide, unroll=unroll,
+        scale2=float(sm_scale) * LOG2E,
     )
     if not save_residuals:
         inner = kernel
