@@ -97,11 +97,12 @@ def current_geometry() -> TpuGeometry:
 def supports_fast_fp8(geom: TpuGeometry | None = None) -> bool:
     """Whether fp8 payloads are worth using on this part.
 
-    v4/v5-class TPUs have no fp8 datapath: fp8 tensors are CAST-bound
-    (measured on v5e: fp8 KV decode 69 GB/s vs int8's 691 — a 10× trap, see
-    bench_out/decode_8k.json).  v6-class and later handle fp8 natively.
-    Non-TPU backends (CPU interpret mode) return True — there is no
-    bandwidth trap to guard there.
+    v4/v5-class TPUs have no fp8 datapath.  The decode kernel works around
+    XLA's cast-bound fp8 convert with integer bit surgery
+    (ops.quantization.fp8_to_f32_int, measured 69 → 263 GB/s on v5e), but
+    the extra VPU work still leaves fp8 behind int8 there, so callers use
+    this to prefer int8.  v6-class and later handle fp8 natively.  Non-TPU
+    backends (CPU interpret mode) return True — nothing to guard there.
     """
     kind = (geom or current_geometry()).device_kind.lower()
     if "v5" in kind or "v4" in kind or "v3" in kind or "v2" in kind:

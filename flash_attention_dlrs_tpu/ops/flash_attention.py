@@ -203,7 +203,12 @@ def _validate(q, k, v):
         raise ValueError(
             f"num_q_heads ({q.shape[1]}) must be a multiple of num_kv_heads ({k.shape[1]})"
         )
-    if q.dtype != k.dtype or q.dtype != v.dtype:
+    if q.dtype != k.dtype:
+        raise ValueError(f"dtype mismatch: {q.dtype}, {k.dtype}, {v.dtype}")
+    if v.dtype != q.dtype and jnp.dtype(v.dtype) not in fwd.FP8_DTYPES:
+        # fp8 V with higher-precision q/k is the one legal mixed case —
+        # the kernels dequantize V in-register (≙ the reference's vendored
+        # fp8-V forward, src/flash_attention_openai_tutorial.py:127-135).
         raise ValueError(f"dtype mismatch: {q.dtype}, {k.dtype}, {v.dtype}")
     if q.dtype == jnp.float64:
         # The reference maps float64 through convert_triton_dtype
@@ -277,6 +282,8 @@ def _xla_small_math(q, k, v, seg, causal, sm_scale, window, softcap,
     the kernels' zero-output convention."""
     b, hq, n_q, d = q.shape
     hkv, n_kv = k.shape[1], k.shape[2]
+    if v.dtype != q.dtype:  # fp8 V: this whole-fused route just upcasts
+        v = v.astype(q.dtype)
     if hq != hkv:
         rep = hq // hkv
         k = jnp.repeat(k, rep, axis=1)
@@ -342,6 +349,8 @@ def _xla_small_fastest(q, k, v, seg, causal, sm_scale, window, softcap,
     (jax.nn.dot_product_attention — measured 66-68 TF/s fwd at N<=384 vs
     25-57 for the explicit math) when the feature set allows, the explicit
     math otherwise.  The backward differentiates through this same choice."""
+    if v.dtype != q.dtype:  # fp8 V: tiny-N XLA route just upcasts
+        v = v.astype(q.dtype)
     plain = (
         seg is None and window == 0 and softcap == 0.0 and alibi is None
         and rate == 0.0
@@ -1009,6 +1018,14 @@ def _seed_cotangent(seed):
 def _flash_attention_bwd(causal, sm_scale, window, softcap, alibi, rate,
                          block_sizes, small, xla_small, interpret, res, do):
     q, k, v, o, m2, linv, seg, seed = res
+    if jnp.dtype(v.dtype) in fwd.FP8_DTYPES:
+        # fp8 V is a forward/inference feature (matching the scope of the
+        # reference's vendored fp8 path); training should keep V in bf16 —
+        # a "gradient of an fp8 tensor" would silently round to garbage.
+        raise NotImplementedError(
+            "backward through fp8 V is not supported — use bf16 V for "
+            "training, fp8 V for inference-only calls"
+        )
     if xla_small:
         # Tiny-N XLA route: differentiate the same whole-fused attention
         # the forward ran (XLA fuses the recompute + grads into batched

@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import geometry as geo
 from . import layout
-from .fwd_kernel import DEFAULT_MASK_VALUE, LN2, LOG2E, mxu_dot
+from .fwd_kernel import DEFAULT_MASK_VALUE, LN2, LOG2E, mxu_dot, v_payload
 
 # Padded-length ceiling for the pane path: the whole q/k/v/o pane set is
 # VMEM-resident and Mosaic's 16 MiB scoped stack rejects 3072+ (measured on
@@ -179,20 +179,24 @@ def _mid_kernel(
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp2(s - m)
                 l = jnp.sum(p, axis=-1, keepdims=True)
-                acc = mxu_dot(
-                    p.astype(v_ref.dtype),
+                vb = v_payload(
                     v_ref[0, jkv_h, jk * SUB:(jk + 1) * SUB, :],
-                    (((1,), (0,)), ((), ())),
+                    q_ref.dtype,
+                )
+                acc = mxu_dot(
+                    p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
                 )
             else:
                 m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
                 alpha = jnp.exp2(m - m_new)
                 p = jnp.exp2(s - m_new)
                 l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-                acc = acc * alpha + mxu_dot(
-                    p.astype(v_ref.dtype),
+                vb = v_payload(
                     v_ref[0, jkv_h, jk * SUB:(jk + 1) * SUB, :],
-                    (((1,), (0,)), ((), ())),
+                    q_ref.dtype,
+                )
+                acc = acc * alpha + mxu_dot(
+                    p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
                 )
                 m = m_new
             del s
@@ -385,10 +389,9 @@ def _mid_strip_kernel(
         alpha = jnp.exp2(m - m_new)
         p = jnp.exp2(s - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        vb = v_payload(v_ref[0, 0, pl.ds(col0, width), :], q_ref.dtype)
         acc = acc * alpha + mxu_dot(
-            p.astype(v_ref.dtype),
-            v_ref[0, 0, pl.ds(col0, width), :],
-            (((1,), (0,)), ((), ())),
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
         )
         return m_new, l, acc
 
@@ -422,10 +425,9 @@ def _mid_strip_kernel(
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
+        vb = v_payload(v_ref[0, 0, pl.ds(row0, sub), :], q_ref.dtype)
         acc = mxu_dot(
-            p.astype(v_ref.dtype),
-            v_ref[0, 0, pl.ds(row0, sub), :],
-            (((1,), (0,)), ((), ())),
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
         )
         carry = (m, l, acc)
         # strip-local fully-visible columns [t·strip, row0), in static

@@ -24,7 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import geometry as geo
 from . import layout
-from .fwd_kernel import DEFAULT_MASK_VALUE, LN2, LOG2E, mxu_dot
+from .fwd_kernel import DEFAULT_MASK_VALUE, LN2, LOG2E, mxu_dot, v_payload
 
 # Only sequences up to this padded length take the one-shot path: beyond it
 # the [n, n] score tile stops fitting comfortably in scoped VMEM and the
@@ -103,7 +103,7 @@ def _small_kernel(
     for j in range(hb):
         q = q_ref[0, j]
         k = k_ref[0, j // q_per_kv]
-        v = v_ref[0, j // q_per_kv]
+        v = v_payload(v_ref[0, j // q_per_kv], q_ref.dtype)
         s = mxu_dot(q, k, (((1,), (1,)), ((), ())))
         if softcap:
             c2 = softcap * LOG2E
@@ -279,7 +279,7 @@ def _small_bwd_kernel(
     for j in range(hb):
         q = q_ref[0, j]
         k = k_ref[0, j // q_per_kv]
-        v = v_ref[0, j // q_per_kv]
+        v = v_payload(v_ref[0, j // q_per_kv], q_ref.dtype)
         do = do_ref[0, j].astype(jnp.float32)
         s = mxu_dot(q, k, (((1,), (1,)), ((), ())))
         grad_cap = None

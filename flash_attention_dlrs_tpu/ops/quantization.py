@@ -202,3 +202,29 @@ def int8_matmul(x: jax.Array, w: QuantizedTensor) -> jax.Array:
         x, w.values.astype(x.dtype), preferred_element_type=jnp.float32
     )
     return (acc * w.scales).astype(x.dtype)
+
+def fp8_to_f32_int(x: jax.Array) -> jax.Array:
+    """fp8 -> f32 by integer bit surgery (Mosaic-legal int32 ops only).
+
+    v2-v5 TPUs have no fp8 datapath, so XLA lowers fp8 converts to a
+    cast-bound path (measured on v5e: 69 GB/s fp8-KV decode vs int8's
+    686).  This route widens the byte, shifts sign/exponent/mantissa into
+    f32 bit positions, rebiases the exponent, and bitcasts — a handful of
+    VPU int32 ops per element.  Denormals flush to zero (the largest e4m3
+    denormal is 2**-6 * 7/8 ~ 1.7e-4 of the format's 448 max, far below
+    KV quantization noise); NaN/Inf payloads cannot occur in quantized KV
+    (quantize() clamps to the finite range).
+    """
+    dt = jnp.dtype(x.dtype)
+    if dt == jnp.dtype(jnp.float8_e4m3fn):
+        man_bits, bias = 3, 7
+    elif dt == jnp.dtype(jnp.float8_e5m2):
+        man_bits, bias = 2, 15
+    else:
+        raise NotImplementedError(f"not an fp8 dtype: {dt}")
+    u = jax.lax.bitcast_convert_type(x, jnp.int8).astype(jnp.int32) & 0xFF
+    sign = (u & 0x80) << 24
+    expman = u & 0x7F
+    bits = sign | ((expman << (23 - man_bits)) + ((127 - bias) << 23))
+    bits = jnp.where(expman < (1 << man_bits), sign, bits)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)

@@ -839,7 +839,9 @@ class DecodeEngine:
                 jnp.asarray(base_pos_d), jnp.asarray(d_tbl),
                 temp, top_k, top_p, seeds,
             )
-            proposals = np.asarray(props_b)[:n]  # [n, γ]
+            # props_b stays ON DEVICE — it feeds verify_accept directly;
+            # reading it back here would add a blocking tunnel round-trip
+            # per round (measured ~30 ms in this environment).
 
             # --- target verify + accept/resample: ONE fused dispatch -------
             positions = np.zeros((b, gamma), np.int32)
@@ -903,4 +905,192 @@ class DecodeEngine:
         for slot in range(n):
             self._retire(reqs[slot], slot)
             draft._retire(d_reqs[slot], slot)
+        return outputs
+
+    def generate_speculative_fused(
+        self,
+        prompts: Sequence[Sequence[int]],
+        *,
+        draft: "DecodeEngine",
+        gamma: int = 4,
+        max_new_tokens: int = 16,
+        sampling: Optional[SamplingParams] = None,
+    ) -> List[List[int]]:
+        """Speculative decoding with EVERY round inside one device program
+        (runtime.speculative.make_spec_generate): page capacity for the
+        final lengths is ensured up front, the whole draft/verify/commit
+        loop runs as device control flow, and the host reads back once.
+        Same outputs as :meth:`generate_speculative`; lockstep fixed batch
+        (no mid-flight admission).  This is the offline/throughput mode —
+        the per-round form remains for continuous-batching serving."""
+        from .speculative import make_spec_generate
+
+        n = len(prompts)
+        if n > self.num_slots or n > draft.num_slots:
+            raise ValueError("prompts exceed slots")
+        if self._wrap or draft._wrap:
+            raise NotImplementedError(
+                "speculative decoding is incompatible with ring-based "
+                "serving modes"
+            )
+        if draft.page_size != self.page_size:
+            raise ValueError("draft and target page sizes must match")
+        if gamma < 2:
+            raise ValueError("gamma must be >= 2")
+        b = self.num_slots
+        sp = sampling or GREEDY
+        temp, top_k, top_p, seeds = batch_params([sp] * n + [None] * (b - n))
+
+        reqs = [
+            Request(request_id=f"specf{i}", prompt_tokens=list(p),
+                    max_new_tokens=max_new_tokens, eos_token=self.eos_token,
+                    sampling=sp)
+            for i, p in enumerate(prompts)
+        ]
+        d_reqs = [
+            Request(request_id=f"specf{i}", prompt_tokens=list(p),
+                    max_new_tokens=max_new_tokens, eos_token=self.eos_token)
+            for i, p in enumerate(prompts)
+        ]
+        for slot, (r, dr) in enumerate(zip(reqs, d_reqs)):
+            self._admit(r, slot)
+            draft._admit(dr, slot)
+        sids = [r.request_id for r in reqs]
+        outputs = [[r.output_tokens[0]] for r in reqs]
+        max_new = max_new_tokens - 1  # first token came from prefill
+        if max_new <= 0:
+            for slot in range(n):
+                self._retire(reqs[slot], slot)
+                draft._retire(d_reqs[slot], slot)
+            return outputs
+
+        # Pre-ensure page capacity for the final length + gamma overhang:
+        # nothing inside the device loop can allocate.
+        x0 = np.zeros(b, np.int32)
+        base_pos = np.zeros(b, np.int32)
+        t_tbl = np.full((b, self.pages_per_seq), self._null_page, np.int32)
+        d_tbl = np.full((b, draft.pages_per_seq), draft._null_page, np.int32)
+        for slot in range(n):
+            sid = sids[slot]
+            x0[slot] = outputs[slot][0]
+            base = self.allocator.seq_lengths[sid]
+            base_pos[slot] = base
+            self.allocator.ensure_capacity(sid, base + max_new + gamma)
+            draft.allocator.ensure_capacity(sid, base + max_new + gamma)
+            tt = self.allocator.page_tables[sid]
+            t_tbl[slot, : len(tt)] = tt
+            dt = draft.allocator.page_tables[sid]
+            d_tbl[slot, : len(dt)] = dt
+
+        key = ("fused", gamma, max_new, id(draft))
+        fused = self._verify_cache.get(key)
+        if fused is None:
+            fused = make_spec_generate(
+                self.cfg, draft.cfg, gamma, self.page_size, max_new,
+                t_pages_per_block=self.pages_per_block,
+                d_pages_per_block=draft.pages_per_block,
+                interpret=self.interpret,
+            )
+            self._verify_cache[key] = fused
+        eos = jnp.int32(-1 if self.eos_token is None else self.eos_token)
+        active = jnp.asarray([s_ < n for s_ in range(b)], bool)
+        (out, cnt, rounds, proposed, accepted, self.pools, draft.pools) = (
+            fused(
+                self.params, self.pools, draft.params, draft.pools,
+                jnp.asarray(x0), jnp.asarray(base_pos), jnp.asarray(t_tbl),
+                jnp.asarray(d_tbl), active, eos, temp, top_k, top_p, seeds,
+            )
+        )
+        out = np.asarray(out)
+        cnt = np.asarray(cnt)
+        self.spec_stats = {
+            "rounds": int(rounds),
+            "proposed": int(proposed),
+            "accepted": int(accepted),
+        }
+        for slot in range(n):
+            sid = sids[slot]
+            outputs[slot].extend(int(t) for t in out[slot, : cnt[slot]])
+            final = int(base_pos[slot]) + int(cnt[slot])
+            self.allocator.seq_lengths[sid] = final
+            draft.allocator.seq_lengths[sid] = final
+            self._retire(reqs[slot], slot)
+            draft._retire(d_reqs[slot], slot)
+        return outputs
+
+    def generate_fused(
+        self,
+        prompts: Sequence[Sequence[int]],
+        *,
+        max_new_tokens: int = 16,
+        sampling: Optional[SamplingParams] = None,
+    ) -> List[List[int]]:
+        """Plain generation with the whole decode loop in one device
+        program (runtime.speculative.make_plain_generate) — the fair
+        baseline for :meth:`generate_speculative_fused` and the fastest
+        path for lockstep offline generation."""
+        from .speculative import make_plain_generate
+
+        n = len(prompts)
+        if n > self.num_slots:
+            raise ValueError("prompts exceed slots")
+        if self._wrap:
+            raise NotImplementedError(
+                "fused generation does not support ring-based serving"
+            )
+        b = self.num_slots
+        sp = sampling or GREEDY
+        temp, top_k, top_p, seeds = batch_params([sp] * n + [None] * (b - n))
+        reqs = [
+            Request(request_id=f"plainf{i}", prompt_tokens=list(p),
+                    max_new_tokens=max_new_tokens, eos_token=self.eos_token,
+                    sampling=sp)
+            for i, p in enumerate(prompts)
+        ]
+        for slot, r in enumerate(reqs):
+            self._admit(r, slot)
+        sids = [r.request_id for r in reqs]
+        outputs = [[r.output_tokens[0]] for r in reqs]
+        max_new = max_new_tokens - 1
+        if max_new <= 0:
+            for slot in range(n):
+                self._retire(reqs[slot], slot)
+            return outputs
+
+        x0 = np.zeros(b, np.int32)
+        base_pos = np.zeros(b, np.int32)
+        tbl = np.full((b, self.pages_per_seq), self._null_page, np.int32)
+        for slot in range(n):
+            sid = sids[slot]
+            x0[slot] = outputs[slot][0]
+            base = self.allocator.seq_lengths[sid]
+            base_pos[slot] = base
+            self.allocator.ensure_capacity(sid, base + max_new)
+            tt = self.allocator.page_tables[sid]
+            tbl[slot, : len(tt)] = tt
+
+        key = ("plain_fused", max_new)
+        fused = self._verify_cache.get(key)
+        if fused is None:
+            fused = make_plain_generate(
+                self.cfg, self.page_size, max_new,
+                pages_per_block=self.pages_per_block,
+                interpret=self.interpret,
+            )
+            self._verify_cache[key] = fused
+        eos = jnp.int32(-1 if self.eos_token is None else self.eos_token)
+        active = jnp.asarray([s_ < n for s_ in range(b)], bool)
+        out, n_out, self.pools = fused(
+            self.params, self.pools, jnp.asarray(x0), jnp.asarray(base_pos),
+            jnp.asarray(tbl), active, eos, temp, top_k, top_p, seeds,
+        )
+        out = np.asarray(out)
+        n_out = np.asarray(n_out)
+        for slot in range(n):
+            sid = sids[slot]
+            outputs[slot].extend(int(t) for t in out[slot, : n_out[slot]])
+            self.allocator.seq_lengths[sid] = (
+                int(base_pos[slot]) + int(n_out[slot])
+            )
+            self._retire(reqs[slot], slot)
         return outputs

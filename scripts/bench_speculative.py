@@ -176,14 +176,17 @@ def measured_end_to_end(args):
             num_slots=b, pages_per_seq=pps, kv_dtype=jnp.bfloat16,
         )
 
-    # plain greedy baseline (includes prefill, same as speculative runs).
-    # Warm-up and timed run share ONE engine: each build() makes fresh jit
-    # closures that would recompile; generate() retires its requests, so
-    # reuse is clean.
+    # Plain greedy baseline with the whole decode loop fused into ONE
+    # device program (generate_fused) — the same dispatch discipline the
+    # speculative path gets, so the comparison measures the ALGORITHM, not
+    # dispatch counts.  Warm-up and timed run share ONE engine: each
+    # build() makes fresh jit closures that would recompile; generation
+    # retires its requests, so reuse is clean.
     eng = build(t_params, t_cfg)
-    eng.generate(prompts, max_new_tokens=4)  # compile prefill+decode
+    eng.generate_fused(prompts, max_new_tokens=4)  # compile prefill+decode
+    eng.generate_fused(prompts, max_new_tokens=args.max_new)  # compile full
     t0 = time.perf_counter()
-    plain_out = eng.generate(prompts, max_new_tokens=args.max_new)
+    plain_out = eng.generate_fused(prompts, max_new_tokens=args.max_new)
     t_plain = time.perf_counter() - t0
     n_tokens = sum(len(o) for o in plain_out)
     out = {
@@ -201,10 +204,12 @@ def measured_end_to_end(args):
     for g in args.gammas:
         tgt = build(t_params, t_cfg)
         dft = build(d_params, d_cfg)
-        tgt.generate_speculative(   # compile pass (same engines reused)
+        tgt.generate_speculative_fused(  # compile pass (engines reused)
             prompts, draft=dft, gamma=g, max_new_tokens=4)
+        tgt.generate_speculative_fused(
+            prompts, draft=dft, gamma=g, max_new_tokens=args.max_new)
         t0 = time.perf_counter()
-        spec_out = tgt.generate_speculative(
+        spec_out = tgt.generate_speculative_fused(
             prompts, draft=dft, gamma=g, max_new_tokens=args.max_new)
         t_spec = time.perf_counter() - t0
         n_spec = sum(len(o) for o in spec_out)

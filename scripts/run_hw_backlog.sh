@@ -73,4 +73,19 @@ step bench_serving 3600 scripts/bench_serving.py || {
     | tee -a "$LOG/summary.log"
 }
 
+# 7. Paged decode bench: bf16/int8/int4/fp8 rows at 8K ctx -> decode_8k.json.
+step bench_decode 2400 scripts/bench_decode.py --ctx 8192 --batches 8 || {
+  echo "decode bench failed — see $LOG/bench_decode.log, continuing" \
+    | tee -a "$LOG/summary.log"
+}
+
+# 8. Measured speculative decoding (single-dispatch fused generation) on the
+#    trained 50M target + 3M draft; regenerates the corpus if /tmp was wiped.
+[ -f /tmp/code_corpus/val.bin ] || step make_corpus 1800 scripts/make_corpus.py
+step bench_speculative 3600 scripts/bench_speculative.py \
+  --target-ckpt bench_out/lm50m --draft-ckpt bench_out/lm_draft || {
+  echo "speculative bench failed — see $LOG/bench_speculative.log, continuing" \
+    | tee -a "$LOG/summary.log"
+}
+
 echo "BACKLOG COMPLETE" | tee -a "$LOG/summary.log"

@@ -327,3 +327,23 @@ def test_paged_verify_softcap_matches_multi_token_oracle():
         o_ref = paged_reference_attention(
             q[:, :, tt], kp, vp, l_t, pidx, logit_softcap=30.0)
         np.testing.assert_allclose(o[:, :, tt], o_ref, atol=2e-4, rtol=1e-4)
+
+
+def test_fp8_int_dequant_bit_exact():
+    """fp8_to_f32_int matches the native convert on every normal bit
+    pattern of both fp8 formats and flushes denormals to zero."""
+    import numpy as np
+
+    from flash_attention_dlrs_tpu.ops.quantization import fp8_to_f32_int
+
+    for dt, denorm_edge in ((jnp.float8_e4m3fn, 2.0 ** -6),
+                            (jnp.float8_e5m2, 2.0 ** -14)):
+        raw = jax.lax.bitcast_convert_type(
+            jnp.arange(256, dtype=jnp.uint8), dt)
+        got = np.asarray(fp8_to_f32_int(raw))
+        want = np.asarray(raw.astype(jnp.float32))
+        finite = np.isfinite(want)
+        denorm = np.abs(want) < denorm_edge
+        np.testing.assert_array_equal(got[finite & ~denorm],
+                                      want[finite & ~denorm])
+        assert (np.abs(got[finite & denorm]) == 0.0).all()

@@ -518,3 +518,39 @@ def test_fwd_small_lse_feeds_general_backward():
     np.testing.assert_allclose(dq, dq_r, atol=9e-4, rtol=1e-5)
     np.testing.assert_allclose(dk, dk_r, atol=7e-4, rtol=1e-5)
     np.testing.assert_allclose(dv, dv_r, atol=7e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fp8 V forward (inference): in-kernel integer dequant, all dispatch routes
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [256, 640, 2100])  # xla-small, pane, strip
+def test_fwd_fp8_v(n):
+    b, h, d = 1, 2, 64
+    q, k, v = _make_qkv(jax.random.PRNGKey(81), (b, h, n, d), (b, h, n, d))
+    q = q.astype(jnp.bfloat16)
+    k = k.astype(jnp.bfloat16)
+    v8 = v.astype(jnp.float8_e4m3fn)
+    o = flash_attention(q, k, v8, causal=True, sm_scale=0.5)
+    o_ref = reference_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32),
+        v8.astype(jnp.float32), causal=True, sm_scale=0.5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o, np.float32), np.asarray(o_ref), atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_fwd_fp8_v_grad_raises():
+    b, h, n, d = 1, 1, 256, 64
+    q, k, v = _make_qkv(jax.random.PRNGKey(82), (b, h, n, d), (b, h, n, d))
+    v8 = v.astype(jnp.float8_e5m2)
+    q = q.astype(jnp.bfloat16)
+    k = k.astype(jnp.bfloat16)
+    with pytest.raises(NotImplementedError, match="fp8 V"):
+        jax.grad(
+            lambda q_: jnp.sum(
+                flash_attention(q_, k, v8, causal=True).astype(jnp.float32)
+            )
+        )(q)

@@ -242,3 +242,57 @@ def test_finished_slot_draft_lengths_bounded():
     # (prompt 5 + ~2 tokens + one gamma window), nowhere near the
     # rounds*gamma growth of the leak
     assert seen["spec0"] <= len(PROMPTS[0]) + 2 + 2 * 4, seen
+
+
+# ---------------------------------------------------------------------------
+# Whole-generation fused programs (one dispatch for all rounds)
+# ---------------------------------------------------------------------------
+
+
+def test_fused_plain_equals_host_loop_generate():
+    cfg = ModelConfig(**CFG)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    plain = _engine(params, cfg).generate(PROMPTS, max_new_tokens=12)
+    fused = _engine(params, cfg).generate_fused(PROMPTS, max_new_tokens=12)
+    assert fused == plain
+
+
+@pytest.mark.parametrize("gamma", [2, 4])
+def test_fused_spec_equals_greedy(gamma):
+    """Single-dispatch speculative generation == plain greedy stream, with
+    a structurally different draft (the defining property survives the
+    device-side commit loop)."""
+    cfg = ModelConfig(**CFG)
+    dcfg = ModelConfig(**{**CFG, "n_layers": 1, "d_ff": 64})
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    d_params = init_params(jax.random.PRNGKey(7), dcfg)
+    plain = _engine(params, cfg).generate(PROMPTS, max_new_tokens=12)
+    target = _engine(params, cfg)
+    draft = _engine(d_params, dcfg)
+    spec = target.generate_speculative_fused(
+        PROMPTS, draft=draft, gamma=gamma, max_new_tokens=12
+    )
+    assert spec == plain
+    st = target.spec_stats
+    assert st["rounds"] >= 1 and 0 <= st["accepted"] <= st["proposed"]
+
+
+def test_fused_spec_matches_per_round_spec():
+    """The fused program and the 2-dispatch-per-round loop agree token for
+    token AND on measured acceptance."""
+    cfg = ModelConfig(**CFG)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    d_params = init_params(jax.random.PRNGKey(123), cfg)
+    t1, d1 = _engine(params, cfg), _engine(d_params, cfg)
+    per_round = t1.generate_speculative(
+        PROMPTS, draft=d1, gamma=3, max_new_tokens=10
+    )
+    st1 = t1.spec_stats
+    t2, d2 = _engine(params, cfg), _engine(d_params, cfg)
+    fused = t2.generate_speculative_fused(
+        PROMPTS, draft=d2, gamma=3, max_new_tokens=10
+    )
+    st2 = t2.spec_stats
+    assert fused == per_round
+    assert st1["accepted"] == st2["accepted"]
+    assert st1["proposed"] == st2["proposed"]
