@@ -144,6 +144,7 @@ def _bwd_fused_kernel(
 
         p, grad_cap = _recompute_p(
             q, k, m2, linv, iq, jkv,
+            scale2=sm_scale * LOG2E,
             causal=causal, kv_len=kv_len,
             block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
             window=window, softcap=softcap,
@@ -196,7 +197,7 @@ def _bwd_fused_kernel(
 
     @pl.when(dkv_store)
     def _store_dkv():
-        dk_ref[0, 0] = (dk_acc[...] * LN2).astype(dk_ref.dtype)
+        dk_ref[0, 0] = (dk_acc[...] * sm_scale).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
     # True scale applied once per pane: O(Nq·d), off the hot loop.
@@ -286,8 +287,6 @@ def bwd_fused_pallas(
     _, num_kv_heads, n_kv, _ = k.shape
     q_per_kv = num_q_heads // num_kv_heads
 
-    # Base-2 convention (see fwd_kernel): fold sm_scale·log2e into Q once.
-    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
 
     num_q_blocks = n_q // block_q
     num_kv_blocks = n_kv // block_kv

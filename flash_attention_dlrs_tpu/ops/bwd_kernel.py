@@ -97,12 +97,14 @@ def bwd_d_pallas(o, do, *, block_q: int, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _recompute_p(q, k, m2, linv, iq, jkv, *, causal, kv_len, block_q,
-                 block_kv, apply_mask, window=0, softcap=0.0,
+def _recompute_p(q, k, m2, linv, iq, jkv, *, scale2, causal, kv_len,
+                 block_q, block_kv, apply_mask, window=0, softcap=0.0,
                  qseg=None, kvseg=None, q_off=0, slope=None):
-    """P = exp2((c·Q)Kᵀ − m₂)·(1/l) with causal/length masking, where
-    c = sm_scale·log2e was folded into Q by the caller and (m₂, 1/l) are
-    the forward's RAW softmax stats ([block_q, 1] columns).
+    """P = exp2(c·QKᵀ − m₂)·(1/l) with causal/length masking, where
+    c = scale2 = sm_scale·log2e is applied to the f32 scores POST-dot
+    (same op order as every forward kernel — no q round-trip, no bf16
+    re-rounding of scaled q) and (m₂, 1/l) are the forward's RAW softmax
+    stats ([block_q, 1] columns).
 
     ≙ src/flash_attention_kernels.py:283-285, but recomputing from the raw
     stats instead of the combined logsumexp: exp2's argument (s − m₂) is
@@ -121,7 +123,7 @@ def _recompute_p(q, k, m2, linv, iq, jkv, *, causal, kv_len, block_q,
     exp2(s + m₂·col − m₂_sep)·(1/l_sep) reproduces the forward's P exactly.
     The bias has no Q/K dependence, so the dS chain rule is unchanged.
     """
-    s = mxu_dot(q, k, (((1,), (1,)), ((), ())))
+    s = mxu_dot(q, k, (((1,), (1,)), ((), ()))) * scale2
     grad_cap = None
     if softcap:
         c2 = softcap * LOG2E
@@ -215,6 +217,7 @@ def _bwd_dkv_kernel(
     dk_acc,
     dv_acc,
     *,
+    sm_scale,
     causal,
     kv_len,
     block_q,
@@ -277,6 +280,7 @@ def _bwd_dkv_kernel(
 
         p, grad_cap = _recompute_p(
             q, k, m2, linv, iq, jkv,
+            scale2=sm_scale * LOG2E,
             causal=causal, kv_len=kv_len,
             block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
             window=window, softcap=softcap,
@@ -307,14 +311,14 @@ def _bwd_dkv_kernel(
         dp = mxu_dot(do, v, (((1,), (1,)), ((), ())))
         # dS = P ∘ (M∘dP − D)  (≙ :291; M = dropout keep/scale, D already
         # equals rowsum(P_drop∘dP) = rowsum(O∘dO)).  No per-element scale
-        # here: the q ref holds c·Q with c = sm_scale·log2e, so
-        # dK = sm_scale·dSᵀQ = ln2·dSᵀ(c·Q) — ln2 lives in the epilogue.
+        # here: q is RAW, so dK = sm_scale·dSᵀQ — sm_scale lives in the
+        # epilogue.
         if m_drop is not None:
             dp = dp * m_drop
         ds = p * (dp - dpre)
         if grad_cap is not None:  # soft-cap chain rule
             ds = ds * grad_cap
-        # dK += dSᵀ (c·Q)  (≙ :293)
+        # dK += dSᵀ Q  (≙ :293)
         dk_acc[...] += mxu_dot(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())))
 
     _mask_split(causal, kv_len, block_q, block_kv, iq, jkv, should_run,
@@ -329,7 +333,7 @@ def _bwd_dkv_kernel(
 
     @pl.when(store_now)
     def _store():
-        dk_ref[0, 0] = (dk_acc[...] * LN2).astype(dk_ref.dtype)
+        dk_ref[0, 0] = (dk_acc[...] * sm_scale).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
@@ -360,8 +364,6 @@ def bwd_dkv_pallas(
     q_per_kv = num_q_heads // num_kv_heads
     grid = (batch, num_q_heads, n_kv // block_kv, n_q // block_q)
 
-    # Base-2 convention (see fwd_kernel): fold sm_scale·log2e into Q once.
-    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
 
     num_q_blocks = n_q // block_q
     banded = (causal and window > 0 and n_q == n_kv and block_q == block_kv
@@ -373,6 +375,7 @@ def bwd_dkv_pallas(
            and q_off == 0)
     kernel = functools.partial(
         _bwd_dkv_kernel,
+        sm_scale=float(sm_scale),
         causal=causal, kv_len=kv_len,
         block_q=block_q, block_kv=block_kv,
         num_q_blocks=num_q_blocks, tri=tri, window=window, band_w=band_w,
@@ -575,6 +578,7 @@ def _bwd_dq_kernel(
 
         p, grad_cap = _recompute_p(
             q, k, m2, linv, iq, jkv,
+            scale2=sm_scale * LOG2E,
             causal=causal, kv_len=kv_len,
             block_q=block_q, block_kv=block_kv, apply_mask=apply_mask,
             window=window, softcap=softcap,
@@ -633,8 +637,6 @@ def bwd_dq_pallas(
     q_per_kv = num_q_heads // num_kv_heads
     grid = (batch, num_q_heads, n_q // block_q, n_kv // block_kv)
 
-    # Base-2 convention (see fwd_kernel): fold sm_scale·log2e into Q once.
-    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
 
     num_kv_blocks = n_kv // block_kv
     banded = (causal and window > 0 and n_q == n_kv and block_q == block_kv

@@ -9,7 +9,7 @@ pairs, so masked work shrinks to the diagonal sub-blocks only
 (efficiency 1 − 0.5·256/N) with no added grid steps.
 
 Gradients accumulate directly into the fp32 output panes (dQ by row block,
-dK/dV by kv block); the dK (ln2) and dQ (sm_scale) scale factors are applied
+dK/dV by kv block); the dK and dQ sm_scale factors are applied
 in one vectorized pass at pane end.  Same recompute-from-lse numerics as
 bwd_kernel.py (≙ reference src/flash_attention_kernels.py:283-293).
 
@@ -74,7 +74,7 @@ def pick_hb_bwd(n_pad: int, head_dim: int, dtype, num_q_heads: int,
 
 
 def _bwd_mid_kernel(
-    q_ref,  # [1, hb, n, d] — pre-scaled by sm_scale·log2e
+    q_ref,  # [1, hb, n, d] — raw; scores scaled post-dot
     k_ref,  # [1, hb_kv, n, d]
     v_ref,
     o_ref,  # [1, hb, n, d] — forward output (D computed inline)
@@ -140,7 +140,9 @@ def _bwd_mid_kernel(
             oi = o_ref[0, jh, iq * SUB:(iq + 1) * SUB, :].astype(jnp.float32)
             dpre = jnp.sum(oi * do.astype(jnp.float32), axis=-1,
                            keepdims=True)
-            s = mxu_dot(qi, kj, (((1,), (1,)), ((), ())))
+            s = mxu_dot(qi, kj, (((1,), (1,)), ((), ()))) * (
+                sm_scale * LOG2E
+            )
             grad_cap = None
             if softcap:
                 c2 = softcap * LOG2E
@@ -167,7 +169,7 @@ def _bwd_mid_kernel(
             ds = p * (dp - dpre)
             if grad_cap is not None:
                 ds = ds * grad_cap
-            # dK_j += dSᵀ (c·Q_i)  (≙ :293)
+            # dK_j += dSᵀ Q_i  (≙ :293); sm_scale in the epilogue
             dk_term = mxu_dot(ds.astype(qi.dtype), qi, (((0,), (0,)), ((), ())))
             dk_acc = dk_term if dk_acc is None else dk_acc + dk_term
             # dQ_i += dS K_j — the one RMW per pair; sm_scale at pane end
@@ -176,7 +178,7 @@ def _bwd_mid_kernel(
                 ds.astype(kj.dtype), kj, (((1,), (0,)), ((), ()))
             )
         sl_kv = pl.ds(jk * SUB, SUB)
-        dk_ref[0, jh, sl_kv, :] = dk_acc * LN2
+        dk_ref[0, jh, sl_kv, :] = dk_acc * sm_scale
         dv_ref[0, jh, sl_kv, :] = dv_acc
 
     dq_ref[...] = dq_ref[...] * sm_scale
@@ -206,7 +208,6 @@ def bwd_mid_pallas(
     q_per_kv = num_q_heads // num_kv_heads
     assert n % SUB == 0, n
 
-    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
 
     if hb is None:
         hb = pick_hb_bwd(n, head_dim, q.dtype, num_q_heads, q_per_kv)

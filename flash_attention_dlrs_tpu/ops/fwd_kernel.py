@@ -204,6 +204,7 @@ def _fwd_kernel(
     l_scratch,
     acc_scratch,
     *,
+    scale2: float,  # sm_scale·log2e, applied to the f32 scores post-dot
     causal: bool,
     kv_len: int,
     block_q: int,
@@ -265,13 +266,15 @@ def _fwd_kernel(
         should_run = True
 
     def _compute(apply_mask):
-        q = q_ref[0, 0]  # [block_q, d] — pre-scaled by sm_scale*log2(e)
+        q = q_ref[0, 0]  # [block_q, d] — raw
         k = k_ref[0, 0]  # [block_kv, d]
 
-        # S₂ = (c·Q) K^T with c = sm_scale·log2e already folded into Q by
-        # fwd_pallas; fp32 accumulation on the MXU
+        # S₂ = c·QKᵀ with c = sm_scale·log2e applied to the f32 scores
+        # AFTER the dot (no q HBM round-trip, no bf16 re-rounding of
+        # scaled q; bit-matches the backward's _recompute_p op order);
+        # fp32 accumulation on the MXU
         # (≙ src/flash_attention_kernels.py:92 with input_precision="ieee").
-        s = mxu_dot(q, k, (((1,), (1,)), ((), ())))
+        s = mxu_dot(q, k, (((1,), (1,)), ((), ()))) * scale2
         if softcap:
             # cap·tanh(S/cap) in base-2 units: C₂ = cap·log2e.
             c2 = softcap * LOG2E
@@ -384,7 +387,9 @@ def _fwd_kernel(
         for i in range(nsub):
             w = (i + 1) * sub_d
             sl = slice(i * sub_d, (i + 1) * sub_d)
-            s = mxu_dot(q_all[sl, :], k_all[:w, :], (((1,), (1,)), ((), ())))
+            s = mxu_dot(
+                q_all[sl, :], k_all[:w, :], (((1,), (1,)), ((), ())),
+            ) * scale2
             if softcap:
                 c2 = softcap * LOG2E
                 s = c2 * jnp.tanh(s * (1.0 / c2))
@@ -545,7 +550,6 @@ def fwd_pallas(
 
     # Fold sm_scale·log2e into Q once (O(N·d), fused by XLA) so the kernel's
     # O(N²) hot loop runs scale-free in base 2.
-    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
 
     # Compacted triangular grid for the self-attention causal case: instead
     # of a rectangular (T_q, T_kv) grid where ~half the steps are skipped by
@@ -569,6 +573,7 @@ def fwd_pallas(
     segmented = q_seg is not None
     base = functools.partial(
         _fwd_kernel,
+        scale2=float(sm_scale) * LOG2E,
         causal=causal,
         kv_len=kv_len,
         block_q=block_q,

@@ -67,7 +67,7 @@ def _heads_per_cell(n: int, head_dim: int, num_q_heads: int, q_per_kv: int,
 
 
 def _small_kernel(
-    q_ref,  # [1, hb, n, d] — pre-scaled
+    q_ref,  # [1, hb, n, d] — raw; scores scaled post-dot
     k_ref,  # [1, hb // q_per_kv, n, d]
     v_ref,
     qseg_ref,  # [1, n, LANES] int32 or None
@@ -75,6 +75,7 @@ def _small_kernel(
     o_ref,
     lse_ref,  # [1, hb, n/128, 128] f32 packed (layout.py) or None
     *,
+    scale2: float,
     causal: bool,
     kv_len: int,
     n: int,
@@ -104,7 +105,7 @@ def _small_kernel(
         q = q_ref[0, j]
         k = k_ref[0, j // q_per_kv]
         v = v_payload(v_ref[0, j // q_per_kv], q_ref.dtype)
-        s = mxu_dot(q, k, (((1,), (1,)), ((), ())))
+        s = mxu_dot(q, k, (((1,), (1,)), ((), ()))) * scale2
         if softcap:
             c2 = softcap * LOG2E
             s = c2 * jnp.tanh(s * (1.0 / c2))
@@ -159,13 +160,13 @@ def fwd_small_pallas(
     num_kv_heads = k.shape[1]
     q_per_kv = num_q_heads // num_kv_heads
 
-    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
     hb = _heads_per_cell(n, head_dim, num_q_heads, q_per_kv, q.dtype,
                          save_residuals=save_residuals)
     assert num_q_heads % hb == 0 and hb % q_per_kv == 0, (hb, q_per_kv)
 
     kernel = functools.partial(
         _small_kernel,
+        scale2=float(sm_scale) * LOG2E,
         causal=causal, kv_len=kv_len, n=n, hb=hb, q_per_kv=q_per_kv,
         window=window, softcap=float(softcap), q_off=q_off,
     )
@@ -236,7 +237,7 @@ def fwd_small_pallas(
 
 
 def _small_bwd_kernel(
-    q_ref,  # [1, hb, n, d] — pre-scaled by sm_scale*log2e
+    q_ref,  # [1, hb, n, d] — raw; scores scaled post-dot
     k_ref,  # [1, hb // q_per_kv, n, d]
     v_ref,
     do_ref,  # [1, hb, n, d]
@@ -281,7 +282,7 @@ def _small_bwd_kernel(
         k = k_ref[0, j // q_per_kv]
         v = v_payload(v_ref[0, j // q_per_kv], q_ref.dtype)
         do = do_ref[0, j].astype(jnp.float32)
-        s = mxu_dot(q, k, (((1,), (1,)), ((), ())))
+        s = mxu_dot(q, k, (((1,), (1,)), ((), ()))) * (sm_scale * LOG2E)
         grad_cap = None
         if softcap:
             c2 = softcap * LOG2E
@@ -311,8 +312,8 @@ def _small_bwd_kernel(
         dq_ref[0, j] = sm_scale * mxu_dot(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         )
-        # dK = ln2 · dSᵀ (c·Q)  (q pre-scaled by c = sm_scale·log2e)
-        dk_ref[0, j] = LN2 * mxu_dot(
+        # dK = sm_scale · dSᵀ Q  (q raw)
+        dk_ref[0, j] = sm_scale * mxu_dot(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         )
 
@@ -346,7 +347,6 @@ def bwd_small_pallas(
     num_kv_heads = k.shape[1]
     q_per_kv = num_q_heads // num_kv_heads
 
-    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
     # Backward holds ~3 score-sized f32 temporaries + 4 operand tiles:
     # give the head-block search half the forward budget.
     hb = _heads_per_cell(

@@ -211,10 +211,11 @@ class DecodeEngine:
             and not geo.supports_fast_fp8()
         ):
             warnings.warn(
-                f"kv_dtype={jnp.dtype(kv_dtype).name} is cast-bound on "
-                f"{geo.current_geometry().device_kind} (no fp8 datapath; "
-                "~10x slower than int8 on v5e) — falling back to int8 KV. "
-                "Pass kv_dtype=jnp.int8 explicitly to silence this.",
+                f"kv_dtype={jnp.dtype(kv_dtype).name} has no fp8 datapath "
+                f"on {geo.current_geometry().device_kind} (integer-dequant "
+                "works but int8 is still ~1.4x faster there) — falling "
+                "back to int8 KV.  Pass kv_dtype=jnp.int8 explicitly to "
+                "silence this.",
                 stacklevel=2,
             )
             kv_dtype = jnp.int8
@@ -994,6 +995,9 @@ class DecodeEngine:
             self._verify_cache[key] = fused
         eos = jnp.int32(-1 if self.eos_token is None else self.eos_token)
         active = jnp.asarray([s_ < n for s_ in range(b)], bool)
+        import time as _time
+
+        _t0 = _time.perf_counter()
         (out, cnt, rounds, proposed, accepted, self.pools, draft.pools) = (
             fused(
                 self.params, self.pools, draft.params, draft.pools,
@@ -1002,6 +1006,9 @@ class DecodeEngine:
             )
         )
         out = np.asarray(out)
+        # device-program wall time (excludes admission/prefill dispatches)
+        # for benchmarking through jittery dispatch tunnels
+        self.last_fused_seconds = _time.perf_counter() - _t0
         cnt = np.asarray(cnt)
         self.spec_stats = {
             "rounds": int(rounds),
@@ -1080,11 +1087,15 @@ class DecodeEngine:
             self._verify_cache[key] = fused
         eos = jnp.int32(-1 if self.eos_token is None else self.eos_token)
         active = jnp.asarray([s_ < n for s_ in range(b)], bool)
+        import time as _time
+
+        _t0 = _time.perf_counter()
         out, n_out, self.pools = fused(
             self.params, self.pools, jnp.asarray(x0), jnp.asarray(base_pos),
             jnp.asarray(tbl), active, eos, temp, top_k, top_p, seeds,
         )
         out = np.asarray(out)
+        self.last_fused_seconds = _time.perf_counter() - _t0
         n_out = np.asarray(n_out)
         for slot in range(n):
             sid = sids[slot]

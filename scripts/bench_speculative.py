@@ -182,13 +182,49 @@ def measured_end_to_end(args):
     # dispatch counts.  Warm-up and timed run share ONE engine: each
     # build() makes fresh jit closures that would recompile; generation
     # retires its requests, so reuse is clean.
+    #
+    # Two timed lengths separate the DECODE-PHASE cost (the loop slope,
+    # what speculation accelerates) from the per-call fixed cost
+    # (admission + prefill dispatches — ~1 s/engine through this
+    # environment's remote tunnel, identical for both algorithms and
+    # amortized away over long generations).
+    mx_lo = max(8, args.max_new // 8)
+
+    def timed_min(eng_, fn, reps=3):
+        # Decode-phase cost = the fused DEVICE program's wall time
+        # (engine.last_fused_seconds — excludes the admission/prefill
+        # dispatches, whose multi-second tunnel jitter would swamp the
+        # slope); min-of-N for the residual dispatch jitter, two lengths
+        # differenced to drop the per-call dispatch constant.
+        best, out, tot = None, None, None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = fn()
+            dt_tot = time.perf_counter() - t0
+            dt = eng_.last_fused_seconds
+            if best is None or dt < best:
+                best, out, tot = dt, r, dt_tot
+        return best, out, tot
+
     eng = build(t_params, t_cfg)
-    eng.generate_fused(prompts, max_new_tokens=4)  # compile prefill+decode
-    eng.generate_fused(prompts, max_new_tokens=args.max_new)  # compile full
-    t0 = time.perf_counter()
-    plain_out = eng.generate_fused(prompts, max_new_tokens=args.max_new)
-    t_plain = time.perf_counter() - t0
+    for mx in (mx_lo, args.max_new):  # compile both lengths
+        eng.generate_fused(prompts, max_new_tokens=mx)
+    t_lo, _, _ = timed_min(
+        eng, lambda: eng.generate_fused(prompts, max_new_tokens=mx_lo))
+    t_dev, plain_out, t_plain = timed_min(
+        eng, lambda: eng.generate_fused(prompts, max_new_tokens=args.max_new))
     n_tokens = sum(len(o) for o in plain_out)
+    plain_step = (t_dev - t_lo) / (args.max_new - mx_lo)
+    plain_decode_tps = b / plain_step
+    # Draft step cost (same fused discipline) for the crossover analysis.
+    deng = build(d_params, d_cfg)
+    deng.generate_fused(prompts, max_new_tokens=4)
+    deng.generate_fused(prompts, max_new_tokens=args.max_new)
+    t0 = time.perf_counter()
+    deng.generate_fused(prompts, max_new_tokens=args.max_new)
+    t_draft = time.perf_counter() - t0
+    step_t = t_plain / (args.max_new - 1)
+    step_d = t_draft / (args.max_new - 1)
     out = {
         "mode": "measured",
         "model": {"target_ckpt": args.target_ckpt,
@@ -196,35 +232,56 @@ def measured_end_to_end(args):
                   "prompt_len": args.prompt_len, "max_new": args.max_new,
                   "slots": b},
         "plain": {"tokens": n_tokens, "seconds": t_plain,
-                  "tokens_per_s": n_tokens / t_plain},
+                  "tokens_per_s": n_tokens / t_plain,
+                  "decode_ms_per_step": plain_step * 1e3,
+                  "decode_tokens_per_s": plain_decode_tps},
+        # Why speculation can lose at sub-scale: a fixed ~5 ms/step device
+        # floor (kernel-launch + loop overhead, NOT model compute) makes a
+        # 3M draft cost half a 50M target step instead of 1/15th.  gamma=4
+        # at the measured acceptance needs step_draft < ~0.4*step_target
+        # to win; production-size targets clear that easily.
+        "step_cost": {"target_ms": step_t * 1e3, "draft_ms": step_d * 1e3,
+                      "draft_over_target": step_d / step_t},
     }
     print(f"plain greedy: {n_tokens} tok in {t_plain:.2f}s = "
-          f"{n_tokens / t_plain:,.0f} tok/s", flush=True)
+          f"{n_tokens / t_plain:,.0f} tok/s end-to-end; decode phase "
+          f"{plain_step*1e3:.3f} ms/step = {plain_decode_tps:,.0f} tok/s",
+          flush=True)
 
     for g in args.gammas:
         tgt = build(t_params, t_cfg)
         dft = build(d_params, d_cfg)
-        tgt.generate_speculative_fused(  # compile pass (engines reused)
-            prompts, draft=dft, gamma=g, max_new_tokens=4)
-        tgt.generate_speculative_fused(
-            prompts, draft=dft, gamma=g, max_new_tokens=args.max_new)
-        t0 = time.perf_counter()
-        spec_out = tgt.generate_speculative_fused(
-            prompts, draft=dft, gamma=g, max_new_tokens=args.max_new)
-        t_spec = time.perf_counter() - t0
+        for mx in (mx_lo, args.max_new):  # compile both lengths
+            tgt.generate_speculative_fused(
+                prompts, draft=dft, gamma=g, max_new_tokens=mx)
+        ts_lo, _, _ = timed_min(
+            tgt, lambda: tgt.generate_speculative_fused(
+                prompts, draft=dft, gamma=g, max_new_tokens=mx_lo))
+        r_lo = tgt.spec_stats["rounds"]
+        ts_dev, spec_out, t_spec = timed_min(
+            tgt, lambda: tgt.generate_speculative_fused(
+                prompts, draft=dft, gamma=g, max_new_tokens=args.max_new))
         n_spec = sum(len(o) for o in spec_out)
         st = tgt.spec_stats
         acc = st["accepted"] / max(1, st["proposed"])
         assert spec_out == plain_out, "greedy speculative output diverged"
+        round_ms = (ts_dev - ts_lo) / max(1, st["rounds"] - r_lo)
+        toks_per_round = n_spec / max(1, st["rounds"]) / b
+        decode_tps = b * toks_per_round / round_ms
         out[f"gamma{g}"] = {
             "tokens": n_spec, "seconds": t_spec,
             "tokens_per_s": n_spec / t_spec,
-            "speedup_vs_plain": (n_spec / t_spec) / out["plain"]["tokens_per_s"],
+            "end_to_end_speedup_vs_plain": (
+                (n_spec / t_spec) / out["plain"]["tokens_per_s"]),
+            "decode_ms_per_round": round_ms * 1e3,
+            "decode_tokens_per_s": decode_tps,
+            "decode_speedup_vs_plain": decode_tps / plain_decode_tps,
             "rounds": st["rounds"], "measured_acceptance": acc,
-            "tokens_per_round": n_spec / max(1, st["rounds"]) / b,
+            "tokens_per_round": toks_per_round,
         }
-        print(f"gamma={g}: {n_spec / t_spec:,.0f} tok/s "
-              f"({out[f'gamma{g}']['speedup_vs_plain']:.2f}x plain), "
+        print(f"gamma={g}: decode {decode_tps:,.0f} tok/s "
+              f"({decode_tps / plain_decode_tps:.2f}x plain decode; "
+              f"end-to-end {n_spec / t_spec:,.0f}), "
               f"acceptance {acc:.1%}, {st['rounds']} rounds", flush=True)
 
     os.makedirs("bench_out", exist_ok=True)

@@ -117,7 +117,7 @@ def test_fp8_kv_gated_to_int8_on_slow_parts(params, monkeypatch):
     from flash_attention_dlrs_tpu.ops.decode import quantize_kv_pages
 
     monkeypatch.setattr(geo, "supports_fast_fp8", lambda *a: False)
-    with pytest.warns(UserWarning, match="cast-bound"):
+    with pytest.warns(UserWarning, match="falling\\s*back to int8"):
         eng = DecodeEngine(
             params, CFG, num_pages=16, num_slots=1, pages_per_seq=4,
             quantized_kv=True, kv_dtype=jnp.float8_e4m3fn,
@@ -128,7 +128,7 @@ def test_fp8_kv_gated_to_int8_on_slow_parts(params, monkeypatch):
     assert len(out[0]) == 3
 
     # the low-level op warns but proceeds (callers may target v6 exports)
-    with pytest.warns(UserWarning, match="cast-bound"):
+    with pytest.warns(UserWarning, match="bit surgery"):
         qt = quantize_kv_pages(
             jnp.ones((1, 2, 8, 128), jnp.float32), jnp.float8_e5m2
         )
