@@ -296,3 +296,21 @@ def test_fused_spec_matches_per_round_spec():
     assert fused == per_round
     assert st1["accepted"] == st2["accepted"]
     assert st1["proposed"] == st2["proposed"]
+
+
+def test_fused_plain_sampling_matches_host_loop():
+    """temperature>0: the fused loop keys randomness on (seed, position)
+    exactly like the host loop, so the sampled streams match token for
+    token."""
+    from flash_attention_dlrs_tpu.runtime.sampling import SamplingParams
+
+    cfg = ModelConfig(**CFG)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    sp = SamplingParams(temperature=0.8, top_k=20, seed=41)
+    host = _engine(params, cfg).generate(
+        PROMPTS, max_new_tokens=12, sampling=sp
+    )
+    fused = _engine(params, cfg).generate_fused(
+        PROMPTS, max_new_tokens=12, sampling=sp
+    )
+    assert fused == host
