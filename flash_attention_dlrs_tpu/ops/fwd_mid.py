@@ -84,9 +84,10 @@ def mid_path_fits(n_pad: int, head_dim: int, dtype, hb: int = 1,
                   margin: float = 1.0, sub: int | None = None) -> bool:
     """VMEM feasibility: q/k/v/o panes (double-buffered) + lse + score/acc
     temporaries must fit the scoped budget.  ``margin`` scales the estimate
-    — Mosaic's real stack allocation runs ~1.5× this model (measured: hb=2
-    n=2048 bf16 21.09M actual vs 13.8M modeled; fp32 n=1024 hb=2 also
-    over), so optional paths pass margin=1.5."""
+    — Mosaic's real stack allocation exceeds this byte model (fp32 matmuls
+    multipass with extra temporaries, hence the 1.25× fp32 surcharge);
+    pick_hb passes margin=1.6, recalibrated against six measured v5e
+    compile pass/fail points (see its docstring)."""
     isz = jnp.dtype(dtype).itemsize
     if sub is None:
         sub = pick_sub(n_pad) if n_pad % SUB == 0 else SUB
@@ -360,7 +361,6 @@ def _mid_strip_kernel(
     strip: int,
     wide: int,
     scale2: float,
-    unroll: int = 1,
 ):
     t = pl.program_id(2)
     t_strip = strip // sub
@@ -455,8 +455,7 @@ def _mid_strip_kernel(
         # fully window-masked inside visible_block (no-op merges)
         jw_lo = jnp.maximum(jw_lo, (strip0 - window + 1) // wide)
     carries = jax.lax.fori_loop(
-        jw_lo, t * (strip // wide), wide_body, tuple(carries),
-        unroll=unroll,
+        jw_lo, t * (strip // wide), wide_body, tuple(carries)
     )
 
     for iq in range(t_strip):
@@ -493,7 +492,7 @@ def _mid_strip_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "kv_len", "window", "softcap", "save_residuals",
-        "interpret", "sub", "strip", "wide", "unroll",
+        "interpret", "sub", "strip", "wide",
     ),
 )
 def fwd_mid_strip_pallas(
@@ -510,7 +509,6 @@ def fwd_mid_strip_pallas(
     sub: int | None = None,
     strip: int = STRIP,
     wide: int | None = None,
-    unroll: int = 1,
 ):
     """Causal attention for padded [B, H, n, d], MAX_MID_N < n ≤ MAX_STRIP_N.
 
@@ -531,8 +529,7 @@ def fwd_mid_strip_pallas(
     kernel = functools.partial(
         _mid_strip_kernel,
         n=n, kv_len=kv_len, window=window, softcap=float(softcap), sub=sub,
-        strip=strip, wide=wide, unroll=unroll,
-        scale2=float(sm_scale) * LOG2E,
+        strip=strip, wide=wide, scale2=float(sm_scale) * LOG2E,
     )
     if not save_residuals:
         inner = kernel
