@@ -7,7 +7,11 @@ rectangular cross-length, fused and two-sweep backward.
 
 Usage: python scripts/probe_alibi_tpu.py
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -3,7 +3,11 @@
 Usage: python scripts/probe_bwd_fused.py N BQ BKV [split]
 Times the backward alone (no forward), printing ms and bwd-only TF/s.
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import jax
 import jax.numpy as jnp

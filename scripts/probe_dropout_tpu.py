@@ -7,7 +7,11 @@ fused backward, and the two-sweep backward's cross-geometry mask replay.
 
 Usage: python scripts/probe_dropout_tpu.py
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -2,7 +2,11 @@
 
 Usage: python scripts/probe_fwd.py N BQ BKV
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,11 @@ benching int4.
 
 Usage: python scripts/probe_int4_tpu.py
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax

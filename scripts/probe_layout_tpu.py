@@ -8,7 +8,11 @@ a layout change, before the full bench sweep.
 
 Usage: python scripts/probe_layout_tpu.py [quick]
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax
