@@ -209,6 +209,9 @@ def _validate(q, k, v):
         # fp8 V with higher-precision q/k is the one legal mixed case —
         # the kernels dequantize V in-register (≙ the reference's vendored
         # fp8-V forward, src/flash_attention_openai_tutorial.py:127-135).
+        # Contract: fp8 V payloads must be finite — the no-fp8-datapath
+        # dequant route maps Inf/NaN bit patterns to large finite values
+        # instead of propagating them (see ops/fwd_kernel.py::v_payload).
         raise ValueError(f"dtype mismatch: {q.dtype}, {k.dtype}, {v.dtype}")
     if q.dtype == jnp.float64:
         # The reference maps float64 through convert_triton_dtype

@@ -65,7 +65,12 @@ def v_payload(v, target_dtype):
     fp8-V forward, src/flash_attention_openai_tutorial.py:127-135).  On
     parts without an fp8 datapath the XLA convert is cast-bound, so the
     integer bit-surgery route is used instead
-    (quantization.fp8_to_f32_int, measured 3.8x faster on v5e)."""
+    (quantization.fp8_to_f32_int, measured 3.8x faster on v5e).
+
+    Contract: fp8 V payloads must be FINITE.  The bit-surgery route maps
+    e5m2 Inf/NaN encodings to large finite values rather than propagating
+    them (quantize() always produces finite payloads, so this only matters
+    for user-supplied fp8 V; callers feeding raw fp8 must clamp first)."""
     if jnp.dtype(v.dtype) in FP8_DTYPES:
         if geo.supports_fast_fp8():
             return v.astype(target_dtype)

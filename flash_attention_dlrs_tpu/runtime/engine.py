@@ -755,8 +755,15 @@ class DecodeEngine:
         # and ONE for verify+accept — 2 dispatches/round instead of γ+2,
         # which is what makes measured end-to-end speedup dispatch-bound
         # environments (and real serving) see the algorithmic win.
-        spec_fns = self._verify_cache.get((gamma, id(draft)))
-        if spec_fns is None:
+        # Keyed on gamma with the draft held by weakref: id(draft) can be
+        # recycled after GC, silently serving programs built for a dead
+        # engine's cfg/page layout to a new one.
+        import weakref
+
+        cached = self._verify_cache.get(gamma)
+        if cached is not None and cached[0]() is draft:
+            spec_fns = cached[1]
+        else:
             from .speculative import make_draft_propose, make_verify_accept
 
             spec_fns = (
@@ -770,7 +777,7 @@ class DecodeEngine:
                     interpret=self.interpret,
                 ),
             )
-            self._verify_cache[(gamma, id(draft))] = spec_fns
+            self._verify_cache[gamma] = (weakref.ref(draft), spec_fns)
         propose, verify_accept = spec_fns
         sp = sampling or GREEDY
         b = self.num_slots

@@ -123,15 +123,25 @@ def _save_disk_cache(cache: dict) -> None:
         pass
 
 
+# Phrases that specifically mean "this candidate does not FIT" — full
+# resource-exhaustion sentences, not bare nouns like "vmem"/"scratch" that
+# genuine lowering bugs also mention in passing (a Mosaic layout bug whose
+# message references a scratch operand must still propagate).
 _RESOURCE_ERROR_MARKERS = (
     "resource_exhausted",
+    "resource exhausted",
     "out of memory",
     "out of resource",
-    "vmem",          # Mosaic scoped-VMEM / scratch overflow messages
-    "smem",
-    "scratch",
     "exceeds available",
-    "allocat",       # "failed to allocate", "allocation"
+    "exceeds the vmem limit",
+    "vmem limit exceeded",
+    "failed to allocate",
+    "allocation failure",
+    "not enough vmem",
+    "not enough smem",
+    "insufficient vmem",
+    "scoped vmem limit",
+    "scratch memory limit",
 )
 
 

@@ -92,10 +92,15 @@ def test_speculative_perfect_draft_minimal_rounds():
         calls.append(1)
         return inner(*a, **k)
 
-    target._verify_cache[(gamma, id(draft))] = (
-        make_draft_propose(cfg, gamma, draft.page_size,
-                           interpret=draft.interpret),
-        counting,
+    import weakref
+
+    target._verify_cache[gamma] = (
+        weakref.ref(draft),
+        (
+            make_draft_propose(cfg, gamma, draft.page_size,
+                               interpret=draft.interpret),
+            counting,
+        ),
     )
     spec = target.generate_speculative(
         [[1, 2, 3, 4, 5]], draft=draft, gamma=gamma, max_new_tokens=max_new
