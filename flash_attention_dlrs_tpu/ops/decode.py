@@ -49,8 +49,8 @@ def _decode_kernel(
     q_ref,  # [1, 1, group_pad, d] VMEM (pre-scaled by sm_scale)
     k_pages_ref,  # [Hkv, P, page_size, d] HBM
     v_pages_ref,
-    k_scales_ref,  # [Hkv, P, 1, page_size] HBM fp32 (or None slot unused)
-    v_scales_ref,
+    k_sc_ref,  # [1, 1, 1, bk] VMEM fp32 dense per-block scales, or None
+    v_sc_ref,
     slope_ref,  # [1, rows_pad, LANES] fp32 per-ROW ALiBi slope, or None
     # outputs
     o_ref,  # [1, 1, group_pad, d]
@@ -58,9 +58,7 @@ def _decode_kernel(
     # scratch
     k_buf,  # [2, ppb, page_size, d]
     v_buf,
-    k_sc_buf,  # [2, ppb, 1, page_size]
-    v_sc_buf,
-    sems,  # DMA sems [2, 4]
+    sems,  # DMA sems [3, 2]
     m_scr,  # [group_pad, 128] f32
     l_scr,
     acc_scr,  # [group_pad, d] f32
@@ -85,7 +83,10 @@ def _decode_kernel(
 
     def dma_block(cell_b, cell_h, block, slot):
         """One async copy per page of `block` of cell (cell_b, cell_h) into
-        buffer `slot`."""
+        buffer `slot`.  Scales ride a dense BlockSpec-pipelined input, NOT
+        per-page DMAs: at 8K ctx the 2 extra ~256 B scale copies per page
+        doubled the DMA count and pinned int8 decode at bf16's wall time
+        (per-DMA fixed cost, not bandwidth — measured on v5e, round 3)."""
         copies = []
         for j in range(pages_per_block):
             pidx = page_idx_ref[
@@ -105,21 +106,6 @@ def _decode_kernel(
                     sems.at[slot, 1],
                 )
             )
-            if quantized:
-                copies.append(
-                    pltpu.make_async_copy(
-                        k_scales_ref.at[cell_h, pidx],
-                        k_sc_buf.at[slot, j],
-                        sems.at[slot, 2],
-                    )
-                )
-                copies.append(
-                    pltpu.make_async_copy(
-                        v_scales_ref.at[cell_h, pidx],
-                        v_sc_buf.at[slot, j],
-                        sems.at[slot, 3],
-                    )
-                )
         return copies
 
     # Cross-cell software pipeline: slot 2 is a handoff buffer that always
@@ -205,8 +191,7 @@ def _decode_kernel(
             k = payload(k_buf[slot].reshape(bk, -1))  # [bk, d]
         s = mxu_dot(q, k, (((1,), (1,)), ((), ())))  # [rows, bk]
         if quantized:
-            k_sc = k_sc_buf[slot].reshape(1, bk)
-            s = s * k_sc
+            s = s * k_sc_ref[0, 0]  # [1, bk] dense per-token K scales
         if softcap:
             # Gemma-2 attention-logit cap on the SCALED scores (q arrives
             # pre-scaled), before masking — capping the mask sentinel would
@@ -243,7 +228,7 @@ def _decode_kernel(
         m_scr[...] = m_next
 
         if quantized:
-            p = p * v_sc_buf[slot].reshape(1, bk)
+            p = p * v_sc_ref[0, 0]  # [1, bk] dense per-token V scales
         if int4:
             v = unpack_int4_rows(v_buf[slot]).reshape(bk, -1).astype(q.dtype)
         else:
@@ -288,7 +273,7 @@ def _paged_decode(
     q_grouped,  # [B, Hkv, group_pad, d], pre-scaled
     k_pages,
     v_pages,
-    k_scales,  # [Hkv, P, 1, page_size] or zeros placeholder
+    k_scales,  # [B, Hkv, num_blocks, bk] DENSE fp32, or None (unquantized)
     v_scales,
     lengths,
     page_indices,  # [B, pages_per_seq]
@@ -313,6 +298,7 @@ def _paged_decode(
     page_size = store_ps * 2 if int4 else store_ps
     pages_per_seq = page_indices.shape[1]
     num_blocks = pages_per_seq // pages_per_block
+    bk = pages_per_block * page_size
 
     base_kernel = functools.partial(
         _decode_kernel,
@@ -327,8 +313,13 @@ def _paged_decode(
     )
     has_slope = slope_rows is not None
 
-    def kernel(l_r, p_r, q_r, k_r, v_r, ks_r, vs_r, *rest):
+    def kernel(l_r, p_r, q_r, k_r, v_r, *rest):
         i = 0
+        if quantized:
+            ks_r, vs_r = rest[i], rest[i + 1]
+            i += 2
+        else:
+            ks_r = vs_r = None
         sl_r = rest[i] if has_slope else None
         i += 1 if has_slope else 0
         o_r = rest[i]
@@ -338,6 +329,12 @@ def _paged_decode(
         return base_kernel(l_r, p_r, q_r, k_r, v_r, ks_r, vs_r, sl_r, o_r,
                            lse_r, *rest[i:])
 
+    # Dense scales ride the normal BlockSpec pipeline (auto double-buffered
+    # by Pallas, one contiguous ~bk·4-byte fetch per block) instead of two
+    # tiny manual DMAs per page — see dma_block's docstring.
+    sc_spec = pl.BlockSpec(
+        (1, 1, 1, bk), lambda b, h, i, *refs: (b, h, i, 0)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(batch, num_kv_heads, num_blocks),
@@ -347,9 +344,8 @@ def _paged_decode(
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ] + ([pl.BlockSpec(
+        ] + ([sc_spec, sc_spec] if quantized else [])
+        + ([pl.BlockSpec(
             (1, rows_pad, geo.NUM_LANES), lambda b, h, i, *refs: (h, 0, 0)
         )] if has_slope else []),
         out_specs=[pl.BlockSpec(
@@ -362,9 +358,7 @@ def _paged_decode(
             # filled across cell boundaries (see _decode_kernel).
             pltpu.VMEM((3, pages_per_block, store_ps, head_dim), k_pages.dtype),
             pltpu.VMEM((3, pages_per_block, store_ps, head_dim), v_pages.dtype),
-            pltpu.VMEM((3, pages_per_block, 1, page_size), jnp.float32),
-            pltpu.VMEM((3, pages_per_block, 1, page_size), jnp.float32),
-            pltpu.SemaphoreType.DMA((3, 4)),
+            pltpu.SemaphoreType.DMA((3, 2)),
             pltpu.VMEM((rows_pad, geo.NUM_LANES), jnp.float32),
             pltpu.VMEM((rows_pad, geo.NUM_LANES), jnp.float32),
             pltpu.VMEM((rows_pad, head_dim), jnp.float32),
@@ -386,10 +380,26 @@ def _paged_decode(
         ),
         interpret=interpret,
     )(lengths, page_indices.reshape(-1), q_grouped, k_pages, v_pages,
-      k_scales, v_scales, *([slope_rows] if has_slope else []))
+      *([k_scales, v_scales] if quantized else []),
+      *([slope_rows] if has_slope else []))
     if return_lse:
         return outs[0], outs[1]
     return outs[0]
+
+
+def _dense_block_scales(sc, page_indices, num_blocks, bk):
+    """Gather pool scales [Hkv, P, ps, 1] through the page table into the
+    dense per-sequence layout the kernel pipelines: [B, Hkv, num_blocks, bk]
+    fp32.  Tiny (~4 B/token) — the gather is a per-step XLA op, a few µs at
+    8K ctx; the payoff is zero per-page scale DMAs in the kernel."""
+    hkv = sc.shape[0]
+    b = page_indices.shape[0]
+    # NB: sc[:, page_indices, :, 0] would be WRONG — two non-consecutive
+    # advanced indices (array + integer) move the broadcast dims to the
+    # front ([B, pps, Hkv, ps]).  Drop the unit axis first.
+    d = sc[..., 0][:, page_indices]  # [Hkv, B, pps, ps]
+    d = jnp.moveaxis(d, 0, 1)  # [B, Hkv, pps, ps]
+    return d.reshape(b, hkv, num_blocks, bk).astype(jnp.float32)
 
 
 def _slope_rows(alibi_slopes, num_q_heads, num_kv_heads, group, group_pad,
@@ -580,15 +590,6 @@ def _paged_decode_local(q, k_vals, v_vals, k_sc, v_sc, lengths,
     None for unquantized pools."""
     batch, num_q_heads, head_dim = q.shape
     quantized = k_sc is not None
-    if quantized:
-        # scales arrive [Hkv, P, ps, 1] → lane-friendly [Hkv, P, 1, ps]
-        k_sc = jnp.swapaxes(k_sc, -1, -2).astype(jnp.float32)
-        v_sc = jnp.swapaxes(v_sc, -1, -2).astype(jnp.float32)
-    else:
-        hkv, p, ps, _ = k_vals.shape
-        k_sc = jnp.ones((hkv, p, 1, ps), jnp.float32)
-        v_sc = k_sc
-
     num_kv_heads, _, page_size, d_pool = k_vals.shape
     group = num_q_heads // num_kv_heads
     group_pad = max(geo.NUM_SUBLANES, group)
@@ -606,6 +607,13 @@ def _paged_decode_local(q, k_vals, v_vals, k_sc, v_sc, lengths,
     if pages_per_seq % pages_per_block:
         pad = pages_per_block - pages_per_seq % pages_per_block
         page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
+
+    logical_ps = page_size * 2 if int4 else page_size
+    nb = page_indices.shape[1] // pages_per_block
+    bk = pages_per_block * logical_ps
+    if quantized:
+        k_sc = _dense_block_scales(k_sc, page_indices, nb, bk)
+        v_sc = _dense_block_scales(v_sc, page_indices, nb, bk)
 
     qg = q.reshape(batch, num_kv_heads, group, d_pool) * jnp.asarray(
         sm_scale, q.dtype
@@ -660,13 +668,9 @@ def paged_verify_attention(
     if quantized:
         k_vals, k_sc = k_pages.values, k_pages.scales
         v_vals, v_sc = v_pages.values, v_pages.scales
-        k_sc = jnp.swapaxes(k_sc, -1, -2).astype(jnp.float32)
-        v_sc = jnp.swapaxes(v_sc, -1, -2).astype(jnp.float32)
     else:
         k_vals, v_vals = k_pages, v_pages
-        hkv, p, ps, _ = k_vals.shape
-        k_sc = jnp.ones((hkv, p, 1, ps), jnp.float32)
-        v_sc = k_sc
+        k_sc = v_sc = None
 
     num_kv_heads, _, page_size, d_pool = k_vals.shape
     if num_q_heads % num_kv_heads:
@@ -690,6 +694,13 @@ def paged_verify_attention(
     if pages_per_seq % pages_per_block:
         pad = pages_per_block - pages_per_seq % pages_per_block
         page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
+
+    logical_ps = page_size * 2 if int4 else page_size
+    nb = page_indices.shape[1] // pages_per_block
+    bk = pages_per_block * logical_ps
+    if quantized:
+        k_sc = _dense_block_scales(k_sc, page_indices, nb, bk)
+        v_sc = _dense_block_scales(v_sc, page_indices, nb, bk)
 
     # [B, Hq, T, d] → [B, Hkv, T, group_pad, d] → rows = T·group_pad,
     # t-major so the kernel recovers t = row // group_pad.
