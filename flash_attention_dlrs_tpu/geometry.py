@@ -46,10 +46,21 @@ _VMEM_BYTES = {
 # but applied to a VMEM budget instead of GA102 SRAM.
 SAFETY_MARGIN = 0.25
 
-# Mosaic's scoped-VMEM stack limit per kernel (blocks + scratch must fit a
-# 16 MiB scoped allocation regardless of total VMEM; measured empirically —
-# an fp32 1024x1024 backward cell fails compile at 16.89M vs this limit).
+# Mosaic's DEFAULT scoped-VMEM stack limit per kernel (blocks + scratch
+# must fit a 16 MiB scoped allocation unless the kernel raises it; measured
+# empirically — an fp32 1024x1024 backward cell fails compile at 16.89M vs
+# this limit).  It is only a default: CompilerParams(vmem_limit_bytes=...)
+# raises it toward the physical per-core VMEM (measured honored up to
+# >=100 MiB on v5e) — see scoped_vmem_limit().
 SCOPED_VMEM_BYTES = 16 * 1024 * 1024
+
+
+def scoped_vmem_limit(geom: "TpuGeometry | None" = None) -> int:
+    """vmem_limit_bytes value for kernels that outgrow Mosaic's 16 MiB
+    default scoped stack: 3/4 of physical VMEM, leaving headroom for
+    Mosaic's own pipeline buffers and the runtime."""
+    geom = geom or current_geometry()
+    return int(geom.vmem_bytes * 3) // 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -29,6 +29,7 @@ folded into Q (≙ reference src/flash_attention_kernels.py:84-108).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +58,12 @@ STRIP = 1024
 # Padding unit for this path (inputs are padded to a multiple of this; the
 # in-kernel sub edge divides it).
 SUB = 256
+
+# Debug-only ablation knob for the strip kernel (read at TRACE time):
+#   "dots"  — skip the online softmax entirely (dots-only structural ceiling)
+#   "nosum" — skip the row-sum accumulation for l (the costliest VPU stage)
+# Used by the DESIGN.md ceiling decomposition; never set in production.
+_ABLATE = os.environ.get("FA_STRIP_ABLATE", "")
 
 # Unrolled-sub-pair budget: Mosaic compile time grows with the static
 # T(T+1)/2 pair unroll (sub=128 at N=1024, 36 pairs of 128-edge, blew past
@@ -361,6 +368,8 @@ def _mid_strip_kernel(
     strip: int,
     wide: int,
     scale2: float,
+    pipeline: int,
+    wide_static: int,
 ):
     t = pl.program_id(2)
     t_strip = strip // sub
@@ -369,12 +378,24 @@ def _mid_strip_kernel(
     diag_mask = row >= col
     c2 = softcap * LOG2E if softcap else 0.0
 
-    def visible_block(qi, row0, col0, width, carry):
-        """Online-softmax merge of one fully-visible [sub, width] score
-        block at dynamic kv offset ``col0`` into (m, l, acc)."""
-        m, l, acc = carry
+    def score_block(qi, col0, width):
+        """Raw QK^T scores for a [sub, width] block at kv offset ``col0``
+        (MXU only — no VPU post-processing, so the dot can be issued ahead
+        of the previous block's softmax work)."""
         k_blk = k_ref[0, 0, pl.ds(col0, width), :]
-        s = mxu_dot(qi, k_blk, (((1,), (1,)), ((), ()))) * scale2
+        return mxu_dot(qi, k_blk, (((1,), (1,)), ((), ())))
+
+    def merge_scores(s_raw, row0, col0, width, carry):
+        """Online-softmax merge of a fully-visible raw score block into
+        (m, l, acc)."""
+        m, l, acc = carry
+        if _ABLATE == "dots":  # structural ceiling: PV dot on raw scores
+            vb = v_payload(v_ref[0, 0, pl.ds(col0, width), :], q_ref.dtype)
+            acc = acc + mxu_dot(
+                s_raw.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            )
+            return m, l, acc
+        s = s_raw * scale2
         if softcap:
             s = c2 * jnp.tanh(s * (1.0 / c2))
         if window:
@@ -388,12 +409,19 @@ def _mid_strip_kernel(
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp2(m - m_new)
         p = jnp.exp2(s - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if _ABLATE != "nosum":
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         vb = v_payload(v_ref[0, 0, pl.ds(col0, width), :], q_ref.dtype)
         acc = acc * alpha + mxu_dot(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
         )
         return m_new, l, acc
+
+    def visible_block(qi, row0, col0, width, carry):
+        """Online-softmax merge of one fully-visible [sub, width] score
+        block at dynamic kv offset ``col0`` into (m, l, acc)."""
+        return merge_scores(score_block(qi, col0, width), row0, col0, width,
+                            carry)
 
     # Static phase per strip: the diagonal sub-block plus the strip-local
     # pre-diagonal columns [t·strip, row0) — width iq·sub, a compile-time
@@ -404,19 +432,20 @@ def _mid_strip_kernel(
     # fori_loops in one body crash its compiler (measured on v5e; one
     # compiles fine).
     strip0 = t * strip  # dynamic first column of this strip's rows
-    qis = []
-    carries = []
-    for iq in range(t_strip):
-        qi = q_ref[0, 0, iq * sub:(iq + 1) * sub, :]
-        qis.append(qi)
-        row0 = strip0 + iq * sub
 
-        # Diagonal sub-block: static triangular mask, dynamic K/V slice.
+    def diag_merge(qi, row0):
+        """Diagonal sub-block: static triangular mask, dynamic K/V slice."""
         kj = k_ref[0, 0, pl.ds(row0, sub), :]
         s = mxu_dot(qi, kj, (((1,), (1,)), ((), ()))) * scale2
         if softcap:
             s = c2 * jnp.tanh(s * (1.0 / c2))
         mask = diag_mask
+        if window and window < sub:
+            # The window's trailing edge crosses the diagonal sub-block
+            # whenever window < sub (in-block row - col IS the absolute
+            # query-key distance here) — same condition as the pane
+            # kernel's jk*SUB < (iq+1)*SUB - window specialized to jk==iq.
+            mask = jnp.logical_and(mask, row - col < window)
         if kv_len < n:
             # padded tail: mask columns past the real length so fully
             # padded rows come out l=0 (-> linv=0 residual, clean backward)
@@ -429,34 +458,107 @@ def _mid_strip_kernel(
         acc = mxu_dot(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
         )
-        carry = (m, l, acc)
-        # strip-local fully-visible columns [t·strip, row0), in static
-        # chunks of at most ``wide`` so score temporaries stay bounded
-        # (one iq·sub-wide merge at strip=n would need a strip-sized f32
-        # score block in VMEM)
-        off = 0
-        while off < iq * sub:
-            w = min(wide, iq * sub - off)
-            carry = visible_block(qi, row0, strip0 + off, w, carry)
-            off += w
-        carries.append(carry)
+        return m, l, acc
+
+    qis = [q_ref[0, 0, iq * sub:(iq + 1) * sub, :] for iq in range(t_strip)]
+    if pipeline == 2:
+        # Interleaved static phase: all diagonals first, then the strip-
+        # local fully-visible columns COLUMN-BLOCK-OUTER so consecutive
+        # merges belong to different chains.  Within a chain, merges form a
+        # serial (m, l, acc) dependency; across chains they are independent
+        # — column-outer order gives Mosaic's static scheduler t_strip-way
+        # ILP, overlapping one chain's MXU score dots with another's VPU
+        # max/exp/sum chain (measured v5e N=4096 strip=n: 139.9 -> see
+        # docs/DESIGN.md ablation).
+        carries = [diag_merge(qis[iq], strip0 + iq * sub)
+                   for iq in range(t_strip)]
+        # Column-synchronized: every chain merges the SAME column block
+        # before any chain advances — one K block in hot VMEM serves
+        # t_strip−jb−1 independent merges back to back.  (A round-robin
+        # order where each chain walks its own columns measured 10 TF/s
+        # slower at sub=256: worse K-block locality.)  Far-past-diagonal
+        # chains take the column group in ONE wide_static·sub-wide merge:
+        # the MXU work is identical but each merge pays the VPU
+        # max/alpha/rescale chain once instead of wide_static times.
+        ws = wide_static
+        for jb0 in range(0, t_strip - 1, ws):
+            jb1 = min(jb0 + ws, t_strip - 1)
+            col0 = strip0 + jb0 * sub
+            for iq in range(jb0 + 1, t_strip):
+                w = (min(iq, jb1) - jb0) * sub
+                carries[iq] = visible_block(
+                    qis[iq], strip0 + iq * sub, col0, w, carries[iq]
+                )
+    else:
+        carries = []
+        for iq in range(t_strip):
+            qi = qis[iq]
+            row0 = strip0 + iq * sub
+            carry = diag_merge(qi, row0)
+            # strip-local fully-visible columns [t·strip, row0), in static
+            # chunks of at most ``wide`` so score temporaries stay bounded
+            # (one iq·sub-wide merge at strip=n would need a strip-sized
+            # f32 score block in VMEM)
+            off = 0
+            while off < iq * sub:
+                w = min(wide, iq * sub - off)
+                carry = visible_block(qi, row0, strip0 + off, w, carry)
+                off += w
+            carries.append(carry)
 
     # Shared dynamic interior [0, t·strip) in wide-width blocks.
-    def wide_body(jw, carries):
-        col0 = jw * wide
-        return tuple(
-            visible_block(qis[iq], strip0 + iq * sub, col0, wide, c)
-            for iq, c in enumerate(carries)
-        )
-
     jw_lo = jnp.int32(0)
     if window:
         # lowest strip's window edge; higher strips' stale blocks are
-        # fully window-masked inside visible_block (no-op merges)
+        # fully window-masked inside merge_scores (no-op merges)
         jw_lo = jnp.maximum(jw_lo, (strip0 - window + 1) // wide)
-    carries = jax.lax.fori_loop(
-        jw_lo, t * (strip // wide), wide_body, tuple(carries)
-    )
+    jw_hi = t * (strip // wide)
+
+    if pipeline != 1:
+        # Plain loop: dot + merge per block; within one iteration the
+        # t_strip chain merges are mutually independent (cross-chain ILP).
+        def wide_body(jw, chains):
+            col0 = jw * wide
+            return tuple(
+                visible_block(qis[iq], strip0 + iq * sub, col0, wide, c)
+                for iq, c in enumerate(chains)
+            )
+
+        carries = jax.lax.fori_loop(jw_lo, jw_hi, wide_body, tuple(carries))
+    else:
+        # Software-pipelined one stage deep: the loop carries the NEXT
+        # block's raw QK scores so each iteration issues its MXU dots
+        # before the previous block's VPU softmax work.  The last block is
+        # peeled so no prefetch is wasted.
+        def interior_dots(jw):
+            col0 = jw * wide
+            return tuple(score_block(qi, col0, wide) for qi in qis)
+
+        def wide_body(jw, state):
+            ss, chains = state
+            ss_next = interior_dots(jw + 1)  # MXU dots first (independent)
+            col0 = jw * wide
+            chains = tuple(
+                merge_scores(ss[iq], strip0 + iq * sub, col0, wide, c)
+                for iq, c in enumerate(chains)
+            )
+            return ss_next, chains
+
+        def run_interior(carries):
+            ss0 = interior_dots(jw_lo)
+            ss, chains = jax.lax.fori_loop(
+                jw_lo, jw_hi - 1, wide_body, (ss0, tuple(carries))
+            )
+            # peeled last block: merge in-flight scores, no next prefetch
+            col0 = (jw_hi - 1) * wide
+            return tuple(
+                merge_scores(ss[iq], strip0 + iq * sub, col0, wide, c)
+                for iq, c in enumerate(chains)
+            )
+
+        carries = jax.lax.cond(
+            jw_hi > jw_lo, run_interior, lambda c: tuple(c), tuple(carries)
+        )
 
     for iq in range(t_strip):
         m, l, acc = carries[iq]
@@ -492,7 +594,7 @@ def _mid_strip_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "kv_len", "window", "softcap", "save_residuals",
-        "interpret", "sub", "strip", "wide",
+        "interpret", "sub", "strip", "wide", "pipeline", "wide_static",
     ),
 )
 def fwd_mid_strip_pallas(
@@ -509,6 +611,8 @@ def fwd_mid_strip_pallas(
     sub: int | None = None,
     strip: int = STRIP,
     wide: int | None = None,
+    pipeline: int = 2,
+    wide_static: int = 1,
 ):
     """Causal attention for padded [B, H, n, d], MAX_MID_N < n ≤ MAX_STRIP_N.
 
@@ -530,6 +634,7 @@ def fwd_mid_strip_pallas(
         _mid_strip_kernel,
         n=n, kv_len=kv_len, window=window, softcap=float(softcap), sub=sub,
         strip=strip, wide=wide, scale2=float(sm_scale) * LOG2E,
+        pipeline=pipeline, wide_static=wide_static,
     )
     if not save_residuals:
         inner = kernel
@@ -568,6 +673,11 @@ def fwd_mid_strip_pallas(
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # The 16 MiB scoped-VMEM ceiling is only Mosaic's DEFAULT limit
+            # — v5e has 128 MiB physical VMEM and raising the limit is how
+            # the K/V panes + the pipeline's score-prefetch carry fit
+            # (measured: the limit is honored up to >=100 MiB on v5e).
+            vmem_limit_bytes=geo.scoped_vmem_limit(),
         ),
         interpret=interpret,
     )(q, k, v)

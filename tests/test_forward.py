@@ -473,7 +473,9 @@ def test_fwd_strip_path_dispatch_and_value():
 def test_fwd_strip_window_softcap():
     b, h, n, d = 1, 1, 3072, 64
     q, k, v = _make_qkv(jax.random.PRNGKey(73), (b, h, n, d), (b, h, n, d))
-    for kw in (dict(window=900), dict(logit_softcap=20.0)):
+    # window=300 < sub=512 exercises the diagonal sub-block's window mask
+    # (regression: the strip kernel once only masked the interior blocks)
+    for kw in (dict(window=900), dict(window=300), dict(logit_softcap=20.0)):
         o = flash_attention(q, k, v, causal=True, sm_scale=0.5, **kw)
         o_ref = reference_attention(q, k, v, causal=True, sm_scale=0.5, **kw)
         np.testing.assert_allclose(o, o_ref, atol=FWD_ATOL, rtol=FWD_RTOL,
