@@ -527,6 +527,108 @@ class DecodeEngine:
         self.scheduler.record_step(len(active))
         return len(active)
 
+    def step_burst(self, max_steps: int = 8) -> int:
+        """Up to ``max_steps`` lockstep decode steps for the current active
+        set in ONE device dispatch (runtime.speculative.make_plain_generate
+        with per-slot budgets); returns the number of tokens generated.
+
+        This is the continuous-batching analogue of
+        :meth:`generate_fused`: admission/retirement stay host-side (run
+        :meth:`~Scheduler.schedule` between bursts), but the per-token
+        decode loop — the part that pays the host dispatch floor every
+        token through :meth:`step` — runs device-side.  Slots whose
+        request budget ends mid-burst freeze in place (EOS freezes via the
+        engine's eos token); the batch keeps lockstep.
+
+        Falls back to per-token :meth:`step` loops when a request wants
+        logprobs (needs per-step logits host-side) or under ring-based
+        serving (per-token host bookkeeping)."""
+        active = [
+            (i, r) for i, r in enumerate(self.slot_request)
+            if r is not None and not r.finished
+        ]
+        if not active:
+            return 0
+        if self._wrap or any(r.want_logprobs for _, r in active):
+            total = 0
+            for _ in range(max_steps):
+                got = self.step()
+                if not got:
+                    break
+                total += got
+                if any(r.finished for _, r in active):
+                    break  # let the scheduler retire/admit between bursts
+            return total
+
+        from .speculative import make_plain_generate
+
+        b = self.num_slots
+        k = max_steps
+        x0 = np.zeros(b, np.int32)
+        base_pos = np.zeros(b, np.int32)
+        tbl = np.full((b, self.pages_per_seq), self._null_page, np.int32)
+        budget = np.zeros(b, np.int32)
+        for slot, req in active:
+            sid = req.request_id
+            x0[slot] = self._slot_next_token[slot]
+            base_pos[slot] = self.allocator.seq_lengths[sid]
+            tt = self.allocator.page_tables[sid]
+            tbl[slot, : len(tt)] = tt
+            budget[slot] = min(
+                k, req.max_new_tokens - len(req.output_tokens)
+            )
+
+        key = ("burst", k)
+        fused = self._verify_cache.get(key)
+        if fused is None:
+            fused = make_plain_generate(
+                self.cfg, self.page_size, k,
+                pages_per_block=self.pages_per_block,
+                interpret=self.interpret,
+            )
+            self._verify_cache[key] = fused
+
+        cache_key = tuple(
+            id(self.slot_request[i]) if self.slot_request[i] else None
+            for i in range(b)
+        )
+        if getattr(self, "_sample_cache_key", None) != cache_key:
+            self._sample_cache = batch_params([
+                (self.slot_request[i].sampling if self.slot_request[i]
+                 else None)
+                for i in range(b)
+            ])
+            self._sample_cache_key = cache_key
+        temp, top_k, top_p, seeds = self._sample_cache
+        eos = jnp.int32(-1 if self.eos_token is None else self.eos_token)
+        is_active = np.zeros(b, bool)
+        for slot, _ in active:
+            is_active[slot] = True
+        out, n_out, self.pools = fused(
+            self.params, self.pools, jnp.asarray(x0), jnp.asarray(base_pos),
+            jnp.asarray(tbl), jnp.asarray(is_active), eos, temp, top_k,
+            top_p, seeds, jnp.asarray(budget),
+        )
+        out = np.asarray(out)
+        n_out = np.asarray(n_out)
+        total = 0
+        for slot, req in active:
+            got = int(n_out[slot])
+            if got == 0:
+                continue
+            toks = [int(t) for t in out[slot, :got]]
+            req.output_tokens.extend(toks)
+            self._slot_next_token[slot] = toks[-1]
+            # KV was written for each participating step's incoming token;
+            # the final sampled token's K/V lands on the NEXT step — same
+            # convention as :meth:`step`.
+            self.allocator.seq_lengths[req.request_id] = (
+                int(base_pos[slot]) + got
+            )
+            total += got
+        self.scheduler.record_step(total)
+        return total
+
     def stats(self) -> Dict:
         """Operational snapshot: scheduler counters, slot/queue occupancy,
         and KV page utilization — the numbers a serving dashboard polls."""
@@ -562,6 +664,7 @@ class DecodeEngine:
         max_steps: int = 10_000,
         sampling: Optional[SamplingParams] = None,
         return_logprobs: bool = False,
+        burst: int = 1,
     ) -> List[List[int]]:
         """Generate for every prompt (continuous batching).  ``sampling``
         defaults to greedy; per-request control goes through the scheduler's
@@ -571,7 +674,7 @@ class DecodeEngine:
         lps: Dict[str, List[float]] = {}
         for ev in self.generate_stream(
             prompts, max_new_tokens=max_new_tokens, max_steps=max_steps,
-            sampling=sampling, logprobs=return_logprobs,
+            sampling=sampling, logprobs=return_logprobs, burst=burst,
         ):
             if ev.token is not None:
                 outputs.setdefault(ev.request_id, []).append(ev.token)
@@ -590,6 +693,7 @@ class DecodeEngine:
         max_steps: int = 10_000,
         sampling: Optional[SamplingParams] = None,
         logprobs: bool = False,
+        burst: int = 1,
     ) -> Iterator["StreamEvent"]:
         """Streaming form of :meth:`generate`: yields a ``StreamEvent`` per
         generated token as each batched decode step retires, then one
@@ -660,7 +764,10 @@ class DecodeEngine:
                     )
                 steps += 1
                 continue
-            self.step()
+            if burst > 1:
+                self.step_burst(burst)
+            else:
+                self.step()
             steps += 1
             yield from drain()
         self.scheduler.schedule()  # final retirement
@@ -1100,6 +1207,7 @@ class DecodeEngine:
         out, n_out, self.pools = fused(
             self.params, self.pools, jnp.asarray(x0), jnp.asarray(base_pos),
             jnp.asarray(tbl), active, eos, temp, top_k, top_p, seeds,
+            jnp.full(b, max_new, jnp.int32),
         )
         out = np.asarray(out)
         self.last_fused_seconds = _time.perf_counter() - _t0

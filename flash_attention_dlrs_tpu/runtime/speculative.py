@@ -147,10 +147,17 @@ def make_plain_generate(
     """Plain autoregressive generation, whole loop in one dispatch.
 
     (params, pools, x0 [B], base_pos [B], page_tbl, active [B] bool, eos,
-    temp, top_k, top_p, seeds) -> (out [B, max_new], n_out [B], pools)
+    temp, top_k, top_p, seeds, budget [B])
+    -> (out [B, max_new], n_out [B], pools)
 
     ``active`` marks real slots; padding slots start done (they still ride
     the lockstep batch, writing to their null page).
+
+    ``budget`` is a traced per-slot step cap ≤ max_new — the serving burst
+    path (DecodeEngine.step_burst) uses it to stop slots whose request
+    budget runs out mid-burst while the batch keeps lockstep (finished
+    slots keep stepping with ``cur`` frozen; their KV writes land past
+    their own live prefix or on the null page, never attended).
 
     ``eos`` is a traced int32 scalar; pass -1 to disable.  Page capacity
     for base_pos + max_new tokens must be pre-ensured by the host.
@@ -161,40 +168,41 @@ def make_plain_generate(
     )
 
     def generate(params, pools, x0, base_pos, page_tbl, active, eos, temp,
-                 top_k, top_p, seeds):
+                 top_k, top_p, seeds, budget):
         b = x0.shape[0]
         out = jnp.zeros((b, max_new), jnp.int32)
         done0 = ~active
+        cnt0 = jnp.zeros(b, jnp.int32)
 
         def cond(c):
-            i, _, _, done, _ = c
+            i, _, _, done, _, _ = c
             return jnp.logical_and(i < max_new, ~jnp.all(done))
 
         def body(c):
-            i, pools, cur, done, out = c
-            pos = base_pos + i
+            i, pools, cur, done, out, cnt = c
+            # Clamp to the slot's own budget so a frozen slot never writes
+            # past its allocation: an overflowing page-table gather would
+            # CLAMP to the slot's last real page and the junk write could
+            # land inside the valid prefix (which prefix caching may pin
+            # beyond this request's life).  A frozen slot rewrites its last
+            # real (cur, pos) pair instead — bit-identical, so idempotent.
+            pos = base_pos + jnp.minimum(i, jnp.maximum(budget, 1) - 1)
             rows, offs = _rows_offs(page_tbl, pos, page_size)
             logits, pools = step(params, pools, cur, pos, rows, offs,
                                  page_tbl, pos + 1)
             nxt = sample_tokens(logits, temp, top_k, top_p, seeds, pos + 1)
             nxt = jnp.where(done, 0, nxt)
             out = out.at[:, i].set(nxt)
+            cnt = cnt + jnp.where(done, 0, 1)
             done = jnp.logical_or(done, nxt == eos)
-            return i + 1, pools, jnp.where(done, cur, nxt), done, out
+            done = jnp.logical_or(done, i + 1 >= budget)
+            return i + 1, pools, jnp.where(done, cur, nxt), done, out, cnt
 
-        i, pools, _, done, out = jax.lax.while_loop(
+        i, pools, _, done, out, cnt = jax.lax.while_loop(
             cond, body, (jnp.int32(0), pools, x0.astype(jnp.int32), done0,
-                         out)
+                         out, cnt0)
         )
-        n_out = jnp.minimum(
-            jnp.where(
-                jnp.any(out == eos, axis=1),
-                jnp.argmax((out == eos).astype(jnp.int32), axis=1) + 1,
-                max_new,
-            ),
-            i,
-        )
-        return out, n_out, pools
+        return out, cnt, pools
 
     return jax.jit(generate, donate_argnums=(1,))
 

@@ -41,6 +41,11 @@ def main():
                     help=">0: sliding-window model served from the exact "
                          "rolling KV ring (O(window) memory)")
     ap.add_argument("--page-size", type=int, default=128)
+    ap.add_argument("--burst", type=int, default=0,
+                    help=">1: run the decode loop in device-side bursts of "
+                         "this many steps per dispatch (engine.step_burst) "
+                         "— amortizes the per-token host floor; 0/1 = "
+                         "per-token step()")
     ap.add_argument("--out", default="bench_out/serving.json")
     args = ap.parse_args()
 
@@ -82,29 +87,56 @@ def main():
                     request_id=f"warm{id(p)}", prompt_tokens=p,
                     max_new_tokens=args.new_tokens))
             eng.scheduler.schedule()
+            burst = max(1, args.burst)
             for _ in range(3):
-                eng.step()
+                # warm both programs (burst compiles its own fused loop)
+                eng.step_burst(burst) if burst > 1 else eng.step()
             # timed region: the remaining decode steps
             jax.block_until_ready(eng.pools.k[0])
             steps = 0
+            tok0 = eng.scheduler.stats.tokens_generated
+            budget = args.new_tokens - 3 * burst
             t0 = time.perf_counter()
-            while eng.scheduler.has_work and steps < args.new_tokens - 3:
-                eng.step()
+            while eng.scheduler.has_work and steps * burst < budget:
+                eng.step_burst(burst) if burst > 1 else eng.step()
                 eng.scheduler.schedule()
                 steps += 1
             jax.block_until_ready(eng.pools.k[0])
             dt = time.perf_counter() - t0
-            toks = steps * b
+            toks = eng.scheduler.stats.tokens_generated - tok0
             row = {
                 "kv": kv, "batch": b, "ctx": args.ctx,
+                "burst": burst,
                 "rolling": bool(getattr(eng, "rolling", False)),
                 "pages_per_seq": eng.pages_per_seq,
                 "tokens_per_s": toks / dt,
-                "ms_per_step": dt / max(1, steps) * 1e3,
+                "ms_per_step": dt * b / max(1, toks) * 1e3,
             }
             results.append(row)
-            print(f"kv={kv:5s} B={b:3d}: {row['tokens_per_s']:9.0f} tok/s  "
-                  f"{row['ms_per_step']:7.2f} ms/step", flush=True)
+            # Device decode rate reference: the same engine's fully-fused
+            # loop slope (two lengths differenced — drops the per-call
+            # admission/prefill constant).  e2e/device is the serving
+            # host-overhead ratio the north star tracks.
+            if not getattr(eng, "rolling", False):
+                lo, hi = 8, 40
+                for mx in (lo, hi):
+                    eng.generate_fused(prompts, max_new_tokens=mx)
+                best = None
+                for _ in range(3):
+                    eng.generate_fused(prompts, max_new_tokens=lo)
+                    t_lo = eng.last_fused_seconds
+                    eng.generate_fused(prompts, max_new_tokens=hi)
+                    t_hi = eng.last_fused_seconds
+                    sl = (t_hi - t_lo) / (hi - lo)
+                    best = sl if best is None else min(best, sl)
+                row["device_tokens_per_s"] = b / best
+                row["e2e_over_device"] = (
+                    row["tokens_per_s"] / row["device_tokens_per_s"])
+            print(f"kv={kv:5s} B={b:3d} burst={burst}: "
+                  f"{row['tokens_per_s']:9.0f} tok/s  "
+                  f"{row['ms_per_step']:7.2f} ms/step  "
+                  f"dev_ratio={row.get('e2e_over_device', float('nan')):.2f}",
+                  flush=True)
             # free engine state before the next config
             del eng
 

@@ -432,3 +432,41 @@ def test_engine_tp_rejects_indivisible_heads(params):
     with pytest.raises(ValueError, match="model axis"):
         DecodeEngine(params, CFG, num_pages=16, page_size=128,
                      kv_dtype=jnp.float32, mesh=mesh)
+
+
+def test_step_burst_matches_per_token_step(params):
+    """generate(burst=k) must be token-for-token identical to the
+    per-token step() loop, across continuous-batching admissions (more
+    requests than slots), ragged budgets, and EOS stops mid-burst."""
+    prompts = [[i + 1, i + 2, i + 3, i + 4] for i in range(5)]
+    kw = dict(num_pages=64, page_size=128, num_slots=2, pages_per_seq=4,
+              kv_dtype=jnp.float32)
+    want = DecodeEngine(params, CFG, **kw).generate(
+        prompts, max_new_tokens=9)
+    got = DecodeEngine(params, CFG, **kw).generate(
+        prompts, max_new_tokens=9, burst=4)
+    assert got == want
+    # budget not a multiple of the burst length
+    want = DecodeEngine(params, CFG, **kw).generate(
+        prompts[:2], max_new_tokens=7)
+    got = DecodeEngine(params, CFG, **kw).generate(
+        prompts[:2], max_new_tokens=7, burst=16)
+    assert got == want
+
+
+def test_step_burst_eos_stops_early(params):
+    prompts = [[5, 7, 11, 13, 17]]
+    base = DecodeEngine(
+        params, CFG, num_pages=16, page_size=128, num_slots=1,
+        pages_per_seq=4, kv_dtype=jnp.float32,
+    )
+    ref = base.generate(prompts, max_new_tokens=10)[0]
+    eos = ref[3]  # forces an early stop mid-burst
+    kw = dict(num_pages=16, page_size=128, num_slots=1, pages_per_seq=4,
+              kv_dtype=jnp.float32, eos_token=eos)
+    want = DecodeEngine(params, CFG, **kw).generate(
+        prompts, max_new_tokens=10)[0]
+    got = DecodeEngine(params, CFG, **kw).generate(
+        prompts, max_new_tokens=10, burst=8)[0]
+    assert got == want
+    assert got[-1] == eos and len(got) < len(ref)
