@@ -406,6 +406,15 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, alibi,
     # the full padded N×N score block (≥50% causal waste at N=512), the
     # mid kernel's strips only the visible ~75% — the backward made the
     # same call (bwd_mid for 384 < N ≤ 512, measured 38.9 → 49.1 TF/s).
+    # Above 1024 the whole-pane STRIP schedule below beats the pane kernel
+    # (measured v5e bf16 d=128: 120.6 vs 110 TF/s @2048) — the pane path
+    # keeps N ≤ 1024 (95 TF/s @1024, 57 @512, both ≥ strip's 95.7/52.4),
+    # lengths the strip's 1024-padding would bloat, and windowed ≤ 2048
+    # (the banded sub-pair skip beats strip's masked merges there).
+    mid_hi = (
+        fwd_mid.MAX_MID_N
+        if (window or q.shape[2] % fwd_mid.STRIP) else 1024
+    )
     use_mid = (
         unpinned
         and causal
@@ -413,7 +422,7 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, alibi,
         and alibi is None
         and rate == 0.0
         and q.shape[2] == k.shape[2]
-        and XLA_SMALL_MAX_N < q.shape[2] <= fwd_mid.MAX_MID_N
+        and XLA_SMALL_MAX_N < q.shape[2] <= mid_hi
         and fwd_mid.mid_path_fits(
             geo.current_geometry().round_up(q.shape[2], fwd_mid.SUB),
             geo.current_geometry().round_up(q.shape[-1]),
@@ -437,10 +446,11 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, alibi,
             return o[:, :, :q_len, :d], (m2, linv)
         return o[:, :, :q_len, :d], None
     # Strip path: same constraints as the pane path but for
-    # MAX_MID_N < N <= MAX_STRIP_N — K/V panes VMEM-resident, q/o streamed
-    # in strips (see fwd_mid.py).  Measured v5e bf16 B=8 H=16 d=128:
-    # 112.5 TF/s @4096 / 121.2 @6144 / 118.4 @8192 vs the tri grid's
-    # 95.8 @4096.
+    # mid_hi < N <= MAX_STRIP_N — K/V panes VMEM-resident, q/o in
+    # whole-pane (N ≤ 4096) or streamed strips (see fwd_mid.pick_strip).
+    # Measured v5e bf16 B=8 H=16 d=128 with the interleaved whole-pane
+    # schedule: 147.0 TF/s @4096 / 120.6 @2048 vs the tri grid's 95.8
+    # @4096 and the pane kernel's 110 @2048.
     use_strip = (
         unpinned
         and causal
@@ -448,7 +458,7 @@ def _forward_impl(q, k, v, seg, causal, sm_scale, window, softcap, alibi,
         and alibi is None
         and rate == 0.0
         and q.shape[2] == k.shape[2]
-        and fwd_mid.MAX_MID_N
+        and mid_hi
         < q.shape[2]
         <= fwd_mid.MAX_STRIP_N
         and fwd_mid.strip_path_fits(
@@ -587,6 +597,35 @@ def flash_attention_forward(
     return o, lse
 
 
+def _forward_raw_stats(
+    q, k, v, *, causal, sm_scale, segment_ids, window, logit_softcap,
+    alibi_slopes, dropout_rate, dropout_seed, block_sizes, interpret,
+):
+    """Replay flash_attention_forward's exact dispatch and return the RAW
+    kernel-convention softmax stats (m₂, 1/l) — the backward's
+    rederive_stats path.  Arguments arrive pre-normalized where the caller
+    already normalized them (seg/alibi/rate/seed)."""
+    _validate(q, k, v)
+    window = _normalize_window(window, causal, k.shape[2])
+    seg = segment_ids
+    alibi = alibi_slopes
+    rate, seed = dropout_rate, dropout_seed
+    small = _use_small(q, k, block_sizes) and alibi is None and rate == 0.0
+    xla_small = _use_xla_small(q, k, block_sizes)
+    sm_scale, bs, interpret = _resolve(q, k, sm_scale, block_sizes, interpret)
+    if xla_small:
+        _, stats = _forward_impl(
+            q, k, v, seg, causal, sm_scale, window, logit_softcap, alibi,
+            rate, seed, bs, small, xla_small, interpret, save_residuals=True,
+        )
+        return stats
+    _, stats = _partitioned_fwd_call(
+        q, k, v, seg, seed, causal, sm_scale, window, float(logit_softcap),
+        alibi, rate, bs, small, xla_small, interpret, save_residuals=True,
+    )
+    return stats
+
+
 def flash_attention_backward(
     q,
     k,
@@ -605,16 +644,32 @@ def flash_attention_backward(
     dropout_seed=None,
     block_sizes: Optional[tuning.BlockSizes] = None,
     interpret: Optional[bool] = None,
+    rederive_stats: Optional[bool] = None,
 ):
     """Backward pass returning (dQ, dK, dV) like the reference functional
     wrapper (src/flash_attention_wrappers.py:66-176): D-preprocess kernel,
     then the dKV and dQ kernels.  `lse` is [B, H, Nq] from the forward.
 
-    This path always honors the PASSED lse — callers like ring attention
-    feed the globally-merged logsumexp so each block produces its global
-    gradient contribution.  The fused short-sequence backward (which
-    recomputes softmax inline and ignores lse) is only dispatched from the
-    custom_vjp, where the lse is known to come from the matching forward.
+    By default this path honors the PASSED lse — callers like ring
+    attention feed the globally-merged logsumexp so each block produces
+    its global gradient contribution.  The combined f32 lse carries an
+    information floor: P must be rebuilt as exp2(s − lse·log2e), and when
+    |lse| is large (ALiBi's slope·col bias raises it to O(slope·N)) the
+    ulp(lse) loss amplifies through the (dP − D) cancellation into ~1e-3
+    gradient error.  ``rederive_stats=True`` removes that floor for
+    callers whose lse came from a MATCHING single-device forward: the
+    backward replays the forward dispatch on-device (bit-identical raw
+    (m, 1/l) stats — TPU compilation is deterministic) and reconstructs P
+    exactly as the custom_vjp path does; the passed lse is then only a
+    shape/contract witness.  Default None = auto: rederive for ALiBi
+    (whose bias-raised lse magnitudes hit the floor hardest; ring
+    attention never passes ALiBi, so merged-lse callers are unaffected),
+    honor the lse otherwise.  Pass False to force the reference's
+    combined-lse behavior.
+
+    The fused short-sequence backward (which recomputes softmax inline and
+    ignores lse) is only dispatched from the custom_vjp, where the lse is
+    known to come from the matching forward.
 
     ``dropout_rate``/``dropout_seed`` must MATCH the forward's — the kernels
     regenerate the identical element-indexed mask from them.
@@ -627,15 +682,22 @@ def flash_attention_backward(
     seg = _normalize_segments(segment_ids, q, k)
     rate, seed = _normalize_dropout(dropout_rate, dropout_seed)
     alibi = _normalize_alibi(alibi_slopes, q.shape[1], causal)
-    if alibi is not None:
-        # Callers pass the true logsumexp (the forward's public contract);
-        # the kernels recompute P in the separable convention — re-shift.
-        lse = _alibi_lse_shift(
-            lse, alibi, q.shape[2], k.shape[2] - q.shape[2], +1.0
+    if rederive_stats is None:
+        rederive_stats = alibi is not None
+    if rederive_stats:
+        # Raw separable-convention stats, bit-identical to the matching
+        # forward's (deterministic replay of the same dispatch) — no
+        # combined-lse roundtrip, no alibi re-shift.
+        m2, linv = _forward_raw_stats(
+            q, k, v, causal=causal, sm_scale=sm_scale, segment_ids=seg,
+            window=window, logit_softcap=logit_softcap, alibi_slopes=alibi,
+            dropout_rate=rate, dropout_seed=seed, block_sizes=block_sizes,
+            interpret=interpret,
         )
-    # Combined-lse callers (ring attention feeds a globally MERGED lse, for
-    # which no raw stats exist) get the synthesized stats.
-    m2, linv = lse_to_stats(lse)
+    else:
+        # Combined-lse callers (ring attention feeds a globally MERGED
+        # lse, for which no raw stats exist) get the synthesized stats.
+        m2, linv = lse_to_stats(lse)
     if alibi is not None or not partitioning.ENABLED:
         return _backward_unpartitioned(
             q, k, v, o, do, m2, linv,

@@ -336,20 +336,44 @@ def pick_wide(n_pad: int, head_dim: int, dtype) -> int:
     leave room for each live strip's [sub, wide] f32 score temporaries,
     else 512.  Cutover measured on v5e (bf16 d=128: n=6144 compiles and
     runs 121 TF/s at wide=1024, n=8192 compile-OOMs at 1024 and runs
-    118 TF/s at 512)."""
+    118 TF/s at 512 — pre-vmem_limit_bytes; the raised limit keeps 1024
+    viable everywhere the strip path reaches)."""
     kv = 2 * 2 * n_pad * head_dim * jnp.dtype(dtype).itemsize
     return 1024 if kv < 8 * 1024 * 1024 else 512
 
 
+# Whole-pane strips (strip == n): the entire causal triangle is one static
+# interleaved unroll — the fastest structure measured (v5e bf16 B=8 H=16
+# d=128: 147.0 TF/s @4096 / 120.6 @2048 vs 112.5 / 110 streamed), but
+# Mosaic compile time grows with the t(t+1)/2 sub-pair count: ~80 s at
+# 2048 (36 pairs), ~2 min at 4096 (136), ~12 min at 6144 (300), and the
+# remote compiler crashes outright at 8192 (528).  Cap the unroll here and
+# stream longer panes through sub-strips with the shared interior loop.
+MAX_WHOLE_STRIP_N = 4096
+
+
+def pick_strip(n_pad: int) -> int:
+    """q/o strip length for a padded pane length ``n_pad`` (multiple of
+    STRIP): the whole pane while the static unroll stays inside the
+    compile budget, else the largest dividing sub-strip ≤ the cap."""
+    if n_pad <= MAX_WHOLE_STRIP_N:
+        return n_pad
+    for s in (4096, 3072, 2048):
+        if n_pad % s == 0:
+            return s
+    return STRIP
+
+
 def strip_path_fits(n_pad: int, head_dim: int, dtype) -> bool:
-    """VMEM feasibility of the strip path.  The hard wall is the
-    double-buffered K/V pane pair; the measured v5e envelope (16 MiB
-    scoped stack) admits kv ≤ 10 MiB with the wide=512 temporaries —
-    bf16 d=128 up to n=8192, fp32 up to n=4096."""
-    kv = 2 * 2 * n_pad * head_dim * jnp.dtype(dtype).itemsize
-    return kv <= 10 * 1024 * 1024 and geo.fits_vmem(
-        int(kv + 4 * 1024 * 1024), geo.current_geometry()
-    )
+    """VMEM feasibility of the strip path against the RAISED scoped limit
+    (CompilerParams.vmem_limit_bytes, see scoped_vmem_limit): K/V panes +
+    q/o strips all double-buffered, per-chain f32 accumulators, plus a
+    flat allowance for score temporaries and Mosaic's own slack."""
+    isz = jnp.dtype(dtype).itemsize
+    strip = pick_strip(n_pad)
+    bufs = 2 * isz * head_dim * (2 * n_pad + 2 * strip)  # K/V + q/o, db
+    accs = strip * head_dim * 4
+    return bufs + accs + 8 * 1024 * 1024 <= geo.scoped_vmem_limit()
 
 
 def _mid_strip_kernel(
@@ -461,7 +485,43 @@ def _mid_strip_kernel(
         return m, l, acc
 
     qis = [q_ref[0, 0, iq * sub:(iq + 1) * sub, :] for iq in range(t_strip)]
-    if pipeline == 2:
+    if pipeline == 3:
+        # Two-pass whole-row variant (strip == n only, so every row's full
+        # visible extent is static): per chain ONE wide QK^T dot against
+        # the whole visible K prefix, a single full-row softmax (no online
+        # merges, no alpha rescales), then ONE deep PV dot.  The deep
+        # contractions keep the MXU pipeline full where the online path
+        # pays it per sub-block, and the VPU drops the per-merge
+        # alpha/rescale chain entirely.  The [sub, W] f32 score row is the
+        # VMEM price (raised vmem_limit_bytes pays it).
+        assert strip == n, "pipeline=3 requires whole-pane strips"
+        assert not window, "pipeline=3 serves the no-window path"
+        carries = []
+        for iq in range(t_strip):
+            w_vis = (iq + 1) * sub  # static visible width of this chain
+            row0 = iq * sub
+            k_blk = k_ref[0, 0, 0:w_vis, :]
+            s = mxu_dot(qis[iq], k_blk, (((1,), (1,)), ((), ()))) * scale2
+            if softcap:
+                s = c2 * jnp.tanh(s * (1.0 / c2))
+            # Only the trailing sub columns cross the diagonal — mask just
+            # that slice with the shared static [sub, sub] masks (a full
+            # [sub, w_vis] iota pair would cost MBs of VMEM per chain).
+            mask = diag_mask
+            if kv_len < n:
+                mask = jnp.logical_and(mask, (col + row0) < kv_len)
+            s_diag = jnp.where(mask, s[:, row0:w_vis], DEFAULT_MASK_VALUE)
+            if row0:
+                s = jnp.concatenate([s[:, :row0], s_diag], axis=1)
+            else:
+                s = s_diag
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            vb = v_payload(v_ref[0, 0, 0:w_vis, :], q_ref.dtype)
+            acc = mxu_dot(p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())))
+            carries.append((m, l, acc))
+    elif pipeline == 2:
         # Interleaved static phase: all diagonals first, then the strip-
         # local fully-visible columns COLUMN-BLOCK-OUTER so consecutive
         # merges belong to different chains.  Within a chain, merges form a
@@ -609,7 +669,7 @@ def fwd_mid_strip_pallas(
     save_residuals: bool = False,
     interpret: bool = False,
     sub: int | None = None,
-    strip: int = STRIP,
+    strip: int | None = None,
     wide: int | None = None,
     pipeline: int = 2,
     wide_static: int = 1,
@@ -622,9 +682,13 @@ def fwd_mid_strip_pallas(
     batch, num_q_heads, n, head_dim = q.shape
     num_kv_heads = k.shape[1]
     q_per_kv = num_q_heads // num_kv_heads
+    if strip is None:
+        strip = pick_strip(n)
     assert n % strip == 0, (n, strip)
     if sub is None:
-        sub = 512 if n % 512 == 0 else SUB
+        # 256 interleaves best under pipeline=2 (measured v5e strip=n=4096:
+        # sub=256 146.7-147.5 TF/s vs sub=512 139, sub=128 59.8)
+        sub = SUB if n % SUB == 0 else 512
     if wide is None:
         wide = min(pick_wide(n, head_dim, q.dtype), strip)
     assert strip % sub == 0 and n % sub == 0, (n, sub)
