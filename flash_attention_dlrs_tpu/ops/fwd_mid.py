@@ -65,6 +65,19 @@ SUB = 256
 # Used by the DESIGN.md ceiling decomposition; never set in production.
 _ABLATE = os.environ.get("FA_STRIP_ABLATE", "")
 
+# Experiment knob (trace time): bf16 softmax-p in the strip kernel's
+# visible-block merges — see merge_scores.  Measured NEGATIVE on v5e
+# (143.9 vs 147.0 TF/s at the headline shape: the VPU's exp2 is f32
+# internally, so the casts are pure overhead) — kept for re-testing on
+# parts with a native bf16 transcendental path.
+_EXP_BF16 = bool(int(os.environ.get("FA_STRIP_EXP_BF16", "0")))
+
+# Experiment knob (trace time): defer the l rowsum's cross-lane reduction
+# — carry l as a [sub, LANES] per-lane partial-sum vector and reduce once
+# in the epilogue, replacing 135 in-merge lane-reduction trees with lane-
+# wise adds.  See merge_scores/epilogue.
+_LSUM_VEC = bool(int(os.environ.get("FA_STRIP_LSUM_VEC", "0")))
+
 # Unrolled-sub-pair budget: Mosaic compile time grows with the static
 # T(T+1)/2 pair unroll (sub=128 at N=1024, 36 pairs of 128-edge, blew past
 # 9 minutes; 256-edge 36-pair panes compile in seconds).  45 pairs = T=9,
@@ -402,6 +415,19 @@ def _mid_strip_kernel(
     diag_mask = row >= col
     c2 = softcap * LOG2E if softcap else 0.0
 
+    def _lane_sum(p):
+        """Row-sum of p, either fully reduced [rows, 1] or (deferred mode)
+        as [rows, LANES] per-lane partials — lane-wise adds in the hot
+        merges, one cross-lane tree per chain in the epilogue."""
+        if not _LSUM_VEC:
+            return jnp.sum(p, axis=-1, keepdims=True)
+        w = p.shape[-1]
+        L = geo.NUM_LANES
+        out = p[:, 0:L]
+        for off in range(L, w, L):
+            out = out + p[:, off:off + L]
+        return out
+
     def score_block(qi, col0, width):
         """Raw QK^T scores for a [sub, width] block at kv offset ``col0``
         (MXU only — no VPU post-processing, so the dot can be issued ahead
@@ -432,9 +458,15 @@ def _mid_strip_kernel(
             s = jnp.where(wm, s, DEFAULT_MASK_VALUE)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp2(m - m_new)
-        p = jnp.exp2(s - m_new)
+        if _EXP_BF16:
+            # bf16 exp2: p feeds the PV dot as bf16 ANYWAY, so only l's
+            # rowsum sees the rounding (~2^-9/√width relative — inside the
+            # bf16 path's envelope).  Halves the VPU transcendental cost.
+            p = jnp.exp2((s - m_new).astype(jnp.bfloat16))
+        else:
+            p = jnp.exp2(s - m_new)
         if _ABLATE != "nosum":
-            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            l = l * alpha + _lane_sum(p.astype(jnp.float32))
         vb = v_payload(v_ref[0, 0, pl.ds(col0, width), :], q_ref.dtype)
         acc = acc * alpha + mxu_dot(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
@@ -477,7 +509,7 @@ def _mid_strip_kernel(
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
+        l = _lane_sum(p)
         vb = v_payload(v_ref[0, 0, pl.ds(row0, sub), :], q_ref.dtype)
         acc = mxu_dot(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
@@ -622,6 +654,8 @@ def _mid_strip_kernel(
 
     for iq in range(t_strip):
         m, l, acc = carries[iq]
+        if _LSUM_VEC and pipeline != 3:
+            l = jnp.sum(l, axis=-1, keepdims=True)
         row0 = strip0 + iq * sub
 
         if kv_len < n:

@@ -104,9 +104,21 @@ def main():
         of, lse = flash_attention_forward(qs, kf, vf, causal=True,
                                           sm_scale=1.0, alibi_slopes=slopes4)
         dof = jax.random.normal(ks[3], (1, 4, nq, d), jnp.float32)
+        # Default path: ALiBi auto-rederives raw (m, 1/l) stats on-device
+        # (bit-cancelling recompute — no combined-lse roundtrip).
         dq2, dk2, dv2 = flash_attention_backward(
             qs, kf, vf, of, dof, lse, causal=True, sm_scale=1.0,
             alibi_slopes=slopes4,
+        )
+        # Forced combined-lse mode: the reference-parity contract, which
+        # carries an intrinsic information floor — exp2(s − lse·log2e)
+        # loses ulp(lse), and the ALiBi bias raises |lse| to O(slope·col)
+        # ≈ 256 here, so ulp ≈ 3e-5 relative P error amplifies through
+        # (dP − D) into ~2e-3 gradients (measured 1.95-2.09e-3 across
+        # round 3; the floor, not a kernel defect).
+        dq3, dk3, dv3 = flash_attention_backward(
+            qs, kf, vf, of, dof, lse, causal=True, sm_scale=1.0,
+            alibi_slopes=slopes4, rederive_stats=False,
         )
     finally:
         bwd_fused.pick_fused_blocks = orig_pick
@@ -114,16 +126,14 @@ def main():
     rq2, rk2, rv2 = reference.reference_attention_grads(
         qs, kf, vf, dof, causal=True, sm_scale=1.0, alibi_slopes=slopes4
     )
-    # Tolerance: the two-sweep fp32 dq/dk envelope at this sm_scale=1
-    # workload hovers ~2e-3 (the ALiBi bias adds O(slope·col) magnitudes
-    # to the scores, raising the lse-roundtrip floor; measured 1.95e-3
-    # pre-/2.09e-3 post- the post-dot-scaling change — same envelope,
-    # straddling the old threshold).  4e-3 matches probe_dropout_tpu's
-    # rationale; dv (no lse roundtrip) pins the slope-replay exactness at
-    # a tight 1e-3.
-    ok &= _check("bwd two-sweep dq", dq2, rq2, 4e-3, t0)
-    ok &= _check("bwd two-sweep dk", dk2, rk2, 4e-3, t0)
+    # Rederived-stat path: the raw-stat floor — same 1e-3 class as the
+    # plain two-sweep; dv (no stat roundtrip either way) pins the
+    # slope-replay exactness.
+    ok &= _check("bwd two-sweep dq", dq2, rq2, 1e-3, t0)
+    ok &= _check("bwd two-sweep dk", dk2, rk2, 1e-3, t0)
     ok &= _check("bwd two-sweep dv", dv2, rv2, 1e-3, t0)
+    ok &= _check("bwd two-sweep dq (lse mode)", dq3, rq2, 4e-3, t0)
+    ok &= _check("bwd two-sweep dk (lse mode)", dk3, rk2, 4e-3, t0)
 
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)

@@ -99,6 +99,13 @@ def main():
             qf, kf, vf, of, dof, lse, causal=True, sm_scale=1.0,
             dropout_rate=0.25, dropout_seed=9,
         )
+        # Rederived-stat mode: raw (m, 1/l) replayed on-device — no
+        # combined-lse roundtrip (dropout callers must opt in: ring
+        # attention legitimately passes a merged lse with dropout).
+        dq3, dk3, dv3 = flash_attention_backward(
+            qf, kf, vf, of, dof, lse, causal=True, sm_scale=1.0,
+            dropout_rate=0.25, dropout_seed=9, rederive_stats=True,
+        )
     finally:
         bwd_fused.pick_fused_blocks, bwd_fused.fused_bwd_fits_vmem = orig
     rq2, rk2, rv2 = reference.reference_attention_grads(
@@ -112,9 +119,11 @@ def main():
     # REPLAY exactness is separately pinned by dv (same replayed mask,
     # no lse roundtrip): a mismatched mask would blow dv past 1e-2, so
     # its tight tolerance stays.
-    ok &= _check("bwd two-sweep dq", dq2, rq2, 4e-3, t0)
-    ok &= _check("bwd two-sweep dk", dk2, rk2, 4e-3, t0)
+    ok &= _check("bwd two-sweep dq (lse mode)", dq2, rq2, 4e-3, t0)
+    ok &= _check("bwd two-sweep dk (lse mode)", dk2, rk2, 4e-3, t0)
     ok &= _check("bwd two-sweep dv", dv2, rv2, 1e-3, t0)
+    ok &= _check("bwd two-sweep dq (rederived)", dq3, rq2, 1e-3, t0)
+    ok &= _check("bwd two-sweep dk (rederived)", dk3, rk2, 1e-3, t0)
 
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
