@@ -273,7 +273,7 @@ def _paged_decode(
     q_grouped,  # [B, Hkv, group_pad, d], pre-scaled
     k_pages,
     v_pages,
-    k_scales,  # [B, Hkv, num_blocks, bk] DENSE fp32, or None (unquantized)
+    k_scales,  # [B, Hkv, 1, num_blocks·bk] DENSE fp32, or None (unquantized)
     v_scales,
     lengths,
     page_indices,  # [B, pages_per_seq]
@@ -333,7 +333,7 @@ def _paged_decode(
     # by Pallas, one contiguous ~bk·4-byte fetch per block) instead of two
     # tiny manual DMAs per page — see dma_block's docstring.
     sc_spec = pl.BlockSpec(
-        (1, 1, 1, bk), lambda b, h, i, *refs: (b, h, i, 0)
+        (1, 1, 1, bk), lambda b, h, i, *refs: (b, h, 0, i)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -389,9 +389,15 @@ def _paged_decode(
 
 def _dense_block_scales(sc, page_indices, num_blocks, bk):
     """Gather pool scales [Hkv, P, ps, 1] through the page table into the
-    dense per-sequence layout the kernel pipelines: [B, Hkv, num_blocks, bk]
+    dense per-sequence layout the kernel pipelines: [B, Hkv, 1, nb·bk]
     fp32.  Tiny (~4 B/token) — the gather is a per-step XLA op, a few µs at
-    8K ctx; the payoff is zero per-page scale DMAs in the kernel."""
+    8K ctx; the payoff is zero per-page scale DMAs in the kernel.
+
+    The block axis is FLATTENED into the lane dim (unit dim in its place):
+    a [B, Hkv, nb, bk] layout with a (1, 1, 1, bk) block is rejected by
+    Mosaic whenever nb > 1 (the second-to-last block dim must divide 8 or
+    equal the array dim); with the [B, Hkv, 1, nb·bk] layout the unit dim
+    IS the array dim and the lane dim is blocked bk at a time."""
     hkv = sc.shape[0]
     b = page_indices.shape[0]
     # NB: sc[:, page_indices, :, 0] would be WRONG — two non-consecutive
@@ -399,7 +405,7 @@ def _dense_block_scales(sc, page_indices, num_blocks, bk):
     # front ([B, pps, Hkv, ps]).  Drop the unit axis first.
     d = sc[..., 0][:, page_indices]  # [Hkv, B, pps, ps]
     d = jnp.moveaxis(d, 0, 1)  # [B, Hkv, pps, ps]
-    return d.reshape(b, hkv, num_blocks, bk).astype(jnp.float32)
+    return d.reshape(b, hkv, 1, num_blocks * bk).astype(jnp.float32)
 
 
 def _slope_rows(alibi_slopes, num_q_heads, num_kv_heads, group, group_pad,
