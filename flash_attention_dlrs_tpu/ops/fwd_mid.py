@@ -160,12 +160,109 @@ def _mid_kernel(
     hb: int,
     q_per_kv: int,
     scale2: float,
+    interleave: int,
 ):
     SUB = sub
     T = n // SUB
     row = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
     diag_mask = row >= col  # static, shared by every diagonal sub-pair
+
+    if interleave:
+        # Interleaved emission (same trick as the strip kernel's pipeline=2,
+        # see _mid_strip_kernel): every (head, row-block) chain is seeded
+        # from its DIAGONAL sub-block first, then the fully-visible columns
+        # are merged COLUMN-OUTER so consecutive merges belong to different
+        # chains.  Within a chain the (m, l, acc) carry is serial; across
+        # the hb·T chains it isn't — column-outer order hands Mosaic's
+        # static scheduler hb·T-way ILP (one chain's MXU score dot overlaps
+        # another's VPU max/exp/rescale chain) plus hot-VMEM K-block reuse
+        # (for a fixed column jk, the inner (j, iq) sweep reuses each kv
+        # group's K block back to back).  N=512 hb=8 has 16 chains.
+        c2 = softcap * LOG2E if softcap else 0.0
+
+        def jk_lo(iq):
+            return max(0, (iq * SUB - window + 1) // SUB) if window else 0
+
+        def kv_h(j):
+            return j // q_per_kv if hb > q_per_kv else 0
+
+        def scores(j, iq, jk, qi):
+            kj = k_ref[0, kv_h(j), jk * SUB:(jk + 1) * SUB, :]
+            s = mxu_dot(qi, kj, (((1,), (1,)), ((), ()))) * scale2
+            if softcap:
+                s = c2 * jnp.tanh(s * (1.0 / c2))
+            mask = None
+            if jk == iq:
+                mask = diag_mask
+            if window and jk * SUB < (iq + 1) * SUB - window:
+                wm = (row + iq * SUB) - (col + jk * SUB) < window
+                mask = wm if mask is None else jnp.logical_and(mask, wm)
+            if (jk + 1) * SUB > kv_len:
+                lm = (col + jk * SUB) < kv_len
+                mask = lm if mask is None else jnp.logical_and(mask, lm)
+            if mask is not None:
+                s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+            return s
+
+        def vblock(j, jk):
+            return v_payload(
+                v_ref[0, kv_h(j), jk * SUB:(jk + 1) * SUB, :], q_ref.dtype
+            )
+
+        def init_chain(j, iq, qi):
+            s = scores(j, iq, iq, qi)  # diagonal sub-block seeds the chain
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            vb = vblock(j, iq)
+            acc = mxu_dot(p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())))
+            return m, l, acc
+
+        def merge(j, iq, jk, qi, carry):
+            m, l, acc = carry
+            s = scores(j, iq, jk, qi)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp2(m - m_new)
+            p = jnp.exp2(s - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            vb = vblock(j, jk)
+            acc = acc * alpha + mxu_dot(
+                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            )
+            return m_new, l, acc
+
+        qis = {
+            (j, iq): q_ref[0, j, iq * SUB:(iq + 1) * SUB, :]
+            for j in range(hb) for iq in range(T)
+        }
+        chains = {
+            (j, iq): init_chain(j, iq, qis[j, iq])
+            for j in range(hb) for iq in range(T)
+        }
+        for jk in range(T - 1):
+            for j in range(hb):
+                for iq in range(jk + 1, T):
+                    if window and jk < jk_lo(iq):
+                        continue
+                    chains[(j, iq)] = merge(
+                        j, iq, jk, qis[j, iq], chains[(j, iq)]
+                    )
+        for (j, iq), (m, l, acc) in chains.items():
+            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+            o_ref[0, j, iq * SUB:(iq + 1) * SUB, :] = (acc * l_inv).astype(
+                o_ref.dtype
+            )
+            if m_out_ref is not None:
+                m_out = jnp.where(l == 0.0, -DEFAULT_MASK_VALUE, m)
+                rs = SUB // geo.NUM_LANES
+                m_out_ref[0, j, iq * rs:(iq + 1) * rs, :] = (
+                    layout.column_to_lanes(m_out)
+                )
+                linv_out_ref[0, j, iq * rs:(iq + 1) * rs, :] = (
+                    layout.column_to_lanes(l_inv[:, :1])
+                )
+        return
 
     for j, iq in [(j_, iq_) for j_ in range(hb) for iq_ in range(T)]:
         jkv_h = j // q_per_kv if hb > q_per_kv else 0
@@ -242,7 +339,7 @@ def _mid_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "kv_len", "window", "softcap", "save_residuals",
-        "interpret", "sub", "hb",
+        "interpret", "sub", "hb", "interleave",
     ),
 )
 def fwd_mid_pallas(
@@ -258,6 +355,7 @@ def fwd_mid_pallas(
     interpret: bool = False,
     sub: int | None = None,
     hb: int | None = None,
+    interleave: int = 1,
 ):
     """Causal attention for padded [B, H, n, d], 512 < n ≤ MAX_MID_N.
 
@@ -280,6 +378,7 @@ def fwd_mid_pallas(
         _mid_kernel,
         n=n, kv_len=kv_len, window=window, softcap=float(softcap), sub=sub,
         hb=hb, q_per_kv=q_per_kv, scale2=float(sm_scale) * LOG2E,
+        interleave=interleave,
     )
     if not save_residuals:
         inner = kernel
