@@ -182,14 +182,38 @@ def _decode_kernel(
                 return fp8_to_f32_int(x).astype(q.dtype)
             return x.astype(q.dtype)
 
-        if int4:
-            # [ppb, ps/2, d] packed bytes -> [ppb, ps, d] int4 values
-            # (shifts + one contiguous concat; all int32 ops — Mosaic-legal)
-            k = unpack_int4_rows(k_buf[slot]).reshape(bk, -1)
-            k = k.astype(q.dtype)
+        int8_k = jnp.dtype(k_buf.dtype) == jnp.int8 and not int4
+        if int8_k:
+            # int8 K pages never leave int8: quantize the q rows (tiny —
+            # rows×d elements) and run the score dot on the MXU's native
+            # s8×s8→s32 path.  This skips the per-element int8→bf16 dequant
+            # of the whole K block, which is what pins int8 decode at a
+            # VPU floor well above its bandwidth bound (measured v5e 8K
+            # B=8: int8 246 µs vs a ~176 µs byte-count bound with dequant;
+            # int4 255 µs at HALF the bytes).  Accuracy: per-row q
+            # quantization adds ~2⁻⁸ relative score error — the same order
+            # as the K pages' own int8 error (ppl gate re-validated).
+            qf = q.astype(jnp.float32)
+            qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)  # [rows, 1]
+            q_i = jnp.round(
+                qf * jnp.where(qa > 0.0, 127.0 / qa, 0.0)
+            ).astype(jnp.int8)
+            s32 = jax.lax.dot_general(
+                q_i, k_buf[slot].reshape(bk, -1),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            s = s32.astype(jnp.float32) * (qa * (1.0 / 127.0))
         else:
-            k = payload(k_buf[slot].reshape(bk, -1))  # [bk, d]
-        s = mxu_dot(q, k, (((1,), (1,)), ((), ())))  # [rows, bk]
+            if int4:
+                # [ppb, ps/2, d] packed bytes -> [ppb, ps, d] int4 values
+                # (shifts + one contiguous concat; all int32 ops —
+                # Mosaic-legal)
+                k = unpack_int4_rows(k_buf[slot]).reshape(bk, -1)
+                k = k.astype(q.dtype)
+            else:
+                k = payload(k_buf[slot].reshape(bk, -1))  # [bk, d]
+            s = mxu_dot(q, k, (((1,), (1,)), ((), ())))  # [rows, bk]
         if quantized:
             s = s * k_sc_ref[0, 0]  # [1, bk] dense per-token K scales
         if softcap:
@@ -229,6 +253,9 @@ def _decode_kernel(
 
         if quantized:
             p = p * v_sc_ref[0, 0]  # [1, bk] dense per-token V scales
+        # (an s8 PV dot — p per-row-quantized like q above — measured
+        # SLOWER on v5e, 240 vs 234 µs, and 5× less accurate: the [rows,bk]
+        # p quantization costs more VPU than the V dequant it saves)
         if int4:
             v = unpack_int4_rows(v_buf[slot]).reshape(bk, -1).astype(q.dtype)
         else:

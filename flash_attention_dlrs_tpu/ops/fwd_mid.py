@@ -173,12 +173,16 @@ def _mid_kernel(
         # see _mid_strip_kernel): every (head, row-block) chain is seeded
         # from its DIAGONAL sub-block first, then the fully-visible columns
         # are merged COLUMN-OUTER so consecutive merges belong to different
-        # chains.  Within a chain the (m, l, acc) carry is serial; across
-        # the hb·T chains it isn't — column-outer order hands Mosaic's
-        # static scheduler hb·T-way ILP (one chain's MXU score dot overlaps
-        # another's VPU max/exp/rescale chain) plus hot-VMEM K-block reuse
-        # (for a fixed column jk, the inner (j, iq) sweep reuses each kv
-        # group's K block back to back).  N=512 hb=8 has 16 chains.
+        # chains — hb·T-way ILP for Mosaic's static scheduler.
+        #
+        # Measured a WASH at pane sizes (v5e bf16 B=8 H=16 d=128: N=512
+        # 52.6 vs 53.7 TF/s, N=1024 90.8 vs 91.7, hb=16 55.0 vs 55.3 —
+        # within noise, slightly negative), so default OFF: short panes are
+        # memory-pipeline-bound (q/k/v/o HBM floor ≈ 84 µs at N=512 vs
+        # 156 µs measured — per-cell DMA ramp, not issue-order, is the
+        # gap), unlike the long-pane strip kernel where the same reorder
+        # bought 112.5 → 147 TF/s.  Kept for re-testing on parts with a
+        # different VMEM/HBM balance.
         c2 = softcap * LOG2E if softcap else 0.0
 
         def jk_lo(iq):
@@ -355,7 +359,7 @@ def fwd_mid_pallas(
     interpret: bool = False,
     sub: int | None = None,
     hb: int | None = None,
-    interleave: int = 1,
+    interleave: int = 0,
 ):
     """Causal attention for padded [B, H, n, d], 512 < n ≤ MAX_MID_N.
 
