@@ -697,6 +697,14 @@ def flash_attention_backward(
     else:
         # Combined-lse callers (ring attention feeds a globally MERGED
         # lse, for which no raw stats exist) get the synthesized stats.
+        if alibi is not None:
+            # The public lse is the TRUE combined logsumexp; the kernels
+            # recompute P in the SEPARABLE ALiBi convention — re-shift
+            # (regression: 6276631 dropped this from the forced
+            # rederive_stats=False path, NaN-ing the ALiBi lse mode).
+            lse = _alibi_lse_shift(
+                lse, alibi, q.shape[2], k.shape[2] - q.shape[2], +1.0
+            )
         m2, linv = lse_to_stats(lse)
     if alibi is not None or not partitioning.ENABLED:
         return _backward_unpartitioned(

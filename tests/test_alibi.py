@@ -172,6 +172,34 @@ def test_grads_two_sweep_bwd(monkeypatch):
     np.testing.assert_allclose(dv, rv, atol=BWD_ATOL, rtol=1e-4)
 
 
+def test_grads_two_sweep_bwd_lse_mode(monkeypatch):
+    # Forced combined-lse mode (rederive_stats=False) with ALiBi: the TRUE
+    # public lse must be re-shifted back to the kernels' separable
+    # convention before lse_to_stats (regression: 6276631 dropped the
+    # shift, NaN-ing every grad on this path).
+    monkeypatch.setattr(bwd_fused, "pick_fused_blocks",
+                        lambda *a, **kw: None)
+    monkeypatch.setattr(bwd_fused, "fused_bwd_fits_vmem",
+                        lambda *a, **kw: False)
+    b, h, n, d = 1, 2, 256, 64
+    slopes = alibi_slopes_for(h)
+    q, k, v, do = _make(jax.random.PRNGKey(11), (b, h, n, d), (b, h, n, d))
+    o, lse = flash_attention_forward(q, k, v, causal=True, sm_scale=1.0,
+                                     alibi_slopes=slopes)
+    dq, dk, dv = flash_attention_backward(
+        q, k, v, o, do, lse, causal=True, sm_scale=1.0, alibi_slopes=slopes,
+        rederive_stats=False,
+    )
+    rq, rk, rv = reference.reference_attention_grads(
+        q, k, v, do, causal=True, sm_scale=1.0, alibi_slopes=slopes
+    )
+    assert not jnp.isnan(dq).any()
+    # the combined-lse information floor is looser than the rederive path
+    np.testing.assert_allclose(dq, rq, atol=4e-3, rtol=1e-3)
+    np.testing.assert_allclose(dk, rk, atol=4e-3, rtol=1e-3)
+    np.testing.assert_allclose(dv, rv, atol=BWD_ATOL, rtol=1e-4)
+
+
 def test_grads_gqa_cross_length():
     b, hq, hkv, n_q, n_kv, d = 1, 4, 2, 128, 512, 64
     slopes = alibi_slopes_for(hq)
