@@ -101,8 +101,11 @@ step bench_speculative 3600 scripts/bench_speculative.py \
 }
 
 # 9. Quantized-KV perplexity gate (int8 within 0.1 ppl of bf16) on the
-#    trained 50M model.
-step eval_ppl 3600 scripts/eval_ppl.py --checkpoint bench_out/lm50m --out bench_out/eval_ppl_gate.json || {
+#    largest trained model present (params_only dirs are gitignored, so a
+#    fresh round only has what IT trained).
+PPL_CKPT=bench_out/lm180m
+[ -d "$PPL_CKPT/params_only" ] || PPL_CKPT=bench_out/lm50m
+step eval_ppl 3600 scripts/eval_ppl.py --checkpoint "$PPL_CKPT" --out bench_out/eval_ppl_gate.json || {
   echo "ppl gate failed — see $LOG/eval_ppl.log, continuing" \
     | tee -a "$LOG/summary.log"
 }
