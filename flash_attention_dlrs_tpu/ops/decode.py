@@ -71,6 +71,7 @@ def _decode_kernel(
     group_pad: int = 0,
     int4: bool = False,
     softcap: float = 0.0,  # Gemma-style logit cap (natural units)
+    s8_scores: bool = True,  # int8 K: native s8×s8→s32 score dot (see below)
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -182,7 +183,8 @@ def _decode_kernel(
                 return fp8_to_f32_int(x).astype(q.dtype)
             return x.astype(q.dtype)
 
-        int8_k = jnp.dtype(k_buf.dtype) == jnp.int8 and not int4
+        int8_k = (jnp.dtype(k_buf.dtype) == jnp.int8 and not int4
+                  and s8_scores)
         if int8_k:
             # int8 K pages never leave int8: quantize the q rows (tiny —
             # rows×d elements) and run the score dot on the MXU's native
@@ -190,9 +192,17 @@ def _decode_kernel(
             # of the whole K block, which is what pins int8 decode at a
             # VPU floor well above its bandwidth bound (measured v5e 8K
             # B=8: int8 246 µs vs a ~176 µs byte-count bound with dequant;
-            # int4 255 µs at HALF the bytes).  Accuracy: per-row q
-            # quantization adds ~2⁻⁸ relative score error — the same order
-            # as the K pages' own int8 error (ppl gate re-validated).
+            # int4 255 µs at HALF the bytes).  Accuracy: per-row symmetric
+            # q quantization adds |δq| ≤ qa/254 per element (qa = row max
+            # of the PRE-SCALED q); through the score dot that is a
+            # random-walk error of ≈ (qa/254)·√d·σ_k — order 1e-2 on the
+            # scores at unit-normal q/k, i.e. a few e-3 on the output, the
+            # same class as the K pages' own int8 error.  Tests that pin
+            # this path use a tolerance derived from that bound; paths
+            # where kernel-vs-oracle fidelity matters more than decode
+            # latency (multi-token verify — it feeds accept/reject
+            # decisions, and its dequant cost amortizes over T·group rows)
+            # pass s8_scores=False to take the dequant route below.
             qf = q.astype(jnp.float32)
             qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)  # [rows, 1]
             q_i = jnp.round(
@@ -294,6 +304,7 @@ def _decode_kernel(
     static_argnames=(
         "sm_scale", "pages_per_block", "quantized", "interpret",
         "num_tokens", "group_pad", "return_lse", "int4", "softcap",
+        "s8_scores",
     ),
 )
 def _paged_decode(
@@ -315,6 +326,7 @@ def _paged_decode(
     return_lse: bool = False,
     int4: bool = False,
     softcap: float = 0.0,
+    s8_scores: bool = True,
 ):
     batch, num_kv_heads, rows_pad, head_dim = q_grouped.shape
     if not group_pad:
@@ -337,6 +349,7 @@ def _paged_decode(
         group_pad=group_pad,
         int4=int4,
         softcap=float(softcap),
+        s8_scores=s8_scores,
     )
     has_slope = slope_rows is not None
 
@@ -691,6 +704,12 @@ def paged_verify_attention(
     This is the verification kernel for speculative decoding and the
     continuation kernel for chunked prefill — one grid pass over the paged
     cache scores all T positions.
+
+    int8 KV note: unlike single-token decode, verify always takes the
+    dequantized score dot (``s8_scores=False``) — its output feeds token
+    accept/reject decisions, so kernel-vs-oracle fidelity is held to the
+    dequant-path envelope (≈2e-4), and with T·group rows per dot the
+    dequant cost amortizes where single-token decode's does not.
     """
     batch, num_q_heads, num_tokens, head_dim = q.shape
     quantized = isinstance(k_pages, (QuantizedTensor, Int4QuantizedTensor))
@@ -752,7 +771,7 @@ def paged_verify_attention(
         sm_scale=float(sm_scale), pages_per_block=pages_per_block,
         quantized=quantized, interpret=bool(interpret),
         num_tokens=num_tokens, group_pad=group_pad, int4=int4,
-        softcap=float(logit_softcap),
+        softcap=float(logit_softcap), s8_scores=False,
     )
     o = o.reshape(batch, num_kv_heads, num_tokens, group_pad, d_pool)
     o = jnp.swapaxes(o[:, :, :, :group, :head_dim], 2, 3)

@@ -116,12 +116,17 @@ def test_head_sharded_paged_decode():
     o_ref = paged_reference_attention(q, kp, vp, lengths, pidx)
     np.testing.assert_allclose(o, o_ref, atol=2e-4, rtol=1e-4)
 
-    # quantized pages, same sharding
+    # quantized pages, same sharding.  int8 decode runs the native s8×s8
+    # score dot with per-row q quantization (ops/decode.py): the q error is
+    # |δq| ≤ qa/254 per element (qa = row max of sm_scale·q ≈ 0.125·2.6 at
+    # d=64 unit normals), giving a √d random-walk score error
+    # ≈ (qa/254)·√64·σ_k ≈ 1e-2 rms and an output error of a few e-3 —
+    # tolerance pinned to that derivation, not to the dequant path's 2e-4.
     kq, vq = quantize_kv_pages(kp), quantize_kv_pages(vp)
     fnq = head_sharded_paged_decode(mesh, quantized=True)
     oq = fnq(q, kq, vq, lengths, pidx)
     oq_ref = paged_reference_attention(q, kq, vq, lengths, pidx)
-    np.testing.assert_allclose(oq, oq_ref, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(oq, oq_ref, atol=8e-3, rtol=1e-2)
 
     # int4-packed pages, same sharding
     k4, v4 = quantize_kv_pages(kp, "int4"), quantize_kv_pages(vp, "int4")
