@@ -65,18 +65,29 @@ SUB = 256
 # Used by the DESIGN.md ceiling decomposition; never set in production.
 _ABLATE = os.environ.get("FA_STRIP_ABLATE", "")
 
-# Experiment knob (trace time): bf16 softmax-p in the strip kernel's
-# visible-block merges — see merge_scores.  Measured NEGATIVE on v5e
-# (143.9 vs 147.0 TF/s at the headline shape: the VPU's exp2 is f32
-# internally, so the casts are pure overhead) — kept for re-testing on
-# parts with a native bf16 transcendental path.
-_EXP_BF16 = bool(int(os.environ.get("FA_STRIP_EXP_BF16", "0")))
+# bf16 softmax-p in the strip kernel's visible-block merges — see
+# merge_scores.  Alone it measured NEGATIVE on v5e (143.9 vs 147.0 TF/s:
+# the VPU's exp2 is f32 internally) but COMBINED with the deferred lane
+# sum below it is +1.3 (150.0 → 151.3 at the r5 headline config) — the
+# bf16 p halves the lane-sum adds and the PV-dot cast that remain on the
+# hot path once the reduction trees are gone.  Default: ON for bf16
+# inputs only (p feeds the PV dot as bf16 anyway; fp32 inputs keep the
+# full-precision exp2).  FA_STRIP_EXP_BF16=0/1 forces.
+_EXP_BF16 = os.environ.get("FA_STRIP_EXP_BF16", "")
 
-# Experiment knob (trace time): defer the l rowsum's cross-lane reduction
-# — carry l as a [sub, LANES] per-lane partial-sum vector and reduce once
-# in the epilogue, replacing 135 in-merge lane-reduction trees with lane-
-# wise adds.  See merge_scores/epilogue.
-_LSUM_VEC = bool(int(os.environ.get("FA_STRIP_LSUM_VEC", "0")))
+
+def _use_exp_bf16(dtype) -> bool:
+    if _EXP_BF16 in ("0", "1"):
+        return _EXP_BF16 == "1"
+    return jnp.dtype(dtype) == jnp.bfloat16
+
+
+# Defer the l rowsum's cross-lane reduction — carry l as a [sub, LANES]
+# per-lane partial-sum vector and reduce once in the epilogue, replacing
+# 135 in-merge lane-reduction trees with lane-wise adds.  Measured +2.3
+# TF/s at the headline shape (147.7 → 150.0); numerics-neutral up to f32
+# summation order.  Default ON; FA_STRIP_LSUM_VEC=0 restores the trees.
+_LSUM_VEC = bool(int(os.environ.get("FA_STRIP_LSUM_VEC", "1")))
 
 # Unrolled-sub-pair budget: Mosaic compile time grows with the static
 # T(T+1)/2 pair unroll (sub=128 at N=1024, 36 pairs of 128-edge, blew past
@@ -517,6 +528,13 @@ def _mid_strip_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
     diag_mask = row >= col
     c2 = softcap * LOG2E if softcap else 0.0
+    # Fold sm_scale·log2e into q once per strip (one [strip, d] pass)
+    # instead of scaling every [rows, width] score block (n²/2 multiplies
+    # per pane).  The rounding lands in the input dtype — for bf16 inputs
+    # that is the class of error bf16 q already carries; fp32 inputs keep
+    # an fp32 multiply.
+    prescale = pipeline in (2, 5)
+    eff_scale = 1.0 if prescale else scale2
 
     def _lane_sum(p):
         """Row-sum of p, either fully reduced [rows, 1] or (deferred mode)
@@ -531,37 +549,58 @@ def _mid_strip_kernel(
             out = out + p[:, off:off + L]
         return out
 
+    def kv_slice(ref, col0, width):
+        """[width, d] K/V block at kv offset ``col0`` — a true STATIC slice
+        when the offset is a Python int (whole-pane strips): pl.ds emits a
+        dynamic-base VMEM slice even for constant starts."""
+        if isinstance(col0, int):
+            return ref[0, 0, col0:col0 + width, :]
+        return ref[0, 0, pl.ds(col0, width), :]
+
     def score_block(qi, col0, width):
         """Raw QK^T scores for a [sub, width] block at kv offset ``col0``
         (MXU only — no VPU post-processing, so the dot can be issued ahead
         of the previous block's softmax work)."""
-        k_blk = k_ref[0, 0, pl.ds(col0, width), :]
-        return mxu_dot(qi, k_blk, (((1,), (1,)), ((), ())))
+        return mxu_dot(qi, kv_slice(k_ref, col0, width),
+                       (((1,), (1,)), ((), ())))
 
     def merge_scores(s_raw, row0, col0, width, carry):
         """Online-softmax merge of a fully-visible raw score block into
         (m, l, acc)."""
         m, l, acc = carry
         if _ABLATE == "dots":  # structural ceiling: PV dot on raw scores
-            vb = v_payload(v_ref[0, 0, pl.ds(col0, width), :], q_ref.dtype)
+            vb = v_payload(kv_slice(v_ref, col0, width), q_ref.dtype)
             acc = acc + mxu_dot(
                 s_raw.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
             )
             return m, l, acc
-        s = s_raw * scale2
+        s = s_raw * eff_scale if eff_scale != 1.0 else s_raw
         if softcap:
             s = c2 * jnp.tanh(s * (1.0 / c2))
         if window:
-            # sliding window's trailing edge (dynamic column offsets)
+            # sliding window's trailing edge (dynamic column offsets);
+            # height from the block itself (sub rows normally, a whole
+            # band in pipeline=5)
+            hgt = s_raw.shape[0]
             wm = (
-                row[:, :1] + row0
+                jax.lax.broadcasted_iota(jnp.int32, (hgt, 1), 0) + row0
             ) - (
-                jax.lax.broadcasted_iota(jnp.int32, (sub, width), 1) + col0
+                jax.lax.broadcasted_iota(jnp.int32, (hgt, width), 1) + col0
             ) < window
             s = jnp.where(wm, s, DEFAULT_MASK_VALUE)
+        if _ABLATE == "nomax":  # timing probe: skip the running-max chain
+            p = jnp.exp2(s - 1.0) if not _use_exp_bf16(
+                q_ref.dtype) else jnp.exp2((s - 1.0).astype(jnp.bfloat16))
+            if _ABLATE != "nosum":
+                l = l + _lane_sum(p.astype(jnp.float32))
+            vb = v_payload(kv_slice(v_ref, col0, width), q_ref.dtype)
+            acc = acc + mxu_dot(
+                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            )
+            return m, l, acc
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp2(m - m_new)
-        if _EXP_BF16:
+        if _use_exp_bf16(q_ref.dtype):
             # bf16 exp2: p feeds the PV dot as bf16 ANYWAY, so only l's
             # rowsum sees the rounding (~2^-9/√width relative — inside the
             # bf16 path's envelope).  Halves the VPU transcendental cost.
@@ -570,7 +609,7 @@ def _mid_strip_kernel(
             p = jnp.exp2(s - m_new)
         if _ABLATE != "nosum":
             l = l * alpha + _lane_sum(p.astype(jnp.float32))
-        vb = v_payload(v_ref[0, 0, pl.ds(col0, width), :], q_ref.dtype)
+        vb = v_payload(kv_slice(v_ref, col0, width), q_ref.dtype)
         acc = acc * alpha + mxu_dot(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
         )
@@ -590,12 +629,18 @@ def _mid_strip_kernel(
     # dots per load), and Mosaic sees a single dynamic loop — two dynamic
     # fori_loops in one body crash its compiler (measured on v5e; one
     # compiles fine).
-    strip0 = t * strip  # dynamic first column of this strip's rows
+    # First column of this strip's rows.  Whole-pane strips (strip == n)
+    # pin it to the STATIC 0: program_id makes it a traced value otherwise,
+    # and every k/v slice downstream becomes a dynamic-base VMEM slice —
+    # Mosaic loses the static addressing on the hot operand loads.
+    strip0 = 0 if strip == n else t * strip
 
     def diag_merge(qi, row0):
         """Diagonal sub-block: static triangular mask, dynamic K/V slice."""
-        kj = k_ref[0, 0, pl.ds(row0, sub), :]
-        s = mxu_dot(qi, kj, (((1,), (1,)), ((), ()))) * scale2
+        kj = kv_slice(k_ref, row0, sub)
+        s = mxu_dot(qi, kj, (((1,), (1,)), ((), ())))
+        if eff_scale != 1.0:
+            s = s * eff_scale
         if softcap:
             s = c2 * jnp.tanh(s * (1.0 / c2))
         mask = diag_mask
@@ -613,13 +658,84 @@ def _mid_strip_kernel(
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
         l = _lane_sum(p)
-        vb = v_payload(v_ref[0, 0, pl.ds(row0, sub), :], q_ref.dtype)
+        vb = v_payload(kv_slice(v_ref, row0, sub), q_ref.dtype)
         acc = mxu_dot(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
         )
         return m, l, acc
 
-    qis = [q_ref[0, 0, iq * sub:(iq + 1) * sub, :] for iq in range(t_strip)]
+    if prescale:
+        q_all = (q_ref[0, 0].astype(jnp.float32) * scale2).astype(
+            q_ref.dtype
+        )
+        qis = [q_all[iq * sub:(iq + 1) * sub, :] for iq in range(t_strip)]
+    else:
+        qis = [
+            q_ref[0, 0, iq * sub:(iq + 1) * sub, :] for iq in range(t_strip)
+        ]
+
+    def tall_merge(r0, col0, width, chains, first):
+        """Merge one fully-visible [tall, width] column block into every
+        chain iq ≥ ``first`` with ONE score dot and ONE PV dot over the
+        tall = strip − r0 row extent (r0 static).  The per-row online-
+        softmax state stays per-chain; the tall results are consumed as
+        static [sub, ·] slices.  Rationale (measured, see DESIGN.md): the
+        per-chain [sub, width] merges keep every MXU dot at 256-row
+        granularity — 80 ns of pipe per dot at d=128 contraction — and the
+        pipeline=2 interleave tops out at 157 TF/s dots-only while XLA's
+        own batched dot at the same score shape reaches ~190 on this chip
+        (bench_out/roofline_matmul.json).  Fusing the column's visible
+        chains into one tall dot multiplies the M extent (up to strip−sub
+        rows), amortizing the per-dot ramp; the VPU element count is
+        unchanged (same scores, same exp2s), only issued as tall vectors."""
+        tall = strip - r0
+        q_tall = q_ref[0, 0, r0:strip, :]
+        s = mxu_dot(
+            q_tall, kv_slice(k_ref, col0, width),
+            (((1,), (1,)), ((), ())),
+        ) * scale2
+        if softcap:
+            s = c2 * jnp.tanh(s * (1.0 / c2))
+        if window:
+            wm = (
+                jax.lax.broadcasted_iota(jnp.int32, (tall, width), 0)
+                + (strip0 + r0)
+            ) - (
+                jax.lax.broadcasted_iota(jnp.int32, (tall, width), 1) + col0
+            ) < window
+            s = jnp.where(wm, s, DEFAULT_MASK_VALUE)
+        if _ABLATE == "dots":  # structural ceiling: PV dot on raw scores
+            vb = v_payload(kv_slice(v_ref, col0, width), q_ref.dtype)
+            pv = mxu_dot(s.astype(vb.dtype), vb, (((1,), (0,)), ((), ())))
+            out = list(chains)
+            for i in range(t_strip - first):
+                m, l, acc = chains[first + i]
+                out[first + i] = (m, l, acc + pv[i * sub:(i + 1) * sub])
+            return out
+        mx = jnp.max(s, axis=-1, keepdims=True)  # [tall, 1]
+        m_new = [
+            jnp.maximum(chains[first + i][0], mx[i * sub:(i + 1) * sub])
+            for i in range(t_strip - first)
+        ]
+        m_new_tall = (
+            jnp.concatenate(m_new, axis=0) if len(m_new) > 1 else m_new[0]
+        )
+        p = jnp.exp2(s - m_new_tall)
+        if _ABLATE != "nosum":
+            lsum = _lane_sum(p)
+        vb = v_payload(kv_slice(v_ref, col0, width), q_ref.dtype)
+        pv = mxu_dot(p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())))
+        out = list(chains)
+        for i in range(t_strip - first):
+            iq = first + i
+            m, l, acc = chains[iq]
+            a = jnp.exp2(m - m_new[i])
+            sl = slice(i * sub, (i + 1) * sub)
+            if _ABLATE != "nosum":
+                l = l * a + lsum[sl]
+            out[iq] = (m_new[i], l, acc * a + pv[sl])
+        return out
+
     if pipeline == 3:
         # Two-pass whole-row variant (strip == n only, so every row's full
         # visible extent is static): per chain ONE wide QK^T dot against
@@ -656,6 +772,75 @@ def _mid_strip_kernel(
             vb = v_payload(v_ref[0, 0, 0:w_vis, :], q_ref.dtype)
             acc = mxu_dot(p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())))
             carries.append((m, l, acc))
+    elif pipeline == 4:
+        # Tall-merge column-major: diagonals seed each chain, then every
+        # strip-local pre-diagonal column block is merged into ALL its
+        # visible chains at once via tall_merge (one deep score dot + one
+        # deep PV dot per column).  Column blocks are ws·sub wide: chains
+        # whose diagonal falls inside the group take their partial width
+        # individually (as pipeline=2 does); the fully-visible tail below
+        # the group is one tall merge.
+        carries = [diag_merge(qis[iq], strip0 + iq * sub)
+                   for iq in range(t_strip)]
+        ws = wide_static
+        for jb0 in range(0, t_strip - 1, ws):
+            jb1 = min(jb0 + ws, t_strip - 1)
+            col0 = strip0 + jb0 * sub
+            # chains whose diagonal cuts the group: partial-width merges
+            for iq in range(jb0 + 1, jb1):
+                carries[iq] = visible_block(
+                    qis[iq], strip0 + iq * sub, col0, (iq - jb0) * sub,
+                    carries[iq],
+                )
+            # chains at/below the group's bottom edge: one tall merge
+            carries = tall_merge(
+                jb1 * sub, col0, (jb1 - jb0) * sub, carries, jb1
+            )
+    elif pipeline == 5:
+        # Hybrid-granularity bands: the diagonal neighbourhood runs at sub
+        # granularity (causal efficiency 1 − sub/2N), the interior at BAND
+        # (= wide) granularity with band-level (m, l, acc) state — one
+        # [band, wide] score dot + one [band, wide] PV dot per merge, no
+        # sub-chain slicing.  Rationale (measured, probe_mxu.py): a
+        # non-causal tall-state online softmax at wide=1024 runs 172 TF/s
+        # where the sub-granular interleave tops out ≈148 — deep dots and
+        # whole-band VPU vectors is what Mosaic schedules best; manual
+        # dot staggering measured NEGATIVE (123-141), so emission is the
+        # natural order and the scheduler overlaps on its own.
+        nb = strip // wide  # row bands per strip
+        spb = wide // sub  # sub-chains per band (diagonal phase)
+        band_states = []
+        for r in range(nb):
+            subchains = []
+            for c in range(spb):
+                iq = r * spb + c
+                carry = diag_merge(qis[iq], strip0 + iq * sub)
+                if c:  # band-local pre-diagonal columns, one static merge
+                    carry = visible_block(
+                        qis[iq], strip0 + iq * sub,
+                        strip0 + r * wide, c * sub, carry,
+                    )
+                subchains.append(carry)
+            if spb == 1:
+                band_states.append(subchains[0])
+            else:
+                band_states.append(tuple(
+                    jnp.concatenate([s[i] for s in subchains], axis=0)
+                    for i in range(3)
+                ))
+        qbs = [
+            (q_all if prescale else q_ref[0, 0])[r * wide:(r + 1) * wide, :]
+            for r in range(nb)
+        ]
+        # Strip-local interior: column-sync band merges (bands independent
+        # → cross-band ILP, like pipeline=2 but at band granularity).
+        for g in range(nb - 1):
+            for r in range(g + 1, nb):
+                band_states[r] = visible_block(
+                    qbs[r], strip0 + r * wide, strip0 + g * wide, wide,
+                    band_states[r],
+                )
+        carries = band_states
     elif pipeline == 2:
         # Interleaved static phase: all diagonals first, then the strip-
         # local fully-visible columns COLUMN-BLOCK-OUTER so consecutive
@@ -701,7 +886,9 @@ def _mid_strip_kernel(
                 off += w
             carries.append(carry)
 
-    # Shared dynamic interior [0, t·strip) in wide-width blocks.
+    # Shared dynamic interior [0, t·strip) in wide-width blocks.  Whole-pane
+    # strips have NO interior (everything was static above) — skip the loop
+    # at trace time so its dynamic-slice body isn't even compiled.
     jw_lo = jnp.int32(0)
     if window:
         # lowest strip's window edge; higher strips' stale blocks are
@@ -709,7 +896,29 @@ def _mid_strip_kernel(
         jw_lo = jnp.maximum(jw_lo, (strip0 - window + 1) // wide)
     jw_hi = t * (strip // wide)
 
-    if pipeline != 1:
+    if strip == n:
+        pass
+    elif pipeline == 4:
+        # Tall interior: every strip row sees every interior block, so each
+        # wide block is ONE strip-tall score dot + ONE PV dot.
+        def wide_body(jw, chains):
+            col0 = jw * wide
+            return tuple(tall_merge(0, col0, wide, list(chains), 0))
+
+        carries = jax.lax.fori_loop(jw_lo, jw_hi, wide_body, tuple(carries))
+    elif pipeline == 5:
+        # Band-granular interior: one [band, wide] merge per band per block.
+        def wide_body(jw, bands):
+            col0 = jw * wide
+            return tuple(
+                visible_block(qbs[r], strip0 + r * wide, col0, wide, c)
+                for r, c in enumerate(bands)
+            )
+
+        carries = list(jax.lax.fori_loop(
+            jw_lo, jw_hi, wide_body, tuple(carries)
+        ))
+    elif pipeline != 1:
         # Plain loop: dot + merge per block; within one iteration the
         # t_strip chain merges are mutually independent (cross-chain ILP).
         def wide_body(jw, chains):
@@ -755,11 +964,12 @@ def _mid_strip_kernel(
             jw_hi > jw_lo, run_interior, lambda c: tuple(c), tuple(carries)
         )
 
-    for iq in range(t_strip):
-        m, l, acc = carries[iq]
+    for seg, (m, l, acc) in enumerate(carries):
+        hgt = acc.shape[0]  # sub normally, wide (band) under pipeline=5
         if _LSUM_VEC and pipeline != 3:
             l = jnp.sum(l, axis=-1, keepdims=True)
-        row0 = strip0 + iq * sub
+        r_lo = seg * hgt
+        row0 = strip0 + r_lo
 
         if kv_len < n:
             # Padded q rows DID attend to real columns through the interior
@@ -768,21 +978,21 @@ def _mid_strip_kernel(
             # unaffected either way, but the (m, 1/l) residuals must read
             # "empty row" for the backward's recompute.
             rvalid = (
-                jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0) + row0
+                jax.lax.broadcasted_iota(jnp.int32, (hgt, 1), 0) + row0
             ) < kv_len
             l = jnp.where(rvalid, l, 0.0)
             m = jnp.where(rvalid, m, -DEFAULT_MASK_VALUE)
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0, 0, iq * sub:(iq + 1) * sub, :] = (acc * l_inv).astype(
+        o_ref[0, 0, r_lo:r_lo + hgt, :] = (acc * l_inv).astype(
             o_ref.dtype
         )
         if m_out_ref is not None:
             m_out = jnp.where(l == 0.0, -DEFAULT_MASK_VALUE, m)
-            rs = sub // geo.NUM_LANES
-            m_out_ref[0, 0, iq * rs:(iq + 1) * rs, :] = (
+            rs = hgt // geo.NUM_LANES
+            m_out_ref[0, 0, seg * rs:(seg + 1) * rs, :] = (
                 layout.column_to_lanes(m_out)
             )
-            linv_out_ref[0, 0, iq * rs:(iq + 1) * rs, :] = (
+            linv_out_ref[0, 0, seg * rs:(seg + 1) * rs, :] = (
                 layout.column_to_lanes(l_inv[:, :1])
             )
 
