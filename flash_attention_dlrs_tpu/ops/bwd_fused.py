@@ -262,6 +262,14 @@ def fused_bwd_fits_vmem(n_q: int, head_dim: int, block_q: int,
     outs = 2 * block_kv * head_dim * 4  # dk/dv output blocks
     score = 3 * block_q * block_kv * 4  # p, dp, ds temporaries
     need = dq_buf + blocks + scratch + outs + score
+    if isz == 4:
+        # fp32 matmuls multipass on the MXU and carry extra Mosaic stack
+        # temporaries beyond this byte model — same measured surcharge as
+        # the forward's mid_path_fits (f32 N=4096 compiled to a 19.89 MiB
+        # scoped allocation against a 14-ish MiB model prediction and
+        # OOM'd the 16 MiB limit; 1.3× routes that case to smaller blocks
+        # or the two-sweep fallback).
+        need = int(need * 1.3)
     return geo.fits_vmem(need, geo.current_geometry())
 
 

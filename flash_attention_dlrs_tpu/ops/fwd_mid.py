@@ -604,6 +604,9 @@ def _mid_strip_kernel(
             # bf16 exp2: p feeds the PV dot as bf16 ANYWAY, so only l's
             # rowsum sees the rounding (~2^-9/√width relative — inside the
             # bf16 path's envelope).  Halves the VPU transcendental cost.
+            # (Running the row-max tree itself in bf16 measured NEGATIVE:
+            # 145.7 vs 151.3 — the extra whole-block cast pass outweighs
+            # the halved tree.)
             p = jnp.exp2((s - m_new).astype(jnp.bfloat16))
         else:
             p = jnp.exp2(s - m_new)
