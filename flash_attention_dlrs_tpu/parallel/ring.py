@@ -253,6 +253,307 @@ def ring_attention(
     )
 
 
+# ---------------------------------------------------------------------------
+# Zigzag (load-balanced causal) ring
+# ---------------------------------------------------------------------------
+#
+# The contiguous causal ring above is correct but unbalanced: chip 0's shard
+# is entirely early context, so it computes 1 useful step of n while chip
+# n−1 computes all n — ~2× attention wall-time loss at n=8.  The zigzag
+# layout (used by production context-parallel trainers) splits the sequence
+# into 2n chunks and gives chip i the PAIR (chunk i, chunk 2n−1−i) — one
+# early stripe + its mirrored late stripe.  Then for a KV block arriving
+# from source chip s:
+#
+#   s < i:  only kv chunk s is visible — ONE full kernel, local q (both
+#           chunks) × early kv chunk            → 2 chunk-pairs of work
+#   s > i:  only the late q chunk sees anything — ONE full kernel, late q
+#           chunk × both kv chunks              → 2 chunk-pairs of work
+#   s == i: both diagonal chunks + late-q×early-kv full → ~2 chunk-pairs
+#
+# Every chip does the same ~2 chunk-pairs at every step — balanced to the
+# diagonal-mask granularity.  (No reference counterpart; layout follows the
+# public zigzag ring-attention construction.)
+
+
+def zigzag_indices(n_devices: int, n_tokens: int):
+    """Permutation taking a CONTIGUOUS global sequence to the zigzag
+    layout: chip i's contiguous shard of the permuted array holds global
+    chunks (i, 2n−1−i).  Apply with jnp.take(x, idx, axis=seq_axis);
+    invert with ``zigzag_inverse``."""
+    import numpy as np
+
+    two_n = 2 * n_devices
+    assert n_tokens % two_n == 0, (n_tokens, two_n)
+    c = n_tokens // two_n
+    order = []
+    for i in range(n_devices):
+        order += [i, two_n - 1 - i]
+    return np.concatenate(
+        [np.arange(ch * c, (ch + 1) * c) for ch in order]
+    )
+
+
+def zigzag_inverse(n_devices: int, n_tokens: int):
+    import numpy as np
+
+    idx = zigzag_indices(n_devices, n_tokens)
+    inv = np.empty_like(idx)
+    inv[idx] = np.arange(n_tokens)
+    return inv
+
+
+def _zz_seed(seed, ga, gb, two_n):
+    """Per-(global q chunk, global kv chunk) dropout sub-seed (the zigzag
+    analogue of shard_seed; kernels that span two chunks key on the pair
+    that cannot collide with any single-chunk kernel — see call sites)."""
+    return (
+        jnp.asarray(seed, jnp.int32)
+        + jnp.int32(_SHARD_SEED_PRIME) * (ga * two_n + gb).astype(jnp.int32)
+    )
+
+
+def _zz_forward(q, k, v, seed, *, axis_name, sm_scale, rate, interpret):
+    n = lax.psum(1, axis_name)
+    idx = lax.axis_index(axis_name)
+    two_n = 2 * n
+    S = q.shape[2]
+    h = S // 2
+    ga_lo, ga_hi = idx, two_n - 1 - idx
+
+    def fwd(q_, k_, v_, seed_, causal_):
+        return flash_attention_forward(
+            q_, k_, v_, causal=causal_, sm_scale=sm_scale,
+            dropout_rate=rate, dropout_seed=seed_ if rate else None,
+            interpret=interpret,
+        )
+
+    def empty(shape_q):
+        return (
+            jnp.zeros(shape_q, q.dtype),
+            jnp.full(shape_q[:-1], DEFAULT_MASK_VALUE, jnp.float32),
+        )
+
+    def past_block(k_blk, v_blk, src):
+        # kv chunk src fully visible to BOTH local q chunks; its late
+        # mirror (2n−1−src) is future to both → one kernel over local q.
+        o_b, lse_b = fwd(
+            q, k_blk[:, :, :h], v_blk[:, :, :h],
+            _zz_seed(seed, ga_lo, src, two_n), False,
+        )
+        return o_b, lse_b
+
+    def future_block(k_blk, v_blk, src):
+        # kv chunks src (> idx, past of the late q chunk) and 2n−1−src
+        # (also past of it: src > idx ⇒ 2n−1−src < 2n−1−idx) — one kernel
+        # for the late q chunk over the whole block; early q sees nothing.
+        o_hi, lse_hi = fwd(
+            q[:, :, h:], k_blk, v_blk,
+            _zz_seed(seed, ga_hi, src, two_n), False,
+        )
+        o_z, lse_z = empty(q[:, :, :h].shape)
+        return (
+            jnp.concatenate([o_z, o_hi], axis=2),
+            jnp.concatenate([lse_z, lse_hi], axis=2),
+        )
+
+    def diag_block(k_blk, v_blk, src):
+        k_lo, v_lo = k_blk[:, :, :h], v_blk[:, :, :h]
+        o_lo, lse_lo = fwd(
+            q[:, :, :h], k_lo, v_lo, _zz_seed(seed, ga_lo, ga_lo, two_n),
+            True,
+        )
+        o_d, lse_d = fwd(
+            q[:, :, h:], k_blk[:, :, h:], v_blk[:, :, h:],
+            _zz_seed(seed, ga_hi, ga_hi, two_n), True,
+        )
+        o_f, lse_f = fwd(
+            q[:, :, h:], k_lo, v_lo, _zz_seed(seed, ga_hi, ga_lo, two_n),
+            False,
+        )
+        o_hi, lse_hi = merge_partials(o_d, lse_d, o_f, lse_f)
+        return (
+            jnp.concatenate([o_lo, o_hi], axis=2),
+            jnp.concatenate([lse_lo, lse_hi], axis=2),
+        )
+
+    o = jnp.zeros(q.shape, q.dtype)
+    lse = jnp.full(q.shape[:-1], DEFAULT_MASK_VALUE, jnp.float32)
+    k_blk, v_blk = k, v
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    for step in range(n):
+        src = lax.rem(idx - step + n, n)
+        case = jnp.where(src < idx, 0, jnp.where(src == idx, 2, 1))
+        o_b, lse_b = lax.switch(
+            case, [past_block, future_block, diag_block], k_blk, v_blk, src
+        )
+        o, lse = merge_partials(o, lse, o_b, lse_b)
+        if step != n - 1:
+            k_blk = lax.ppermute(k_blk, axis_name, perm)
+            v_blk = lax.ppermute(v_blk, axis_name, perm)
+    return o, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _zz_attention(q, k, v, seed, axis_name, sm_scale, rate, interpret):
+    o, _ = _zz_forward(q, k, v, seed, axis_name=axis_name,
+                       sm_scale=sm_scale, rate=rate, interpret=interpret)
+    return o
+
+
+def _zz_attention_fwd(q, k, v, seed, axis_name, sm_scale, rate, interpret):
+    o, lse = _zz_forward(q, k, v, seed, axis_name=axis_name,
+                         sm_scale=sm_scale, rate=rate, interpret=interpret)
+    return o, (q, k, v, seed, o, lse)
+
+
+def _zz_attention_bwd(axis_name, sm_scale, rate, interpret, res, do):
+    """Zigzag backward: same balanced case structure as the forward; dK/dV
+    accumulators ride the ring with their block (full lap, as the
+    contiguous ring backward)."""
+    from ..ops.flash_attention import flash_attention_backward
+
+    q, k, v, seed, o, lse = res
+    n = lax.psum(1, axis_name)
+    idx = lax.axis_index(axis_name)
+    two_n = 2 * n
+    S = q.shape[2]
+    h = S // 2
+    ga_lo, ga_hi = idx, two_n - 1 - idx
+
+    def bwd(q_, k_, v_, o_, do_, lse_, seed_, causal_):
+        return flash_attention_backward(
+            q_, k_, v_, o_, do_, lse_, causal=causal_, sm_scale=sm_scale,
+            dropout_rate=rate, dropout_seed=seed_ if rate else None,
+            interpret=interpret,
+        )
+
+    q_lo, q_hi = q[:, :, :h], q[:, :, h:]
+    o_lo, o_hi = o[:, :, :h], o[:, :, h:]
+    do_lo, do_hi = do[:, :, :h], do[:, :, h:]
+    lse_lo, lse_hi = lse[:, :, :h], lse[:, :, h:]
+
+    def zeros_kv_half():
+        return (jnp.zeros((*k.shape[:2], h, k.shape[3]), k.dtype),
+                jnp.zeros((*v.shape[:2], h, v.shape[3]), v.dtype))
+
+    def past_block(k_blk, v_blk, src):
+        dq_c, dk_lo, dv_lo = bwd(
+            q, k_blk[:, :, :h], v_blk[:, :, :h], o, do, lse,
+            _zz_seed(seed, ga_lo, src, two_n), False,
+        )
+        z_k, z_v = zeros_kv_half()
+        return (
+            dq_c,
+            jnp.concatenate([dk_lo, z_k], axis=2),
+            jnp.concatenate([dv_lo, z_v], axis=2),
+        )
+
+    def future_block(k_blk, v_blk, src):
+        dq_hi, dk_b, dv_b = bwd(
+            q_hi, k_blk, v_blk, o_hi, do_hi, lse_hi,
+            _zz_seed(seed, ga_hi, src, two_n), False,
+        )
+        dq_z = jnp.zeros(q_lo.shape, q.dtype)
+        return jnp.concatenate([dq_z, dq_hi], axis=2), dk_b, dv_b
+
+    def diag_block(k_blk, v_blk, src):
+        k_lo, v_lo = k_blk[:, :, :h], v_blk[:, :, :h]
+        dq_lo, dk1, dv1 = bwd(
+            q_lo, k_lo, v_lo, o_lo, do_lo, lse_lo,
+            _zz_seed(seed, ga_lo, ga_lo, two_n), True,
+        )
+        dq_d, dk_hi, dv_hi = bwd(
+            q_hi, k_blk[:, :, h:], v_blk[:, :, h:], o_hi, do_hi, lse_hi,
+            _zz_seed(seed, ga_hi, ga_hi, two_n), True,
+        )
+        dq_f, dk2, dv2 = bwd(
+            q_hi, k_lo, v_lo, o_hi, do_hi, lse_hi,
+            _zz_seed(seed, ga_hi, ga_lo, two_n), False,
+        )
+        return (
+            jnp.concatenate([dq_lo, dq_d + dq_f], axis=2),
+            jnp.concatenate(
+                [(dk1.astype(jnp.float32) + dk2.astype(jnp.float32)
+                  ).astype(k.dtype), dk_hi], axis=2),
+            jnp.concatenate(
+                [(dv1.astype(jnp.float32) + dv2.astype(jnp.float32)
+                  ).astype(v.dtype), dv_hi], axis=2),
+        )
+
+    dq = jnp.zeros(q.shape, jnp.float32)
+    dk_blk = jnp.zeros(k.shape, jnp.float32)
+    dv_blk = jnp.zeros(v.shape, jnp.float32)
+    k_blk, v_blk = k, v
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    for step in range(n):
+        src = lax.rem(idx - step + n, n)
+        case = jnp.where(src < idx, 0, jnp.where(src == idx, 2, 1))
+        dq_p, dk_p, dv_p = lax.switch(
+            case, [past_block, future_block, diag_block], k_blk, v_blk, src
+        )
+        dq = dq + dq_p.astype(jnp.float32)
+        dk_blk = dk_blk + dk_p.astype(jnp.float32)
+        dv_blk = dv_blk + dv_p.astype(jnp.float32)
+        k_blk = lax.ppermute(k_blk, axis_name, perm)
+        v_blk = lax.ppermute(v_blk, axis_name, perm)
+        dk_blk = lax.ppermute(dk_blk, axis_name, perm)
+        dv_blk = lax.ppermute(dv_blk, axis_name, perm)
+    return (
+        dq.astype(q.dtype), dk_blk.astype(k.dtype), dv_blk.astype(v.dtype),
+        None,
+    )
+
+
+_zz_attention.defvjp(_zz_attention_fwd, _zz_attention_bwd)
+
+
+def zigzag_ring_attention(
+    q,
+    k,
+    v,
+    *,
+    axis_name: str,
+    sm_scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
+    interpret: Optional[bool] = None,
+):
+    """Load-balanced CAUSAL context-parallel attention (call inside
+    shard_map).  The local shards must be in ZIGZAG layout: chip i holds
+    global chunks (i, 2n−1−i) concatenated, chunk length = local_len/2 —
+    see ``zigzag_indices``.  Production trainers keep activations in this
+    layout end-to-end (everything outside attention is position-pointwise;
+    RoPE uses the zigzag position ids); ``sharded_attention(mesh,
+    "zigzag")`` does the permute/unpermute at the boundary for callers
+    that hold contiguous sequences.
+
+    Always causal (a non-causal ring has no balance problem — use
+    ``ring_attention``).
+    """
+    if sm_scale is None:
+        sm_scale = float(q.shape[-1]) ** -0.5
+    if q.shape[2] != k.shape[2]:
+        raise ValueError(
+            "zigzag ring attention requires equal q/kv shard lengths; got "
+            f"Nq_shard={q.shape[2]} vs Nkv_shard={k.shape[2]}"
+        )
+    if q.shape[2] % 2:
+        raise ValueError("zigzag shards hold two chunks: local length "
+                         f"must be even, got {q.shape[2]}")
+    rate = float(dropout_rate)
+    if rate and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    seed = jnp.asarray(
+        dropout_seed if dropout_seed is not None else 0, jnp.int32
+    ).reshape(())
+    return _zz_attention(
+        q, k, v, seed, axis_name, float(sm_scale), rate, interpret
+    )
+
+
 def context_parallel_attention(
     q,
     k,

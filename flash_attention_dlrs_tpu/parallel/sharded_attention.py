@@ -135,6 +135,64 @@ def ring_context_attention(
     )
 
 
+def zigzag_context_attention(
+    mesh: Mesh,
+    *,
+    sm_scale: Optional[float] = None,
+    data_axis: Optional[str] = "data",
+    context_axis: str = "context",
+    model_axis: Optional[str] = None,
+    dropout_rate: float = 0.0,
+    interpret: Optional[bool] = None,
+):
+    """Load-balanced CAUSAL context parallelism: the sequence is permuted
+    into the zigzag layout (chip i holds global chunks (i, 2n−1−i) — every
+    chip does equal work per ring step, vs the contiguous ring's 1:n
+    skew), ring-rotated, and the output permuted back.
+
+    The boundary permutes are one gather each way; a production trainer
+    keeps activations zigzag end-to-end instead (attention is the only
+    position-coupled op) and calls ``zigzag_ring_attention`` directly."""
+    from .ring import zigzag_ring_attention, zigzag_indices, zigzag_inverse
+
+    q_spec = P(data_axis, model_axis, context_axis, None)
+    kv_spec = P(data_axis, model_axis, context_axis, None)
+    rate = float(dropout_rate)
+    n_ctx = mesh.shape[context_axis]
+
+    def local(q, k, v, seed=None):
+        if rate:
+            seed = _fold_axes(seed, data_axis, model_axis, mesh)
+        return zigzag_ring_attention(
+            q, k, v,
+            axis_name=context_axis, sm_scale=sm_scale,
+            dropout_rate=rate, dropout_seed=seed,
+            interpret=interpret,
+        )
+
+    inner = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(q_spec, kv_spec, kv_spec) + ((P(),) if rate else ()),
+        out_specs=q_spec,
+        check_vma=False,
+    )
+
+    def call(q, k, v, *rest):
+        n_tok = q.shape[2]
+        zz = jnp.asarray(zigzag_indices(n_ctx, n_tok))
+        inv = jnp.asarray(zigzag_inverse(n_ctx, n_tok))
+        o = inner(
+            jnp.take(q, zz, axis=2),
+            jnp.take(k, zz, axis=2),
+            jnp.take(v, zz, axis=2),
+            *rest,
+        )
+        return jnp.take(o, inv, axis=2)
+
+    return jax.jit(call)
+
+
 def combine_context_attention(
     mesh: Mesh,
     *,
@@ -175,6 +233,7 @@ def sharded_attention(mesh: Mesh, strategy: str = "head", **kw):
         "head": head_parallel_attention,
         "data": functools.partial(head_parallel_attention, model_axis=None),
         "ring": ring_context_attention,
+        "zigzag": zigzag_context_attention,
         "combine": combine_context_attention,
     }
     if strategy not in builders:
