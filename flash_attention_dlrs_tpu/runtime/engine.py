@@ -277,6 +277,12 @@ class DecodeEngine:
             cfg, pages_per_block=pages_per_block, interpret=interpret
         )
         self._verify_cache: Dict[int, object] = {}
+        # Speculative serving (attach_draft): a draft engine mirroring this
+        # engine's slots; step_burst then runs speculative rounds on device.
+        self.spec_draft: Optional["DecodeEngine"] = None
+        self.spec_gamma: int = 0
+        self._draft_requests: Dict[int, Request] = {}
+        self.spec_stats = {"rounds": 0, "proposed": 0, "accepted": 0}
         self.prefill_chunk = prefill_chunk
         if prefill_chunk:
             self._chunk_prefill = make_verify_step(
@@ -305,16 +311,69 @@ class DecodeEngine:
             num_tokens = min(num_tokens, self._sinks + self._wrap)
         return self.allocator.can_allocate(num_tokens)
 
+    def attach_draft(self, draft: "DecodeEngine", gamma: int = 4) -> None:
+        """Enable speculative CONTINUOUS-BATCHING serving: ``draft`` mirrors
+        every admission/retirement of this engine slot-for-slot (prompt
+        prefill included), and :meth:`step_burst` switches from plain
+        device-side bursts to speculative rounds (draft scan → fused
+        verify/accept → device commit, runtime.speculative.make_spec_generate
+        with per-slot budgets).  The draft conditions on the TARGET's
+        committed stream — its own sampled tokens are proposals only, so
+        outputs keep the target distribution (Leviathan-style rejection
+        sampling; greedy output is bit-identical to plain bursts).
+
+        ``draft`` must share vocab and page size, have the same slot count,
+        and not be attached to anything itself.  Per-token logprobs are not
+        produced under speculative serving (verification commits tokens,
+        not per-step logits)."""
+        if draft.page_size != self.page_size:
+            raise ValueError("draft and target page sizes must match")
+        if draft.num_slots < self.num_slots:
+            raise ValueError("draft needs at least as many slots")
+        if self._wrap or draft._wrap:
+            raise NotImplementedError(
+                "speculative serving is incompatible with ring-based modes"
+            )
+        if gamma < 2:
+            raise ValueError("gamma must be >= 2")
+        self.spec_draft = draft
+        self.spec_gamma = gamma
+
+    def _mirror_admit(self, req: Request, slot: int) -> None:
+        d = self.spec_draft
+        d_req = Request(
+            request_id=req.request_id,
+            prompt_tokens=list(req.prompt_tokens),
+            # + gamma: the draft's in-flight proposals overshoot the
+            # committed prefix by up to gamma pages' worth of tokens
+            max_new_tokens=req.max_new_tokens + self.spec_gamma,
+            eos_token=d.eos_token,
+        )
+        d._admit(d_req, slot)
+        # the draft conditions on the TARGET's committed stream
+        d._slot_next_token[slot] = self._slot_next_token[slot]
+        d.allocator.seq_lengths[req.request_id] = len(req.prompt_tokens)
+        self._draft_requests[slot] = d_req
+
     def _admit(self, req: Request, slot: int) -> None:
         if self.prefill_chunk:
             self._admit_chunked(req, slot)
-            return
+        else:
+            self._admit_dense(req, slot)
+        if self.spec_draft is not None:
+            self._mirror_admit(req, slot)
+
+    def _admit_dense(self, req: Request, slot: int) -> None:
         prompt = np.asarray(req.prompt_tokens, np.int32)
         t = len(prompt)
+        # Speculative serving writes the verify window γ positions past the
+        # committed prefix — the cache needs that overhang even at the
+        # request's final length.
+        extra = self.spec_gamma if self.spec_draft is not None else 0
         if self._wrap:
             self.allocator.allocate(req.request_id, self._sinks + self._wrap)
         else:
-            need = -(-(t + req.max_new_tokens) // self.page_size)
+            need = -(-(t + req.max_new_tokens + extra) // self.page_size)
             if need > self.pages_per_seq:
                 raise ValueError(
                     f"request {req.request_id!r} needs {need} pages "
@@ -322,7 +381,8 @@ class DecodeEngine:
                     f"page tables hold pages_per_seq={self.pages_per_seq} — "
                     "raise pages_per_seq (or page_size)"
                 )
-            self.allocator.allocate(req.request_id, t + req.max_new_tokens)
+            self.allocator.allocate(
+                req.request_id, t + req.max_new_tokens + extra)
         pages = np.asarray(
             self.allocator.page_tables[req.request_id], np.int32
         )
@@ -393,15 +453,16 @@ class DecodeEngine:
         t = len(prompt)
         sid = req.request_id
         cached_tokens = 0
+        extra = self.spec_gamma if self.spec_draft is not None else 0
         if self.prefix_cache is not None:
             shared_pages, cached_tokens = self.prefix_cache.match(
                 req.prompt_tokens
             )
             self.prefix_cache.allocate_mixed_with_eviction(
-                sid, shared_pages, t + req.max_new_tokens
+                sid, shared_pages, t + req.max_new_tokens + extra
             )
         else:
-            self.allocator.allocate(sid, t + req.max_new_tokens)
+            self.allocator.allocate(sid, t + req.max_new_tokens + extra)
         table = self.allocator.page_tables[sid]
         tbl = np.full((1, self.pages_per_seq), self._null_page, np.int32)
         tbl[0, : len(table)] = table
@@ -450,6 +511,10 @@ class DecodeEngine:
     def _retire(self, req: Request, slot: int) -> None:
         self.allocator.free(req.request_id)
         self.slot_request[slot] = None
+        if self.spec_draft is not None:
+            d_req = self._draft_requests.pop(slot, None)
+            if d_req is not None:
+                self.spec_draft._retire(d_req, slot)
 
     # -- decode ----------------------------------------------------------------
 
@@ -462,6 +527,11 @@ class DecodeEngine:
         ]
         if not active:
             return 0
+        if self.spec_draft is not None:
+            # A plain step would commit a token the draft never saw (its
+            # cache would hold a stale hole at that position) — route
+            # through a 1-token speculative burst instead.
+            return self._step_burst_spec(active, 1)
         b = self.num_slots
         tokens = np.zeros(b, np.int32)
         positions = np.zeros(b, np.int32)
@@ -560,6 +630,9 @@ class DecodeEngine:
                     break  # let the scheduler retire/admit between bursts
             return total
 
+        if self.spec_draft is not None:
+            return self._step_burst_spec(active, max_steps)
+
         from .speculative import make_plain_generate
 
         b = self.num_slots
@@ -609,8 +682,7 @@ class DecodeEngine:
             jnp.asarray(tbl), jnp.asarray(is_active), eos, temp, top_k,
             top_p, seeds, jnp.asarray(budget),
         )
-        out = np.asarray(out)
-        n_out = np.asarray(n_out)
+        out, n_out = jax.device_get((out, n_out))  # one transfer, not two
         total = 0
         for slot, req in active:
             got = int(n_out[slot])
@@ -625,6 +697,101 @@ class DecodeEngine:
             self.allocator.seq_lengths[req.request_id] = (
                 int(base_pos[slot]) + got
             )
+            total += got
+        self.scheduler.record_step(total)
+        return total
+
+    def _step_burst_spec(self, active, max_steps: int) -> int:
+        """Speculative continuous-batching burst: up to ``max_steps``
+        committed tokens per slot in ONE device dispatch — every
+        draft-scan/verify/accept/commit round runs as device control flow
+        (runtime.speculative.make_spec_generate with per-slot budgets).
+        Admission/retirement stay host-side between bursts, exactly like
+        the plain burst; the attached draft's cache tracks the target's
+        committed prefix (in-flight overshoot rolled back by length
+        bookkeeping)."""
+        d = self.spec_draft
+        gamma = self.spec_gamma
+        b = self.num_slots
+        k = max_steps
+        x0 = np.zeros(b, np.int32)
+        base_pos = np.zeros(b, np.int32)
+        budget = np.zeros(b, np.int32)
+        t_tbl = np.full((b, self.pages_per_seq), self._null_page, np.int32)
+        d_tbl = np.full((b, d.pages_per_seq), d._null_page, np.int32)
+        for slot, req in active:
+            sid = req.request_id
+            x0[slot] = self._slot_next_token[slot]
+            base = self.allocator.seq_lengths[sid]
+            base_pos[slot] = base
+            budget[slot] = max(
+                0, min(k, req.max_new_tokens - len(req.output_tokens))
+            )
+            # the draft overshoots its committed prefix by up to gamma
+            # in-flight proposals; both caches need the headroom
+            self.allocator.ensure_capacity(sid, base + budget[slot] + gamma)
+            d.allocator.ensure_capacity(sid, base + budget[slot] + gamma)
+            d.allocator.seq_lengths[sid] = base
+            tt = self.allocator.page_tables[sid]
+            t_tbl[slot, : len(tt)] = tt
+            dt = d.allocator.page_tables[sid]
+            d_tbl[slot, : len(dt)] = dt
+
+        from .speculative import make_spec_generate
+
+        key = ("specburst", gamma, k, id(d))
+        fused = self._verify_cache.get(key)
+        if fused is None:
+            fused = make_spec_generate(
+                self.cfg, d.cfg, gamma, self.page_size, k,
+                t_pages_per_block=self.pages_per_block,
+                d_pages_per_block=d.pages_per_block,
+                interpret=self.interpret,
+            )
+            self._verify_cache[key] = fused
+
+        cache_key = tuple(
+            id(self.slot_request[i]) if self.slot_request[i] else None
+            for i in range(b)
+        )
+        if getattr(self, "_sample_cache_key", None) != cache_key:
+            self._sample_cache = batch_params([
+                (self.slot_request[i].sampling if self.slot_request[i]
+                 else None)
+                for i in range(b)
+            ])
+            self._sample_cache_key = cache_key
+        temp, top_k, top_p, seeds = self._sample_cache
+        eos = jnp.int32(-1 if self.eos_token is None else self.eos_token)
+        is_active = np.zeros(b, bool)
+        for slot, _ in active:
+            is_active[slot] = True
+
+        (out, cnt, rounds, proposed, accepted, self.pools, d.pools) = fused(
+            self.params, self.pools, d.params, d.pools,
+            jnp.asarray(x0), jnp.asarray(base_pos), jnp.asarray(t_tbl),
+            jnp.asarray(d_tbl), jnp.asarray(is_active), eos, temp, top_k,
+            top_p, seeds, jnp.asarray(budget),
+        )
+        # ONE batched readback: each separate np.asarray/int() on a device
+        # value is its own blocking transfer (~30 ms through the remote
+        # tunnel; 5 of them dominated the whole burst).
+        out, cnt, rounds, proposed, accepted = jax.device_get(
+            (out, cnt, rounds, proposed, accepted))
+        self.spec_stats["rounds"] += int(rounds)
+        self.spec_stats["proposed"] += int(proposed)
+        self.spec_stats["accepted"] += int(accepted)
+        total = 0
+        for slot, req in active:
+            got = int(cnt[slot])
+            if got == 0:
+                continue
+            toks = [int(t) for t in out[slot, :got]]
+            req.output_tokens.extend(toks)
+            self._slot_next_token[slot] = toks[-1]
+            final = int(base_pos[slot]) + got
+            self.allocator.seq_lengths[req.request_id] = final
+            d.allocator.seq_lengths[req.request_id] = final
             total += got
         self.scheduler.record_step(total)
         return total
@@ -987,8 +1154,8 @@ class DecodeEngine:
                 draft_logits, temp, top_k, top_p, seeds,
                 jnp.asarray(base_pos_b),
             )
-            round_tokens = np.asarray(round_tokens)
-            n_committed = np.asarray(n_committed)
+            round_tokens, n_committed = jax.device_get(
+                (round_tokens, n_committed))  # one transfer
             self.spec_stats["rounds"] += 1
             self.spec_stats["proposed"] += len(live) * (gamma - 1)
             self.spec_stats["accepted"] += int(
@@ -1117,13 +1284,14 @@ class DecodeEngine:
                 self.params, self.pools, draft.params, draft.pools,
                 jnp.asarray(x0), jnp.asarray(base_pos), jnp.asarray(t_tbl),
                 jnp.asarray(d_tbl), active, eos, temp, top_k, top_p, seeds,
+                jnp.full((b,), max_new, jnp.int32),
             )
         )
-        out = np.asarray(out)
+        out, cnt, rounds, proposed, accepted = jax.device_get(
+            (out, cnt, rounds, proposed, accepted))  # one transfer, not 5
         # device-program wall time (excludes admission/prefill dispatches)
         # for benchmarking through jittery dispatch tunnels
         self.last_fused_seconds = _time.perf_counter() - _t0
-        cnt = np.asarray(cnt)
         self.spec_stats = {
             "rounds": int(rounds),
             "proposed": int(proposed),
@@ -1209,9 +1377,8 @@ class DecodeEngine:
             jnp.asarray(tbl), active, eos, temp, top_k, top_p, seeds,
             jnp.full(b, max_new, jnp.int32),
         )
-        out = np.asarray(out)
+        out, n_out = jax.device_get((out, n_out))  # one transfer
         self.last_fused_seconds = _time.perf_counter() - _t0
-        n_out = np.asarray(n_out)
         for slot in range(n):
             sid = sids[slot]
             outputs[slot].extend(int(t) for t in out[slot, : n_out[slot]])

@@ -222,9 +222,15 @@ def make_spec_generate(
 
     (t_params, t_pools, d_params, d_pools, x0 [B], base_pos [B],
     t_tbl [B, pps_t], d_tbl [B, pps_d], active [B] bool, eos, temp, top_k,
-    top_p, seeds)
+    top_p, seeds, budget [B])
     -> (out [B, max_new], n_out [B], rounds, proposed, accepted,
         t_pools, d_pools)
+
+    ``budget`` is a traced per-slot commit cap ≤ max_new (the serving
+    spec-burst passes each request's remaining token budget; offline
+    callers pass max_new everywhere).  A slot freezes once cnt reaches
+    its budget while the batch keeps lockstep — same contract as
+    make_plain_generate's budget.
 
     Semantics per round are identical to DecodeEngine.generate_speculative
     (draft scan -> fused verify/accept -> commit), with the commit done on
@@ -245,7 +251,7 @@ def make_spec_generate(
     )
 
     def generate(t_params, t_pools, d_params, d_pools, x0, base_pos, t_tbl,
-                 d_tbl, active, eos, temp, top_k, top_p, seeds):
+                 d_tbl, active, eos, temp, top_k, top_p, seeds, budget):
         b = x0.shape[0]
         out = jnp.zeros((b, max_new), jnp.int32)
         gam = jnp.arange(gamma, dtype=jnp.int32)
@@ -303,7 +309,9 @@ def make_spec_generate(
             accepted = accepted + jnp.sum(
                 jnp.where(live, n_comm - 1, 0).astype(jnp.int32))
             m = jnp.where(live, n_comm, 0)
-            m = jnp.minimum(m, max_new - cnt)  # budget cap
+            m = jnp.maximum(
+                jnp.minimum(m, jnp.minimum(budget, max_new) - cnt), 0
+            )  # budget caps (never negative: frozen slots stay frozen)
             # EOS cap (eos = -1 never matches)
             hit = jnp.logical_and(
                 round_tokens == eos, gam[None, :] < m[:, None]
@@ -323,7 +331,8 @@ def make_spec_generate(
             ]
             cur = jnp.where(m > 0, new_cur, cur)
             cnt = cnt + m
-            done = jnp.logical_or(done, cnt >= max_new)
+            done = jnp.logical_or(
+                done, cnt >= jnp.minimum(budget, max_new))
             return (rounds + 1, t_pools, d_pools, cur, cnt, done, out,
                     proposed, accepted)
 

@@ -46,39 +46,90 @@ def main():
                          "this many steps per dispatch (engine.step_burst) "
                          "— amortizes the per-token host floor; 0/1 = "
                          "per-token step()")
+    ap.add_argument("--speculative", action="store_true",
+                    help="ALSO run each config with a draft engine attached "
+                         "(engine.attach_draft): speculative rounds inside "
+                         "the continuous-batching burst; prints spec/plain")
+    ap.add_argument("--gamma", type=int, default=4)
+    ap.add_argument("--target-ckpt", default=None,
+                    help="scripts/train_lm.py run dir for the target model "
+                         "(default: synthetic weights at the size flags)")
+    ap.add_argument("--draft-ckpt", default=None,
+                    help="trained draft for --speculative (required there)")
+    ap.add_argument("--data", default=None,
+                    help="corpus dir with val.bin: use real prompts "
+                         "(recommended with --speculative; acceptance is "
+                         "data-dependent)")
     ap.add_argument("--out", default="bench_out/serving.json")
     args = ap.parse_args()
 
     from flash_attention_dlrs_tpu.models import ModelConfig, init_params
     from flash_attention_dlrs_tpu.runtime import DecodeEngine
 
-    cfg = ModelConfig(
-        vocab_size=args.vocab, d_model=args.d_model, n_layers=args.layers,
-        n_q_heads=args.q_heads, n_kv_heads=args.kv_heads,
-        head_dim=args.head_dim, d_ff=args.d_ff, dtype=jnp.bfloat16,
-        remat=False, window=args.window,
-    )
-    params = init_params(jax.random.PRNGKey(0), cfg)
-    n_params = sum(p.size for p in jax.tree.leaves(params))
-    print(f"model: {n_params/1e9:.2f}B params, {args.layers}L d{args.d_model} "
-          f"{args.q_heads}q/{args.kv_heads}kv", flush=True)
+    if args.target_ckpt:
+        from flash_attention_dlrs_tpu.models.convert import load_trained
 
-    pages_per_seq = (args.ctx + args.new_tokens + args.page_size - 1) \
-        // args.page_size
+        params, cfg = load_trained(args.target_ckpt)
+        args.vocab = cfg.vocab_size
+    else:
+        cfg = ModelConfig(
+            vocab_size=args.vocab, d_model=args.d_model,
+            n_layers=args.layers, n_q_heads=args.q_heads,
+            n_kv_heads=args.kv_heads, head_dim=args.head_dim,
+            d_ff=args.d_ff, dtype=jnp.bfloat16, remat=False,
+            window=args.window,
+        )
+        params = init_params(jax.random.PRNGKey(0), cfg)
+    d_params = d_cfg = None
+    if args.speculative:
+        from flash_attention_dlrs_tpu.models.convert import load_trained
+
+        if not args.draft_ckpt:
+            raise SystemExit("--speculative requires --draft-ckpt")
+        d_params, d_cfg = load_trained(args.draft_ckpt)
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    print(f"model: {n_params/1e9:.2f}B params, {cfg.n_layers}L "
+          f"d{cfg.d_model} {cfg.n_q_heads}q/{cfg.n_kv_heads}kv", flush=True)
+
+    slack = args.gamma if args.speculative else 0
+    pages_per_seq = (args.ctx + args.new_tokens + slack
+                     + args.page_size - 1) // args.page_size
     rng = np.random.default_rng(0)
     results = []
+    spec_modes = [False, True] if args.speculative else [False]
     for kv in args.kv:
         kv_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8, "int4": "int4"}[kv]
         quant = kv != "bf16"
         for b in args.batches:
+          for spec in spec_modes:
             eng = DecodeEngine(
                 params, cfg, num_pages=b * pages_per_seq + 1,
                 page_size=args.page_size, num_slots=b,
                 pages_per_seq=pages_per_seq, kv_dtype=kv_dtype,
                 quantized_kv=quant,
             )
-            prompts = [list(rng.integers(0, args.vocab, args.ctx))
-                       for _ in range(b)]
+            if spec:
+                # the draft overshoots committed prefixes by gamma tokens
+                d_pps = pages_per_seq + 1
+                draft = DecodeEngine(
+                    d_params, d_cfg, num_pages=b * d_pps + 1,
+                    page_size=args.page_size, num_slots=b,
+                    pages_per_seq=d_pps, kv_dtype=jnp.bfloat16,
+                )
+                eng.attach_draft(draft, gamma=args.gamma)
+            if args.data:
+                # real held-out prompts: speculative acceptance is DATA-
+                # dependent (random-token contexts measured acc≈0.04 where
+                # corpus prompts give the real draft agreement)
+                val = np.memmap(os.path.join(args.data, "val.bin"),
+                                dtype=np.uint16, mode="r")
+                prompts = [
+                    [int(t) for t in val[i * args.ctx:(i + 1) * args.ctx]]
+                    for i in range(b)
+                ]
+            else:
+                prompts = [list(rng.integers(0, args.vocab, args.ctx))
+                           for _ in range(b)]
             # warm: admit everything + run a few steps (compiles prefill +
             # decode programs)
             for p in prompts:
@@ -106,18 +157,30 @@ def main():
             toks = eng.scheduler.stats.tokens_generated - tok0
             row = {
                 "kv": kv, "batch": b, "ctx": args.ctx,
-                "burst": burst,
+                "burst": burst, "speculative": spec,
                 "rolling": bool(getattr(eng, "rolling", False)),
                 "pages_per_seq": eng.pages_per_seq,
                 "tokens_per_s": toks / dt,
                 "ms_per_step": dt * b / max(1, toks) * 1e3,
             }
+            if spec:
+                s = eng.spec_stats
+                row["gamma"] = args.gamma
+                row["acceptance"] = s["accepted"] / max(1, s["proposed"])
+                row["rounds"] = s["rounds"]
+                plain = next(
+                    (r for r in results
+                     if r["kv"] == kv and r["batch"] == b
+                     and not r["speculative"]), None)
+                if plain:
+                    row["vs_plain"] = (
+                        row["tokens_per_s"] / plain["tokens_per_s"])
             results.append(row)
             # Device decode rate reference: the same engine's fully-fused
             # loop slope (two lengths differenced — drops the per-call
             # admission/prefill constant).  e2e/device is the serving
             # host-overhead ratio the north star tracks.
-            if not getattr(eng, "rolling", False):
+            if not getattr(eng, "rolling", False) and not spec:
                 lo, hi = 8, 40
                 for mx in (lo, hi):
                     eng.generate_fused(prompts, max_new_tokens=mx)
@@ -132,10 +195,15 @@ def main():
                 row["device_tokens_per_s"] = b / best
                 row["e2e_over_device"] = (
                     row["tokens_per_s"] / row["device_tokens_per_s"])
-            print(f"kv={kv:5s} B={b:3d} burst={burst}: "
+            tag = f" spec γ={args.gamma}" if spec else ""
+            extra = (f"  acc={row['acceptance']:.2f} "
+                     f"vs_plain={row.get('vs_plain', float('nan')):.2f}x"
+                     if spec else
+                     f"  dev_ratio="
+                     f"{row.get('e2e_over_device', float('nan')):.2f}")
+            print(f"kv={kv:5s} B={b:3d} burst={burst}{tag}: "
                   f"{row['tokens_per_s']:9.0f} tok/s  "
-                  f"{row['ms_per_step']:7.2f} ms/step  "
-                  f"dev_ratio={row.get('e2e_over_device', float('nan')):.2f}",
+                  f"{row['ms_per_step']:7.2f} ms/step{extra}",
                   flush=True)
             # free engine state before the next config
             del eng

@@ -470,3 +470,57 @@ def test_step_burst_eos_stops_early(params):
         prompts, max_new_tokens=10, burst=8)[0]
     assert got == want
     assert got[-1] == eos and len(got) < len(ref)
+
+
+def test_speculative_serving_matches_plain(params):
+    """attach_draft + burst serving: greedy output must be token-for-token
+    identical to plain serving REGARDLESS of draft quality (rejection
+    sampling guarantees the target distribution; greedy is exact), across
+    continuous-batching admissions and ragged budgets."""
+    from flash_attention_dlrs_tpu.models import init_params as init_p
+
+    prompts = [[i + 1, i + 2, i + 3, i + 4] for i in range(5)]
+    kw = dict(num_pages=64, page_size=128, num_slots=2, pages_per_seq=4,
+              kv_dtype=jnp.float32)
+    want = DecodeEngine(params, CFG, **kw).generate(prompts, max_new_tokens=9)
+
+    # a BAD draft (different random init) — still must match exactly
+    d_params = init_p(jax.random.PRNGKey(1), CFG)
+    tgt = DecodeEngine(params, CFG, **kw)
+    draft = DecodeEngine(d_params, CFG, **kw)
+    tgt.attach_draft(draft, gamma=3)
+    got = tgt.generate(prompts, max_new_tokens=9, burst=4)
+    assert got == want
+    assert tgt.spec_stats["rounds"] > 0
+    # pages reclaimed on BOTH engines after retirement
+    assert len(tgt.allocator.free_pages) == tgt.pools.k[0].shape[1] - 1
+    assert len(draft.allocator.free_pages) == draft.pools.k[0].shape[1] - 1
+
+    # a PERFECT draft (same params): high acceptance, same output
+    tgt2 = DecodeEngine(params, CFG, **kw)
+    draft2 = DecodeEngine(params, CFG, **kw)
+    tgt2.attach_draft(draft2, gamma=3)
+    got2 = tgt2.generate(prompts, max_new_tokens=9, burst=4)
+    assert got2 == want
+    s = tgt2.spec_stats
+    assert s["accepted"] / max(s["proposed"], 1) > 0.9  # near-total acceptance
+
+
+def test_speculative_serving_eos(params):
+    prompts = [[5, 7, 11, 13, 17]]
+    base = DecodeEngine(
+        params, CFG, num_pages=16, page_size=128, num_slots=1,
+        pages_per_seq=4, kv_dtype=jnp.float32,
+    )
+    ref = base.generate(prompts, max_new_tokens=10)[0]
+    eos = ref[3]
+    kw = dict(num_pages=32, page_size=128, num_slots=1, pages_per_seq=4,
+              kv_dtype=jnp.float32, eos_token=eos)
+    want = DecodeEngine(params, CFG, **kw).generate(
+        prompts, max_new_tokens=10)[0]
+    tgt = DecodeEngine(params, CFG, **kw)
+    draft = DecodeEngine(params, CFG, **kw)
+    tgt.attach_draft(draft, gamma=3)
+    got = tgt.generate(prompts, max_new_tokens=10, burst=8)[0]
+    assert got == want
+    assert got[-1] == eos
