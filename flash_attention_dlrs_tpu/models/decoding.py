@@ -487,3 +487,50 @@ def write_prompt_kv(
     new_k[layer] = new_k[layer].at[:, pages].set(k.astype(new_k[layer].dtype))
     new_v[layer] = new_v[layer].at[:, pages].set(v.astype(new_v[layer].dtype))
     return KVPools(tuple(new_k), tuple(new_v), None, None)
+
+
+@functools.partial(jax.jit, static_argnames=("page_size",),
+                   donate_argnums=(0,))
+def write_prompt_kv_all(
+    pools: KVPools,
+    kvs,  # tuple of (k, v) per layer, each [1, Hkv, T_pad, d]
+    pages: jax.Array,  # [n_pages] int32
+    page_size: int,
+) -> KVPools:
+    """All-layers admission write in ONE device dispatch.
+
+    The eager per-layer write_prompt_kv loop costs 4+ dispatches per layer
+    per admission (slice, quantize, two scatters) — ~140 ms of pure
+    dispatch overhead per admit on a 16-layer model through the remote
+    tunnel, vs ~6 ms of actual prefill compute.  Tracing the whole loop
+    under one jit collapses it to a single program."""
+    n = pages.shape[0]
+    for li, (k, v) in enumerate(kvs):
+        pools = write_prompt_kv(
+            pools, li,
+            (k[0, :, : n * page_size], v[0, :, : n * page_size]),
+            pages, page_size,
+        )
+    return pools
+
+
+@functools.partial(jax.jit, static_argnames=("page_size",),
+                   donate_argnums=(0,))
+def write_prompt_kv_batch(
+    pools: KVPools,
+    kvs,  # tuple of (k, v) per layer, each [n, Hkv, T_pad, d]
+    pages_b: jax.Array,  # [n, max_pages] int32, NULL-page padded rows
+    page_size: int,
+) -> KVPools:
+    """Batched admission write: every slot's every layer in ONE dispatch
+    (offline fixed-batch admission).  Rows of ``pages_b`` are padded to a
+    common width with the null page — padding writes land there and are
+    never read (the same scratch contract as frozen burst slots)."""
+    n, max_pages = pages_b.shape
+    for i in range(n):
+        for li, (k, v) in enumerate(kvs):
+            kw = k[i, :, : max_pages * page_size]
+            vw = v[i, :, : max_pages * page_size]
+            pools = write_prompt_kv(pools, li, (kw, vw), pages_b[i],
+                                    page_size)
+    return pools

@@ -29,6 +29,8 @@ from ..models.decoding import (
     make_prefill,
     make_verify_step,
     write_prompt_kv,
+    write_prompt_kv_all,
+    write_prompt_kv_batch,
 )
 from ..models.transformer import ModelConfig
 from .native_alloc import make_page_allocator
@@ -406,8 +408,8 @@ class DecodeEngine:
             n_pages_prompt = resident // self.page_size
         else:
             n_pages_prompt = -(-t // self.page_size)
-        for li, (k, v) in enumerate(kvs):
-            if long_ring:
+        if long_ring:
+            for li, (k, v) in enumerate(kvs):
                 ring_k = jnp.roll(k[0, :, t - w:t], (t - sk) % w, axis=1)
                 ring_v = jnp.roll(v[0, :, t - w:t], (t - sk) % w, axis=1)
                 if sk:
@@ -415,13 +417,16 @@ class DecodeEngine:
                     vw = jnp.concatenate([v[0, :, :sk], ring_v], axis=1)
                 else:
                     kw, vw = ring_k, ring_v
-            else:
-                kw = k[0, :, :n_pages_prompt * self.page_size]
-                vw = v[0, :, :n_pages_prompt * self.page_size]
-            self.pools = write_prompt_kv(
-                self.pools, li, (kw, vw),
-                jnp.asarray(pages[:n_pages_prompt]),
-                self.page_size,
+                self.pools = write_prompt_kv(
+                    self.pools, li, (kw, vw),
+                    jnp.asarray(pages[:n_pages_prompt]),
+                    self.page_size,
+                )
+        else:
+            # one dispatch for all layers (write_prompt_kv_all docstring)
+            self.pools = write_prompt_kv_all(
+                self.pools, tuple(kvs),
+                jnp.asarray(pages[:n_pages_prompt]), self.page_size,
             )
         self.allocator.seq_lengths[req.request_id] = t
         sp = req.sampling or GREEDY
@@ -507,6 +512,68 @@ class DecodeEngine:
                 logits[:1, -1], jnp.asarray([first_token]))[0]))
         self.slot_request[slot] = req
         self._slot_next_token[slot] = first_token
+
+    def _admit_batch(self, reqs: Sequence[Request],
+                     slots: Sequence[int]) -> None:
+        """Admit a group of requests with ONE prefill dispatch, ONE
+        KV-write dispatch, and ONE sampling readback (offline fixed-batch
+        paths — generate_fused / generate_speculative*).  The per-request
+        _admit path costs a prefill + an all-layers write + a blocking
+        first-token readback EACH (~32 ms warm through the remote tunnel);
+        batching makes admission O(1) dispatches in the batch size.
+
+        Falls back to per-request admission for chunked-prefill and ring
+        modes (their write paths are per-sequence by construction)."""
+        if self.prefill_chunk or self._wrap or len(reqs) == 1:
+            for r, s in zip(reqs, slots):
+                self._admit(r, s)
+            return
+        n = len(reqs)
+        ts = [len(r.prompt_tokens) for r in reqs]
+        t_pad = _next_pow2(max(ts))
+        toks = np.zeros((n, t_pad), np.int32)
+        extra = self.spec_gamma if self.spec_draft is not None else 0
+        max_pages = 0
+        for i, r in enumerate(reqs):
+            toks[i, : ts[i]] = r.prompt_tokens
+            need = -(-(ts[i] + r.max_new_tokens + extra) // self.page_size)
+            if need > self.pages_per_seq:
+                raise ValueError(
+                    f"request {r.request_id!r} needs {need} pages but "
+                    f"pages_per_seq={self.pages_per_seq}"
+                )
+            self.allocator.allocate(
+                r.request_id, ts[i] + r.max_new_tokens + extra)
+            max_pages = max(max_pages, -(-ts[i] // self.page_size))
+        pages_b = np.full((n, max_pages), self._null_page, np.int32)
+        for i, r in enumerate(reqs):
+            pp = self.allocator.page_tables[r.request_id]
+            npp = -(-ts[i] // self.page_size)
+            pages_b[i, :npp] = pp[:npp]
+
+        lengths = jnp.asarray(ts, jnp.int32)
+        logits, kvs = self._prefill(self.params, jnp.asarray(toks), lengths)
+        self.pools = write_prompt_kv_batch(
+            self.pools, tuple(kvs), jnp.asarray(pages_b), self.page_size
+        )
+        sps = [r.sampling or GREEDY for r in reqs]
+        temp, top_k, top_p, seeds = batch_params(sps)
+        first = np.asarray(sample_tokens(
+            logits, temp, top_k, top_p, seeds, lengths
+        ))  # ONE readback for the whole group
+        lps = None
+        if any(r.want_logprobs for r in reqs):
+            lps = np.asarray(_token_logprobs(logits, jnp.asarray(first)))
+        for i, (r, slot) in enumerate(zip(reqs, slots)):
+            self.allocator.seq_lengths[r.request_id] = ts[i]
+            tok = int(first[i])
+            r.output_tokens.append(tok)
+            if r.want_logprobs and lps is not None:
+                r.output_logprobs.append(float(lps[i]))
+            self.slot_request[slot] = r
+            self._slot_next_token[slot] = tok
+            if self.spec_draft is not None:
+                self._mirror_admit(r, slot)
 
     def _retire(self, req: Request, slot: int) -> None:
         self.allocator.free(req.request_id)
@@ -1069,9 +1136,10 @@ class DecodeEngine:
                     max_new_tokens=max_new_tokens, eos_token=self.eos_token)
             for i, p in enumerate(prompts)
         ]
-        for slot, (r, dr) in enumerate(zip(reqs, d_reqs)):
-            self._admit(r, slot)
-            draft._admit(dr, slot)
+        slots = list(range(n))
+        self._admit_batch(reqs, slots)
+        draft._admit_batch(d_reqs, slots)
+        for slot, r in enumerate(reqs):
             # The draft conditions on the TARGET's committed stream.
             draft._slot_next_token[slot] = r.output_tokens[0]
         sids = [r.request_id for r in reqs]
@@ -1234,9 +1302,9 @@ class DecodeEngine:
                     max_new_tokens=max_new_tokens, eos_token=self.eos_token)
             for i, p in enumerate(prompts)
         ]
-        for slot, (r, dr) in enumerate(zip(reqs, d_reqs)):
-            self._admit(r, slot)
-            draft._admit(dr, slot)
+        slots = list(range(n))
+        self._admit_batch(reqs, slots)
+        draft._admit_batch(d_reqs, slots)
         sids = [r.request_id for r in reqs]
         outputs = [[r.output_tokens[0]] for r in reqs]
         max_new = max_new_tokens - 1  # first token came from prefill
@@ -1336,8 +1404,7 @@ class DecodeEngine:
                     sampling=sp)
             for i, p in enumerate(prompts)
         ]
-        for slot, r in enumerate(reqs):
-            self._admit(r, slot)
+        self._admit_batch(reqs, list(range(n)))
         sids = [r.request_id for r in reqs]
         outputs = [[r.output_tokens[0]] for r in reqs]
         max_new = max_new_tokens - 1
