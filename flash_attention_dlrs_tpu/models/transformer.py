@@ -288,12 +288,19 @@ def layer_window(cfg: ModelConfig, layer_idx: int) -> int:
 def attention_block(layer, x, positions, cfg: ModelConfig, *,
                     layer_idx: int = 0, dropout_seed=None, interpret=None):
     b, n, dm = x.shape
+    from jax.ad_checkpoint import checkpoint_name
+
     h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-    q = _proj(h, layer["wq"], layer.get("bq")).reshape(
+    # Named so remat_policy="save_matmuls" can pin every projection output
+    # (see forward_hidden): backward recompute then has NO matmuls left.
+    q = checkpoint_name(
+        _proj(h, layer["wq"], layer.get("bq")), "attn_q").reshape(
         b, n, cfg.n_q_heads, cfg.head_dim)
-    k = _proj(h, layer["wk"], layer.get("bk")).reshape(
+    k = checkpoint_name(
+        _proj(h, layer["wk"], layer.get("bk")), "attn_k").reshape(
         b, n, cfg.n_kv_heads, cfg.head_dim)
-    v = _proj(h, layer["wv"], layer.get("bv")).reshape(
+    v = checkpoint_name(
+        _proj(h, layer["wv"], layer.get("bv")), "attn_v").reshape(
         b, n, cfg.n_kv_heads, cfg.head_dim)
     slopes = None
     if cfg.position_encoding == "alibi":
@@ -317,7 +324,7 @@ def attention_block(layer, x, positions, cfg: ModelConfig, *,
         interpret=interpret,
     )
     o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.n_q_heads * cfg.head_dim)
-    out = _proj(o, layer["wo"])
+    out = checkpoint_name(_proj(o, layer["wo"]), "attn_wo")
     if "post_attn_norm" in layer:  # Gemma-2 sandwich norm
         out = rms_norm(out, layer["post_attn_norm"], cfg.norm_eps)
     return x + out
@@ -338,7 +345,7 @@ def mlp_block(layer, x, eps: float = 1e-6, act: str = "silu"):
     else:
         g32 = jax.nn.silu(g32)
     gated = g32.astype(x.dtype) * up
-    out = _proj(gated, layer["w_down"])
+    out = checkpoint_name(_proj(gated, layer["w_down"]), "mlp_down")
     if "post_mlp_norm" in layer:  # Gemma-2 sandwich norm
         out = rms_norm(out, layer["post_mlp_norm"], eps)
     return x + out
@@ -385,6 +392,17 @@ def forward_hidden(
             # chunked CE free their HBM.
             policy = jax.checkpoint_policies.save_only_these_names(
                 "flash_o", "flash_lse", "mlp_gate", "mlp_up"
+            )
+            ckpt_block = jax.checkpoint(block, policy=policy)
+        elif cfg.remat_policy == "save_matmuls":
+            # save_dots + the two priciest remaining recomputes (wo and
+            # w_down outputs, ~2 TF/layer of the ~3.4 TF/layer save_dots
+            # recompute): backward re-runs only qkv + elementwise.  Pinning
+            # ALL projections (q/k/v too) measured 1.37 GB past HBM at the
+            # bench shape; this subset (+0.25 GB/layer) fits.
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "flash_o", "flash_lse", "mlp_gate", "mlp_up", "mlp_down",
+                "attn_wo",
             )
             ckpt_block = jax.checkpoint(block, policy=policy)
         else:
@@ -467,6 +485,9 @@ def chunked_cross_entropy(
     def body(carry, sl):
         return carry + chunk_nll(*sl), None
 
+    # (Unrolling this scan measured NEGATIVE on v5e — 0.613 vs 0.636 MFU
+    # at the bench shape: the unrolled chunk bodies raise peak residency
+    # and XLA's scheduler loses more than the loop overhead costs.)
     total, _ = jax.lax.scan(body, jnp.float32(0.0), (xs, ts))
     return total / (b * n)
 

@@ -185,7 +185,33 @@ def _decode_kernel(
 
         int8_k = (jnp.dtype(k_buf.dtype) == jnp.int8 and not int4
                   and s8_scores)
-        if int8_k:
+        int4_s8 = int4 and s8_scores
+        if int4_s8:
+            # Nibble-planar s8 score dots: the low/high nibble planes each
+            # feed the MXU's native s8×s8→s32 path as their own half-dot,
+            # and the token-order assembly happens on the [rows, bk]
+            # RESULT — d=128× smaller than concatenating unpacked K (the
+            # old path's [bk, d] int32 concat + f32 materialization is
+            # what pinned int4 ABOVE int8's wall time at half the bytes).
+            # Split-half packing (quantization.pack_int4_rows): byte row r
+            # of a page holds logical row r (low nibble) and r + ps/2
+            # (high), so plane rows are page-major contiguous.
+            xi = k_buf[slot].astype(jnp.int32)  # [ppb, ps/2, d]
+            k_i8 = jnp.concatenate(
+                [((xi << 28) >> 28).astype(jnp.int8),
+                 (xi >> 4).astype(jnp.int8)], axis=-2
+            ).reshape(bk, -1)  # narrow BEFORE the concat: 1/4 the copy bytes
+            qf = q.astype(jnp.float32)
+            qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+            q_i = jnp.round(
+                qf * jnp.where(qa > 0.0, 127.0 / qa, 0.0)
+            ).astype(jnp.int8)
+            s32 = jax.lax.dot_general(
+                q_i, k_i8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            s = s32.astype(jnp.float32) * (qa * (1.0 / 127.0))
+        elif int8_k:
             # int8 K pages never leave int8: quantize the q rows (tiny —
             # rows×d elements) and run the score dot on the MXU's native
             # s8×s8→s32 path.  This skips the per-element int8→bf16 dequant
@@ -476,15 +502,18 @@ def _slope_rows(alibi_slopes, num_q_heads, num_kv_heads, group, group_pad,
     )
 
 
-def _default_pages_per_block(page_size, head_dim, dtype, pages_per_seq):
+def _default_pages_per_block(page_size, head_dim, dtype, pages_per_seq,
+                             int4=False):
     """Target ~1 MiB of K payload per double-buffered DMA block: measured on
     v5e @8K ctx, smaller blocks are DMA-issue-bound (int8 at 2048-token
     blocks: 414 GB/s; at 4096-token blocks: 707 GB/s) and larger ones blow
     the handoff-slot VMEM.  Bytes-based, so int8 blocks carry twice the
-    tokens of bf16."""
+    tokens of bf16 — and int4 (two tokens per stored byte row) twice
+    int8's."""
     isz = jnp.dtype(dtype).itemsize
     target = 1 << 20
-    ppb = max(1, target // (page_size * head_dim * isz))
+    stored = page_size * head_dim * isz // (2 if int4 else 1)
+    ppb = max(1, target // stored)
     # Keep >= 2 blocks per sequence: with a single block per cell the
     # cross-cell handoff prefetch cannot overlap anything (late issue).
     ppb = min(ppb, max(1, pages_per_seq // 2))
@@ -648,7 +677,7 @@ def _paged_decode_local(q, k_vals, v_vals, k_sc, v_sc, lengths,
     pages_per_seq = page_indices.shape[1]
     if pages_per_block is None:
         pages_per_block = _default_pages_per_block(
-            page_size, d_pool, k_vals.dtype, pages_per_seq
+            page_size, d_pool, k_vals.dtype, pages_per_seq, int4=int4
         )
     if pages_per_seq % pages_per_block:
         pad = pages_per_block - pages_per_seq % pages_per_block
@@ -741,7 +770,7 @@ def paged_verify_attention(
     pages_per_seq = page_indices.shape[1]
     if pages_per_block is None:
         pages_per_block = _default_pages_per_block(
-            page_size, d_pool, k_vals.dtype, pages_per_seq
+            page_size, d_pool, k_vals.dtype, pages_per_seq, int4=int4
         )
     if pages_per_seq % pages_per_block:
         pad = pages_per_block - pages_per_seq % pages_per_block

@@ -45,7 +45,7 @@ def main():
     # the saved o/lse HBM traffic outweighs the skipped kernel recompute;
     # kept as an option for memory-richer parts.
     ap.add_argument("--remat-policy", default="block",
-                    choices=["block", "save_flash", "save_dots"])
+                    choices=["block", "save_flash", "save_dots", "save_matmuls"])
     ap.add_argument("--remat-skip", type=int, default=0,
                     help="run the last K layers without checkpointing")
     ap.add_argument("--loss-chunk", type=int, default=0,

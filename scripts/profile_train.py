@@ -133,7 +133,7 @@ def main():
     ap.add_argument("--layers", type=int, default=8)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--remat-policy", default="save_dots",
-                    choices=["block", "save_flash", "save_dots"])
+                    choices=["block", "save_flash", "save_dots", "save_matmuls"])
     ap.add_argument("--remat-skip", type=int, default=0)
     ap.add_argument("--loss-chunk", type=int, default=256)
     ap.add_argument("--optimizer", default="adamw8bit",

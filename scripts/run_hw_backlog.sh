@@ -58,17 +58,12 @@ step bench_sweep 7200 scripts/run_bench_suite.py
 # 4. Headline metric (what the driver records).
 step bench_headline 1800 bench.py
 
-# 5. Train-step MFU at the best-known config.
+# 5. Train-step MFU at the best-known config (r5 sweep: remat_skip 3 —
+#    the last 3 layers unrematted — is +3.4 MFU pts over skip 0; skip 4,
+#    save_matmuls, save_flash+skip, loss-chunk 256/1024/2048, and an
+#    unrolled loss scan all measured equal or worse / OOM).
 step bench_train 3600 scripts/bench_train.py --remat-policy save_dots \
-  --loss-chunk 256 --optimizer adamw8bit
-
-# 5b. Retry loss-chunk 512 now that the packed stat layout freed HBM
-#     (OOMed by 1.8 GB before the layout change; if it fits it should beat 5).
-step bench_train_c512 3600 scripts/bench_train.py --remat-policy save_dots \
-  --loss-chunk 512 --optimizer adamw8bit || {
-  echo "chunk512 config failed (likely OOM) — chunk256 stands" \
-    | tee -a "$LOG/summary.log"
-}
+  --loss-chunk 512 --remat-skip 3 --optimizer adamw8bit
 
 # 6. End-to-end serving throughput (engine loop incl. host bookkeeping):
 #    per-token step() loop, then the round-4 device-side burst loop.

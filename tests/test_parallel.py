@@ -205,12 +205,14 @@ def test_head_sharded_paged_decode():
     oq_ref = paged_reference_attention(q, kq, vq, lengths, pidx)
     np.testing.assert_allclose(oq, oq_ref, atol=8e-3, rtol=1e-2)
 
-    # int4-packed pages, same sharding
+    # int4-packed pages, same sharding.  int4 decode ALSO runs the native
+    # s8 score dot (nibble-planar half-dots) with the same per-row
+    # q-quantization error bound as int8 above — same derived tolerance.
     k4, v4 = quantize_kv_pages(kp, "int4"), quantize_kv_pages(vp, "int4")
     fn4 = head_sharded_paged_decode(mesh, quantized="int4")
     o4 = fn4(q, k4, v4, lengths, pidx)
     o4_ref = paged_reference_attention(q, k4, v4, lengths, pidx)
-    np.testing.assert_allclose(o4, o4_ref, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(o4, o4_ref, atol=8e-3, rtol=1e-2)
 
 
 @pytest.mark.parametrize("causal", [False, True])
