@@ -144,23 +144,55 @@ def pick_hb(n_pad: int, head_dim: int, dtype, num_q_heads: int,
     and n=1024 fp32 both compile-OOM without it).  Short panes are
     HBM-bound, so packing more heads per cell amortizes the per-step
     pipeline cost: measured v5e bf16 B=8 H=16 d=128: N=512 47.2 → 54.1
-    TF/s (hb 2 → 8), N=1024 90.9 → 94.8 (hb 2 → 4)."""
-    for hb in (8, 4, 2):
-        if (
-            num_q_heads % hb == 0
-            and (hb % q_per_kv == 0 or q_per_kv % hb == 0)
-            and mid_path_fits(n_pad, head_dim, dtype, hb=hb, margin=1.6)
+    TF/s (hb 2 → 8), N=1024 90.9 → 94.8 (hb 2 → 4).
+
+    r5: the pane call now raises vmem_limit_bytes (scoped_vmem_limit), so
+    short panes can pack the WHOLE head set: measured v5e bf16 B=8 H=16
+    d=128: N=512 57.8 → 72.2 TF/s (hb 16 under the raised limit; the old
+    16 MiB gate capped hb at 8), N=1024 87 → 89.4 at hb=8.  Candidates
+    above 8 are gated against the raised limit, the rest keep the default
+    budget (measured to schedule better at n=2048-class panes)."""
+    def fits_raised(hb_):
+        isz = jnp.dtype(dtype).itemsize
+        sub = pick_sub(n_pad)
+        panes = 2 * hb_ * (4 * n_pad * head_dim * isz + n_pad * 4)
+        if isz == 4:
+            panes = int(panes * 1.25)
+        temps = 3 * sub * sub * 4 + hb_ * n_pad * head_dim * 4
+        return int((panes + temps) * 1.6) <= geo.scoped_vmem_limit()
+
+    for hb in (16, 8, 4, 2):
+        if num_q_heads % hb or not (
+            hb % q_per_kv == 0 or q_per_kv % hb == 0
         ):
+            continue
+        if hb > 8:
+            if n_pad <= 1024 and fits_raised(hb):
+                return hb  # short panes: whole head set, raised limit
+            continue
+        if mid_path_fits(n_pad, head_dim, dtype, hb=hb, margin=1.6):
             return hb
     return 1
 
 
+def pick_bb(n_pad: int, head_dim: int, dtype, batch: int, hb: int) -> int:
+    """Batches per grid cell on top of ``hb`` heads — kept as an explicit
+    knob, default OFF.  Measured v5e bf16 B=8 H=16 d=128 N=512: every
+    (bb>1, hb) combination loses to packing HEADS under the raised VMEM
+    limit (bb=8/hb=1: 66.7, bb=4/hb=2: 68.5, bb=2/hb=8: 69.3 vs hb=16:
+    72.2 TF/s) — at equal bytes/cell the head-packed cell keeps one
+    contiguous-pane DMA stream where the batch-folded block is strided
+    across the batch axis."""
+    del n_pad, head_dim, dtype, batch, hb
+    return 1
+
+
 def _mid_kernel(
-    q_ref,  # [1, hb, n, d] — raw; scores scaled by scale2 post-dot
-    k_ref,  # [1, hb_kv, n, d]
+    q_ref,  # [bb, hb, n, d] — raw; scores scaled by scale2 post-dot
+    k_ref,  # [bb, hb_kv, n, d]
     v_ref,
     o_ref,
-    m_out_ref,  # [1, hb, n/128, 128] f32 packed (layout.py) or None
+    m_out_ref,  # [bb, hb, n/128, 128] f32 packed (layout.py) or None
     linv_out_ref,  # same shape; 1/l (0 on empty rows)
     *,
     n: int,
@@ -172,6 +204,7 @@ def _mid_kernel(
     q_per_kv: int,
     scale2: float,
     interleave: int,
+    bb: int = 1,
 ):
     SUB = sub
     T = n // SUB
@@ -202,8 +235,8 @@ def _mid_kernel(
         def kv_h(j):
             return j // q_per_kv if hb > q_per_kv else 0
 
-        def scores(j, iq, jk, qi):
-            kj = k_ref[0, kv_h(j), jk * SUB:(jk + 1) * SUB, :]
+        def scores(bq, j, iq, jk, qi):
+            kj = k_ref[bq, kv_h(j), jk * SUB:(jk + 1) * SUB, :]
             s = mxu_dot(qi, kj, (((1,), (1,)), ((), ()))) * scale2
             if softcap:
                 s = c2 * jnp.tanh(s * (1.0 / c2))
@@ -220,68 +253,72 @@ def _mid_kernel(
                 s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
             return s
 
-        def vblock(j, jk):
+        def vblock(bq, j, jk):
             return v_payload(
-                v_ref[0, kv_h(j), jk * SUB:(jk + 1) * SUB, :], q_ref.dtype
+                v_ref[bq, kv_h(j), jk * SUB:(jk + 1) * SUB, :], q_ref.dtype
             )
 
-        def init_chain(j, iq, qi):
-            s = scores(j, iq, iq, qi)  # diagonal sub-block seeds the chain
+        def init_chain(bq, j, iq, qi):
+            s = scores(bq, j, iq, iq, qi)  # diagonal seeds the chain
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp2(s - m)
             l = jnp.sum(p, axis=-1, keepdims=True)
-            vb = vblock(j, iq)
+            vb = vblock(bq, j, iq)
             acc = mxu_dot(p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())))
             return m, l, acc
 
-        def merge(j, iq, jk, qi, carry):
+        def merge(bq, j, iq, jk, qi, carry):
             m, l, acc = carry
-            s = scores(j, iq, jk, qi)
+            s = scores(bq, j, iq, jk, qi)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             alpha = jnp.exp2(m - m_new)
             p = jnp.exp2(s - m_new)
             l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            vb = vblock(j, jk)
+            vb = vblock(bq, j, jk)
             acc = acc * alpha + mxu_dot(
                 p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
             )
             return m_new, l, acc
 
         qis = {
-            (j, iq): q_ref[0, j, iq * SUB:(iq + 1) * SUB, :]
-            for j in range(hb) for iq in range(T)
+            (bq, j, iq): q_ref[bq, j, iq * SUB:(iq + 1) * SUB, :]
+            for bq in range(bb) for j in range(hb) for iq in range(T)
         }
         chains = {
-            (j, iq): init_chain(j, iq, qis[j, iq])
-            for j in range(hb) for iq in range(T)
+            key: init_chain(*key, qis[key]) for key in qis
         }
         for jk in range(T - 1):
-            for j in range(hb):
-                for iq in range(jk + 1, T):
-                    if window and jk < jk_lo(iq):
-                        continue
-                    chains[(j, iq)] = merge(
-                        j, iq, jk, qis[j, iq], chains[(j, iq)]
-                    )
-        for (j, iq), (m, l, acc) in chains.items():
+            for bq in range(bb):
+                for j in range(hb):
+                    for iq in range(jk + 1, T):
+                        if window and jk < jk_lo(iq):
+                            continue
+                        key = (bq, j, iq)
+                        chains[key] = merge(
+                            bq, j, iq, jk, qis[key], chains[key]
+                        )
+        for (bq, j, iq), (m, l, acc) in chains.items():
             l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-            o_ref[0, j, iq * SUB:(iq + 1) * SUB, :] = (acc * l_inv).astype(
+            o_ref[bq, j, iq * SUB:(iq + 1) * SUB, :] = (acc * l_inv).astype(
                 o_ref.dtype
             )
             if m_out_ref is not None:
                 m_out = jnp.where(l == 0.0, -DEFAULT_MASK_VALUE, m)
                 rs = SUB // geo.NUM_LANES
-                m_out_ref[0, j, iq * rs:(iq + 1) * rs, :] = (
+                m_out_ref[bq, j, iq * rs:(iq + 1) * rs, :] = (
                     layout.column_to_lanes(m_out)
                 )
-                linv_out_ref[0, j, iq * rs:(iq + 1) * rs, :] = (
+                linv_out_ref[bq, j, iq * rs:(iq + 1) * rs, :] = (
                     layout.column_to_lanes(l_inv[:, :1])
                 )
         return
 
-    for j, iq in [(j_, iq_) for j_ in range(hb) for iq_ in range(T)]:
+    for bq, j, iq in [
+        (b_, j_, iq_) for b_ in range(bb) for j_ in range(hb)
+        for iq_ in range(T)
+    ]:
         jkv_h = j // q_per_kv if hb > q_per_kv else 0
-        qi = q_ref[0, j, iq * SUB:(iq + 1) * SUB, :]
+        qi = q_ref[bq, j, iq * SUB:(iq + 1) * SUB, :]
         m = None
         l = None
         acc = None
@@ -290,7 +327,7 @@ def _mid_kernel(
             # first kv sub-block the row block's window can reach
             jk_lo = max(0, (iq * SUB - window + 1) // SUB)
         for jk in range(jk_lo, iq + 1):
-            kj = k_ref[0, jkv_h, jk * SUB:(jk + 1) * SUB, :]
+            kj = k_ref[bq, jkv_h, jk * SUB:(jk + 1) * SUB, :]
             s = mxu_dot(qi, kj, (((1,), (1,)), ((), ()))) * scale2
             if softcap:
                 c2 = softcap * LOG2E
@@ -313,7 +350,7 @@ def _mid_kernel(
                 p = jnp.exp2(s - m)
                 l = jnp.sum(p, axis=-1, keepdims=True)
                 vb = v_payload(
-                    v_ref[0, jkv_h, jk * SUB:(jk + 1) * SUB, :],
+                    v_ref[bq, jkv_h, jk * SUB:(jk + 1) * SUB, :],
                     q_ref.dtype,
                 )
                 acc = mxu_dot(
@@ -325,7 +362,7 @@ def _mid_kernel(
                 p = jnp.exp2(s - m_new)
                 l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
                 vb = v_payload(
-                    v_ref[0, jkv_h, jk * SUB:(jk + 1) * SUB, :],
+                    v_ref[bq, jkv_h, jk * SUB:(jk + 1) * SUB, :],
                     q_ref.dtype,
                 )
                 acc = acc * alpha + mxu_dot(
@@ -334,7 +371,7 @@ def _mid_kernel(
                 m = m_new
             del s
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0, j, iq * SUB:(iq + 1) * SUB, :] = (acc * l_inv).astype(
+        o_ref[bq, j, iq * SUB:(iq + 1) * SUB, :] = (acc * l_inv).astype(
             o_ref.dtype
         )
         if m_out_ref is not None:
@@ -342,10 +379,10 @@ def _mid_kernel(
             # combined lse is NOT stored (bit-cancelling backward recompute).
             m_out = jnp.where(l == 0.0, -DEFAULT_MASK_VALUE, m)
             rs = SUB // geo.NUM_LANES
-            m_out_ref[0, j, iq * rs:(iq + 1) * rs, :] = (
+            m_out_ref[bq, j, iq * rs:(iq + 1) * rs, :] = (
                 layout.column_to_lanes(m_out)
             )
-            linv_out_ref[0, j, iq * rs:(iq + 1) * rs, :] = (
+            linv_out_ref[bq, j, iq * rs:(iq + 1) * rs, :] = (
                 layout.column_to_lanes(l_inv[:, :1])
             )
 
@@ -354,7 +391,7 @@ def _mid_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "kv_len", "window", "softcap", "save_residuals",
-        "interpret", "sub", "hb", "interleave",
+        "interpret", "sub", "hb", "interleave", "bb",
     ),
 )
 def fwd_mid_pallas(
@@ -371,11 +408,15 @@ def fwd_mid_pallas(
     sub: int | None = None,
     hb: int | None = None,
     interleave: int = 0,
+    bb: int | None = None,
 ):
     """Causal attention for padded [B, H, n, d], 512 < n ≤ MAX_MID_N.
 
     Same contract as fwd_pallas restricted to causal self-attention without
-    packed segments.
+    packed segments.  ``bb`` folds that many BATCHES into one grid cell
+    (with ``hb`` heads): short panes are DMA-ramp-bound (the per-cell cold
+    fetch dominates when compute per cell is ~10 µs), so fewer, bigger
+    cells with more pipelined bytes per step is the lever — see pick_bb.
     """
     batch, num_q_heads, n, head_dim = q.shape
     num_kv_heads = k.shape[1]
@@ -388,12 +429,15 @@ def fwd_mid_pallas(
     assert (n // sub) * (n // sub + 1) // 2 <= 2 * MAX_SUB_PAIRS, (n, sub)
     if hb is None:
         hb = pick_hb(n, head_dim, q.dtype, num_q_heads, q_per_kv)
+    if bb is None:
+        bb = pick_bb(n, head_dim, q.dtype, batch, hb)
+    assert batch % bb == 0, (batch, bb)
     hb_kv = hb // q_per_kv if hb % q_per_kv == 0 else 1
     kernel = functools.partial(
         _mid_kernel,
         n=n, kv_len=kv_len, window=window, softcap=float(softcap), sub=sub,
         hb=hb, q_per_kv=q_per_kv, scale2=float(sm_scale) * LOG2E,
-        interleave=interleave,
+        interleave=interleave, bb=bb,
     )
     if not save_residuals:
         inner = kernel
@@ -401,20 +445,20 @@ def fwd_mid_pallas(
         def kernel(q_r, k_r, v_r, o_r):  # noqa: F811
             return inner(q_r, k_r, v_r, o_r, None, None)
 
-    grid = (batch, num_q_heads // hb)
-    q_spec = pl.BlockSpec((1, hb, n, head_dim), lambda b, h: (b, h, 0, 0))
+    grid = (batch // bb, num_q_heads // hb)
+    q_spec = pl.BlockSpec((bb, hb, n, head_dim), lambda b, h: (b, h, 0, 0))
     if hb % q_per_kv == 0:
         kv_index = lambda b, h: (b, h, 0, 0)  # cell owns whole kv groups
     else:
         kv_index = lambda b, h: (b, (h * hb) // q_per_kv, 0, 0)
-    kv_spec = pl.BlockSpec((1, hb_kv, n, head_dim), kv_index)
+    kv_spec = pl.BlockSpec((bb, hb_kv, n, head_dim), kv_index)
     out_specs = [q_spec]
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
     if save_residuals:
         for _ in range(2):  # m then linv, same packed layout
             out_specs.append(
                 pl.BlockSpec(
-                    (1, hb, n // geo.NUM_LANES, geo.NUM_LANES),
+                    (bb, hb, n // geo.NUM_LANES, geo.NUM_LANES),
                     lambda b, h: (b, h, 0, 0),
                 )
             )
@@ -432,6 +476,7 @@ def fwd_mid_pallas(
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=geo.scoped_vmem_limit(),
         ),
         interpret=interpret,
     )(q, k, v)

@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument(
         "--cfg", nargs="*", default=None,
-        help="hb,sub,interleave tuples e.g. 8,256,1 (hb=0 -> auto)",
+        help="hb,sub,interleave[,bb] tuples e.g. 8,256,1,2 (0 -> auto)",
     )
     args = ap.parse_args()
     b, h, d = args.b, args.h, args.d
@@ -42,12 +42,15 @@ def main():
         cfgs = args.cfg or ["0,0,0", "0,0,1", "8,256,1", "4,256,1"]
         for c in cfgs:
             parts = [int(x) for x in c.split(",")]
-            hb, sub, il = parts
+            hb, sub, il = parts[:3]
+            bb = parts[3] if len(parts) > 3 else 0
             kw = {}
             if hb:
                 kw["hb"] = hb
             if sub:
                 kw["sub"] = sub
+            if bb:
+                kw["bb"] = bb
 
             def run(q_, k_, v_):
                 o, _ = fwd_mid.fwd_mid_pallas(
@@ -62,7 +65,8 @@ def main():
                 print(f"n={n} cfg={c}: FAIL {type(e).__name__}: {str(e)[:120]}")
                 continue
             print(
-                f"n={n} hb={hb or 'auto'} sub={sub or 'auto'} il={il}: "
+                f"n={n} hb={hb or 'auto'} sub={sub or 'auto'} il={il} "
+                f"bb={bb or 'auto'}: "
                 f"{sec*1e6:8.1f} us  {fl/sec/1e12:6.1f} TF/s",
                 flush=True,
             )
