@@ -77,6 +77,20 @@ step bench_serving_burst 3600 scripts/bench_serving.py --burst 16 \
     | tee -a "$LOG/summary.log"
 }
 
+# 6b. Speculative CONTINUOUS-BATCHING serving (r5: attach_draft +
+#     device-side spec rounds inside step_burst) — spec vs plain at B=8
+#     on the 180M target with real prompts (acceptance is data-dependent).
+[ -f /tmp/code_corpus/val.bin ] || step make_corpus 1800 scripts/make_corpus.py
+if [ -d bench_out/lm180m/params_only ] && [ -d bench_out/lm_draft/params_only ]; then
+  step bench_serving_spec 3600 scripts/bench_serving.py --speculative \
+    --target-ckpt bench_out/lm180m --draft-ckpt bench_out/lm_draft \
+    --batches 8 --kv bf16 --ctx 512 --new-tokens 128 --burst 16 --gamma 4 \
+    --data /tmp/code_corpus --out bench_out/serving_spec.json || {
+    echo "spec serving bench failed — see $LOG/bench_serving_spec.log, continuing" \
+      | tee -a "$LOG/summary.log"
+  }
+fi
+
 # 7. Paged decode bench: bf16/int8/int4/fp8 rows at 8K ctx -> decode_8k.json.
 step bench_decode 2400 scripts/bench_decode.py --ctx 8192 --batches 8 || {
   echo "decode bench failed — see $LOG/bench_decode.log, continuing" \
