@@ -524,3 +524,16 @@ def test_speculative_serving_eos(params):
     got = tgt.generate(prompts, max_new_tokens=10, burst=8)[0]
     assert got == want
     assert got[-1] == eos
+
+
+def test_generate_fused_ragged_prompt_lengths(params):
+    """_admit_batch pads ragged prompts to one prefill call and null-pads
+    per-slot page rows — output must match the per-request admission path
+    exactly."""
+    prompts = [[5, 7, 11], [3, 1, 4, 1, 5, 9, 2, 6], [2, 7, 1, 8, 2, 8]]
+    kw = dict(num_pages=32, page_size=128, num_slots=3, pages_per_seq=4,
+              kv_dtype=jnp.float32)
+    want = DecodeEngine(params, CFG, **kw).generate(prompts, max_new_tokens=6)
+    got = DecodeEngine(params, CFG, **kw).generate_fused(
+        prompts, max_new_tokens=6)
+    assert got == want
