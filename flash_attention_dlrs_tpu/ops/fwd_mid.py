@@ -71,8 +71,11 @@ _ABLATE = os.environ.get("FA_STRIP_ABLATE", "")
 # sum below it is +1.3 (150.0 → 151.3 at the r5 headline config) — the
 # bf16 p halves the lane-sum adds and the PV-dot cast that remain on the
 # hot path once the reduction trees are gone.  Default: ON for bf16
-# inputs only (p feeds the PV dot as bf16 anyway; fp32 inputs keep the
-# full-precision exp2).  FA_STRIP_EXP_BF16=0/1 forces.
+# inputs on the NO-residual (inference) path only (p feeds the PV dot as
+# bf16 anyway; fp32 inputs keep the full-precision exp2, and the
+# residual-saving path keeps f32 so the published 1/l matches the
+# backward's recompute — see the kernel's exp_bf16 gate).
+# FA_STRIP_EXP_BF16=0/1 forces the dtype half of the gate.
 _EXP_BF16 = os.environ.get("FA_STRIP_EXP_BF16", "")
 
 
@@ -575,11 +578,18 @@ def _mid_strip_kernel(
     c2 = softcap * LOG2E if softcap else 0.0
     # Fold sm_scale·log2e into q once per strip (one [strip, d] pass)
     # instead of scaling every [rows, width] score block (n²/2 multiplies
-    # per pane).  The rounding lands in the input dtype — for bf16 inputs
-    # that is the class of error bf16 q already carries; fp32 inputs keep
-    # an fp32 multiply.
-    prescale = pipeline in (2, 5)
+    # per pane) — NO-residual (inference) path only: the backward
+    # recomputes s₂ with the scale applied to the fp32 scores POST-dot
+    # (the op order the residuals must bit-cancel against — see
+    # fwd_kernel epilogue / README numerics), and a bf16-prescaled q
+    # breaks that cancellation (hardware probe: GQA N=2048 bf16 dv err
+    # 3.12e-2 → 6.25e-2).  Same gate for bf16 exp2: its ~2^-9 p-rowsum
+    # noise lands in the published 1/l the backward divides by.  The
+    # headline bench runs without residuals and keeps both wins.
+    inference = m_out_ref is None
+    prescale = pipeline in (2, 5) and inference
     eff_scale = 1.0 if prescale else scale2
+    exp_bf16 = _use_exp_bf16(q_ref.dtype) and inference
 
     def _lane_sum(p):
         """Row-sum of p, either fully reduced [rows, 1] or (deferred mode)
@@ -645,7 +655,7 @@ def _mid_strip_kernel(
             return m, l, acc
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp2(m - m_new)
-        if _use_exp_bf16(q_ref.dtype):
+        if exp_bf16:
             # bf16 exp2: p feeds the PV dot as bf16 ANYWAY, so only l's
             # rowsum sees the rounding (~2^-9/√width relative — inside the
             # bf16 path's envelope).  Halves the VPU transcendental cost.
