@@ -65,6 +65,24 @@ SUB = 256
 # Used by the DESIGN.md ceiling decomposition; never set in production.
 _ABLATE = os.environ.get("FA_STRIP_ABLATE", "")
 
+# Static-bound softmax shift (inference/pipeline=2 path): replace the
+# running row-max chain with the per-row Cauchy–Schwarz bound
+# m_r = ‖q_r·scale₂‖₂ · max_j‖k_j‖₂ − 10.  Softmax is shift-invariant, so
+# ANY m within f32's exponent range of the true row max computes the same
+# normalized output — the bound guarantees s − m ≤ 10 (no overflow: p ≤
+# 2^10, l ≤ n·2^10), and underflow needs the bound to be ≥ ~115 bits
+# loose, i.e. scale·‖q‖‖k‖ ≥ 2^115 · e^(true max) — unreachable for any
+# real activation distribution (N(0,1) data at d=128 measures ~13 bits
+# loose; the −10 recenter returns most of them).  What it buys: every
+# merge drops the serial max-tree / maximum / alpha-exp / two alpha
+# rescales and becomes exp2 → lane-sum → PV-dot, the last VPU item the
+# ceiling decomposition charges (~5 TF/s: nomax ablation 156.3 vs 151.3).
+# The two O(n·d) norm passes (k once per cell, q once per chain) are
+# <0.5% of cell time.  Residual/training paths keep the exact running
+# max (the backward's (m, 1/l) contract pins m to the true row max).
+# Set FA_STRIP_STATICMAX=0 to fall back to the running-max chain.
+_STATIC_MAX = os.environ.get("FA_STRIP_STATICMAX", "")
+
 # bf16 softmax-p in the strip kernel's visible-block merges — see
 # merge_scores.  Alone it measured NEGATIVE on v5e (143.9 vs 147.0 TF/s:
 # the VPU's exp2 is f32 internally) but COMBINED with the deferred lane
@@ -555,6 +573,7 @@ def _mid_strip_kernel(
     q_ref,  # [1, 1, strip, d] — raw; scores scaled by scale2 post-dot
     k_ref,  # [1, 1, n, d] (whole pane, constant along the strip axis)
     v_ref,
+    ms_ref,  # [1, 1, 1, LANES] f32 per-cell static softmax shift, or None
     o_ref,
     m_out_ref,  # [1, 1, strip/128, 128] f32 packed or None
     linv_out_ref,
@@ -590,6 +609,11 @@ def _mid_strip_kernel(
     prescale = pipeline in (2, 5) and inference
     eff_scale = 1.0 if prescale else scale2
     exp_bf16 = _use_exp_bf16(q_ref.dtype) and inference
+    # Static-bound softmax shift — see the _STATIC_MAX knob comment.  The
+    # wrapper gates it (inference + pipeline=2) and precomputes the bound;
+    # the chain carry's m slot holds the STATIC shift and merges never
+    # touch it (no max tree, no alpha rescale).
+    static_max = ms_ref is not None
 
     def _lane_sum(p):
         """Row-sum of p, either fully reduced [rows, 1] or (deferred mode)
@@ -643,6 +667,17 @@ def _mid_strip_kernel(
                 jax.lax.broadcasted_iota(jnp.int32, (hgt, width), 1) + col0
             ) < window
             s = jnp.where(wm, s, DEFAULT_MASK_VALUE)
+        if static_max:
+            # m is the chain's static shift (s − m ≤ 10 by construction):
+            # pure accumulate — no max tree, no alpha, no rescales.
+            p = (jnp.exp2((s - m).astype(jnp.bfloat16))
+                 if exp_bf16 else jnp.exp2(s - m))
+            l = l + _lane_sum(p.astype(jnp.float32))
+            vb = v_payload(kv_slice(v_ref, col0, width), q_ref.dtype)
+            acc = acc + mxu_dot(
+                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            )
+            return m, l, acc
         if _ABLATE == "nomax":  # timing probe: skip the running-max chain
             p = jnp.exp2(s - 1.0) if not _use_exp_bf16(
                 q_ref.dtype) else jnp.exp2((s - 1.0).astype(jnp.bfloat16))
@@ -693,7 +728,7 @@ def _mid_strip_kernel(
     # Mosaic loses the static addressing on the hot operand loads.
     strip0 = 0 if strip == n else t * strip
 
-    def diag_merge(qi, row0):
+    def diag_merge(qi, row0, m_static=None):
         """Diagonal sub-block: static triangular mask, dynamic K/V slice."""
         kj = kv_slice(k_ref, row0, sub)
         s = mxu_dot(qi, kj, (((1,), (1,)), ((), ())))
@@ -713,6 +748,13 @@ def _mid_strip_kernel(
             # padded rows come out l=0 (-> linv=0 residual, clean backward)
             mask = jnp.logical_and(mask, (col + row0) < kv_len)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        if m_static is not None:  # static-bound chain seed
+            p = (jnp.exp2((s - m_static).astype(jnp.bfloat16))
+                 if exp_bf16 else jnp.exp2(s - m_static))
+            l = _lane_sum(p.astype(jnp.float32))
+            vb = v_payload(kv_slice(v_ref, row0, sub), q_ref.dtype)
+            acc = mxu_dot(p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())))
+            return m_static, l, acc
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
         l = _lane_sum(p)
@@ -731,6 +773,22 @@ def _mid_strip_kernel(
         qis = [
             q_ref[0, 0, iq * sub:(iq + 1) * sub, :] for iq in range(t_strip)
         ]
+
+    if static_max:
+        # Per-CELL static shift, computed by the WRAPPER as one fused XLA
+        # pass over q/k in HBM (~40 µs total at the headline shape) —
+        # computing the norms in-kernel measured 1.7 µs/cell of VPU
+        # (147 TF/s vs nomax's 156: the whole win eaten).  It arrives as
+        # a PREFETCHED SMEM scalar, not a VMEM stream: a 4th BlockSpec
+        # input measured ~1 µs/cell of pipeline overhead (148.7 TF/s).
+        # A single scalar per (batch, head) costs only the q-row-norm
+        # spread within the pane in bound looseness (fractions of a bit
+        # for typical activations) against a ~115-bit safety margin.
+        mv = ms_ref[pl.program_id(0) * pl.num_programs(1)
+                    + pl.program_id(1)]
+        m_rows = [mv] * t_strip
+    else:
+        m_rows = [None] * t_strip
 
     def tall_merge(r0, col0, width, chains, first):
         """Merge one fully-visible [tall, width] column block into every
@@ -908,7 +966,7 @@ def _mid_strip_kernel(
         # ILP, overlapping one chain's MXU score dots with another's VPU
         # max/exp/sum chain (measured v5e N=4096 strip=n: 139.9 -> see
         # docs/DESIGN.md ablation).
-        carries = [diag_merge(qis[iq], strip0 + iq * sub)
+        carries = [diag_merge(qis[iq], strip0 + iq * sub, m_rows[iq])
                    for iq in range(t_strip)]
         # Column-synchronized: every chain merges the SAME column block
         # before any chain advances — one K block in hot VMEM serves
@@ -1105,18 +1163,45 @@ def fwd_mid_strip_pallas(
         strip=strip, wide=wide, scale2=float(sm_scale) * LOG2E,
         pipeline=pipeline, wide_static=wide_static,
     )
-    if not save_residuals:
-        inner = kernel
+    # Static-bound softmax shift (see _STATIC_MAX): inference-only, and
+    # only the pipeline=2 emission implements the static chain.  One fused
+    # XLA pass over q/k at HBM bandwidth; per (batch, q-head) scalar
+    # m = sm_scale·log2e·max_r‖q_r‖·max_j‖k_j‖ − 10 (zero-padded rows
+    # contribute zero norms — harmless for a max bound).
+    static_max = (
+        not save_residuals and pipeline == 2 and not _ABLATE
+        and _STATIC_MAX != "0"
+    )
+    if static_max:
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        qn = jnp.sqrt(jnp.max(jnp.sum(qf * qf, -1), axis=-1))  # [B, Hq]
+        kn = jnp.sqrt(jnp.max(jnp.sum(kf * kf, -1), axis=-1))  # [B, Hkv]
+        ms = ((float(sm_scale) * LOG2E) * qn * jnp.repeat(
+            kn, q_per_kv, axis=1
+        ) - 10.0).reshape(-1)  # [B·Hq] f32, prefetched to SMEM
+    inner = kernel
+    if static_max:
+
+        def kernel(ms_r, q_r, k_r, v_r, o_r):  # noqa: F811
+            return inner(q_r, k_r, v_r, ms_r, o_r, None, None)
+
+    elif not save_residuals:
 
         def kernel(q_r, k_r, v_r, o_r):  # noqa: F811
-            return inner(q_r, k_r, v_r, o_r, None, None)
+            return inner(q_r, k_r, v_r, None, o_r, None, None)
+
+    else:
+
+        def kernel(q_r, k_r, v_r, o_r, m_r, l_r):  # noqa: F811
+            return inner(q_r, k_r, v_r, None, o_r, m_r, l_r)
 
     grid = (batch, num_q_heads, n // strip)
     q_spec = pl.BlockSpec(
-        (1, 1, strip, head_dim), lambda b, h, t: (b, h, t, 0)
+        (1, 1, strip, head_dim), lambda b, h, t, *refs: (b, h, t, 0)
     )
     kv_spec = pl.BlockSpec(
-        (1, 1, n, head_dim), lambda b, h, t: (b, h // q_per_kv, 0, 0)
+        (1, 1, n, head_dim), lambda b, h, t, *refs: (b, h // q_per_kv, 0, 0)
     )
     out_specs = [q_spec]
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
@@ -1134,22 +1219,37 @@ def fwd_mid_strip_pallas(
                     jnp.float32,
                 )
             )
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[q_spec, kv_spec, kv_spec],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            # The 16 MiB scoped-VMEM ceiling is only Mosaic's DEFAULT limit
-            # — v5e has 128 MiB physical VMEM and raising the limit is how
-            # the K/V panes + the pipeline's score-prefetch carry fit
-            # (measured: the limit is honored up to >=100 MiB on v5e).
-            vmem_limit_bytes=geo.scoped_vmem_limit(),
-        ),
-        interpret=interpret,
-    )(q, k, v)
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+        # The 16 MiB scoped-VMEM ceiling is only Mosaic's DEFAULT limit
+        # — v5e has 128 MiB physical VMEM and raising the limit is how
+        # the K/V panes + the pipeline's score-prefetch carry fit
+        # (measured: the limit is honored up to >=100 MiB on v5e).
+        vmem_limit_bytes=geo.scoped_vmem_limit(),
+    )
+    if static_max:
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[q_spec, kv_spec, kv_spec],
+                out_specs=out_specs,
+            ),
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(ms, q, k, v)
+    else:
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(q, k, v)
     if save_residuals:
         return outs[0], (outs[1], outs[2])
     return outs[0], None
